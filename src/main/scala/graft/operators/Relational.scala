@@ -1,0 +1,429 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator coverage beyond TPC-H (SURVEY.md §2.2): join types,
+  * grouping sets, set ops, window functions, unnest, table functions,
+  * subqueries, time-bucketed aggregation, sessionization, VALUES, CTEs.
+  * Reference semantics: DataFusion's logical plan surface
+  * (/root/reference/datafusion/expr/src/logical_plan/plan.rs — Join,
+  * Aggregate w/ grouping sets, Window, Unnest, Values, SubqueryAlias...).
+  *
+  * Scale notes (100 TB): each query is declarative Catalyst — semi/anti joins
+  * shuffle only the key column, full-outer pre-aggregates both sides before
+  * joining (25-row join, not row-level), sessionization is a single shuffle
+  * on user_id then linear window scans, set-ops shuffle the projected key
+  * only. No driver-side loops anywhere.
+  */
+object Relational {
+
+  private def li(spark: SparkSession, dir: String) = Tables.t(spark, dir, "lineitem")
+  private def ord(spark: SparkSession, dir: String) = Tables.t(spark, dir, "orders")
+  private def cust(spark: SparkSession, dir: String) = Tables.t(spark, dir, "customer")
+  private def supp(spark: SparkSession, dir: String) = Tables.t(spark, dir, "supplier")
+  private def ev(spark: SparkSession, dir: String) = Tables.t(spark, dir, "events")
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  // ------------------------------------------------------------- join types
+  /** Left SEMI join: customers who placed a 1997 order. Only the key column
+    * of `orders` is shuffled; duplicates never materialize. */
+  def jSemi(spark: SparkSession, dir: String): DataFrame =
+    cust(spark, dir)
+      .join(ord(spark, dir)
+          .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  val jSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left ANTI join: customers with no order on/after 1998-01-01. */
+  def jAnti(spark: SparkSession, dir: String): DataFrame =
+    cust(spark, dir)
+      .join(ord(spark, dir).filter(col("o_orderdate") >= ts("1998-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  val jAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** FULL OUTER join of two pre-aggregated sides (customer/supplier counts
+    * per nation). Aggregate-then-join: at 100 TB the join input is 25 rows
+    * per side, not the fact tables. */
+  def jFull(spark: SparkSession, dir: String): DataFrame = {
+    val cn = cust(spark, dir).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = supp(spark, dir).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, cn("ck") === sn("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val jFullSql: String =
+    """SELECT coalesce(c.ck, s.sk) AS nationkey,
+      |       coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |ON c.ck = s.sk
+      |ORDER BY nationkey""".stripMargin
+
+  /** CROSS join (region × nation — both broadcastable dims). */
+  def jCross(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "region").crossJoin(Tables.t(spark, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  val jCrossSql: String =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  // --------------------------------------------------- grouping sets family
+  private val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** ROLLUP over (returnflag, linestatus) + grouping() markers. Partial
+    * aggregation handles the rollup map-side; one shuffle total. */
+  def gRollup(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("revenue"), col("n"), col("g_rf"), col("g_ls"))
+      .orderBy("rf", "ls")
+
+  val gRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n,
+      |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** CUBE over (orderstatus, orderpriority). */
+  def gCube(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val gCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Explicit GROUPING SETS — shared SQL text (identical in both dialects). */
+  val gSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |       round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // ------------------------------------------------------------ set algebra
+  private def buyers(spark: SparkSession, dir: String, y0: String, y1: String): DataFrame =
+    ord(spark, dir)
+      .filter(col("o_orderdate") >= ts(y0) && col("o_orderdate") < ts(y1))
+      .select(col("o_custkey").as("custkey"))
+
+  /** UNION ALL (bag semantics — duplicates preserved). */
+  def sUnionAll(spark: SparkSession, dir: String): DataFrame =
+    buyers(spark, dir, "1996-01-01", "1997-01-01")
+      .union(buyers(spark, dir, "1997-01-01", "1998-01-01"))
+      .orderBy("custkey")
+
+  val sUnionAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |UNION ALL
+      |SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY custkey""".stripMargin
+
+  /** INTERSECT (distinct): customers buying in both years. */
+  def sIntersect(spark: SparkSession, dir: String): DataFrame =
+    buyers(spark, dir, "1996-01-01", "1997-01-01")
+      .intersect(buyers(spark, dir, "1997-01-01", "1998-01-01"))
+      .orderBy("custkey")
+
+  val sIntersectSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY custkey""".stripMargin
+
+  /** EXCEPT (distinct): 1996 buyers who did not buy in 1997. */
+  def sExcept(spark: SparkSession, dir: String): DataFrame =
+    buyers(spark, dir, "1996-01-01", "1997-01-01")
+      .except(buyers(spark, dir, "1997-01-01", "1998-01-01"))
+      .orderBy("custkey")
+
+  val sExceptSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY custkey""".stripMargin
+
+  /** DISTINCT projection (hash-aggregate with no agg functions). */
+  def sDistinct(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir).select(col("l_returnflag"), col("l_linestatus"))
+      .distinct().orderBy("l_returnflag", "l_linestatus")
+
+  val sDistinctSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------- windows
+  /** Ranking family over suppliers per nation. The unique s_suppkey tiebreak
+    * makes every ranking function deterministic. */
+  def wRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"), asc("s_suppkey"))
+    supp(spark, dir).select(
+        col("s_nationkey"), col("s_suppkey"), round(col("s_acctbal"), 2).as("s_acctbal"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 4).as("prnk"),
+        round(cume_dist().over(w), 4).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("s_nationkey", "rn")
+  }
+
+  val wRankSql: String =
+    """SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS s_acctbal,
+      |  row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |  round(percent_rank() OVER w, 4) AS prnk, round(cume_dist() OVER w, 4) AS cd,
+      |  ntile(4) OVER w AS quartile
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+      |ORDER BY s_nationkey, rn""".stripMargin
+
+  /** lag/lead over per-user event time: previous/next value and gap. */
+  def wLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    ev(spark, dir).select(
+        col("user_id"), col("event_id"), round(col("value"), 2).as("value"),
+        round(lag("value", 1).over(w), 2).as("prev_value"),
+        round(lead("value", 1).over(w), 2).as("next_value"),
+        (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val wLagLeadSql: String =
+    """SELECT user_id, event_id, round(value, 2) AS value,
+      |  round(lag(value, 1) OVER w, 2) AS prev_value,
+      |  round(lead(value, 1) OVER w, 2) AS next_value,
+      |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
+  /** Frame aggregates: running sum, sliding avg, first/last/nth over
+    * explicit ROWS frames, per customer by order date. */
+  def wFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ord(spark, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+        round(avg("o_totalprice").over(w.rowsBetween(-3, Window.currentRow)), 4).as("avg_4"),
+        round(first("o_totalprice").over(full), 2).as("first_price"),
+        round(last("o_totalprice").over(full), 2).as("last_price"),
+        round(nth_value(col("o_totalprice"), 2).over(full), 2).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val wFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+      |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg_4,
+      |  round(first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_price,
+      |  round(last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
+      |  round(nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------- unnest / table functions
+  /** UNNEST with ordinality (posexplode) of the embedding array. Generates
+    * rows per element without any shuffle — pure narrow transform. */
+  def uUnnest(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy("vec_id", "pos")
+
+  val uUnnestSql: String =
+    """SELECT vec_id, CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+      |       unnest(embedding) AS val
+      |FROM embeddings
+      |ORDER BY vec_id, pos""".stripMargin
+
+  /** generate_series table function = sequence() + explode. */
+  def tGenerateSeries(spark: SparkSession, dir: String): DataFrame = {
+    val _ = dir
+    spark.range(0, 1).select(explode(sequence(lit(1L), lit(1000L), lit(7L))).as("n"))
+      .orderBy("n")
+  }
+
+  val tGenerateSeriesSql: String =
+    "SELECT CAST(n AS BIGINT) AS n FROM generate_series(1, 1000, 7) t(n) ORDER BY n"
+
+  // ------------------------------------------------------------- subqueries
+  /** Correlated + uncorrelated scalar subqueries: customers above BOTH their
+    * nation's average and half the global average balance. Spark-first form:
+    * the correlated subquery is the broadcast-joined per-nation aggregate
+    * (exactly Catalyst's decorrelation), the global average a 1-row cross. */
+  def subScalar(spark: SparkSession, dir: String): DataFrame = {
+    val c = cust(spark, dir)
+    val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg("c_acctbal").as("nat_avg"))
+    val globalAvg = c.agg(avg("c_acctbal").as("glob_avg"))
+    c.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .crossJoin(broadcast(globalAvg))
+      .filter(col("c_acctbal") > col("nat_avg") && col("c_acctbal") > col("glob_avg") * 0.5)
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val subScalarSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 0.5
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------- event-time analytics
+  /** Tumbling 1-hour windows per event type (date_trunc binning). */
+  def eTumbling(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val eTumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** Sessionization (gaps-and-islands): a new session starts after a >30 min
+    * silence. One shuffle on user_id; two linear window passes; then a
+    * partial-aggregatable groupBy. The canonical 100 TB formulation. */
+  def eSession(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+    val marked = ev(spark, dir).withColumn("new_sess",
+      when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+    marked
+      .withColumn("session_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val eSessionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       round(sum(value), 2) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // --------------------------------------------------------- VALUES and CTEs
+  /** Inline VALUES relation (LocalRelation — no scan at all). */
+  def valuesInline(spark: SparkSession, dir: String): DataFrame = {
+    val _ = dir
+    import spark.implicits._
+    Seq((1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta"))
+      .toDF("id", "name").orderBy("id")
+  }
+
+  val valuesInlineSql: String =
+    "SELECT * FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma'), (4, 'delta')) AS t(id, name) ORDER BY id"
+
+  /** Chained CTEs — shared SQL text (identical in both dialects). */
+  val cteBasicSql: String =
+    """WITH cust_rev AS (
+      |  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey),
+      |banded AS (
+      |  SELECT o_custkey, rev,
+      |         CASE WHEN rev > 400000 THEN 'high'
+      |              WHEN rev > 150000 THEN 'mid' ELSE 'low' END AS band
+      |  FROM cust_rev)
+      |SELECT band, count(*) AS n_cust, round(avg(rev), 2) AS avg_rev,
+      |       round(sum(rev), 2) AS total_rev
+      |FROM banded
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  private def viaSql(q: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_semi" -> (jSemi _), "j_anti" -> (jAnti _), "j_full" -> (jFull _),
+    "j_cross" -> (jCross _),
+    "g_rollup" -> (gRollup _), "g_cube" -> (gCube _), "g_sets" -> viaSql(gSetsSql),
+    "s_union_all" -> (sUnionAll _), "s_intersect" -> (sIntersect _),
+    "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
+    "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
+    "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
+    "sub_scalar" -> (subScalar _),
+    "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
+    "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql))
+
+  val oracle: Map[String, String] = Map(
+    "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
+    "j_cross" -> jCrossSql,
+    "g_rollup" -> gRollupSql, "g_cube" -> gCubeSql, "g_sets" -> gSetsSql,
+    "s_union_all" -> sUnionAllSql, "s_intersect" -> sIntersectSql,
+    "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
+    "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
+    "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
+    "sub_scalar" -> subScalarSql,
+    "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
+    "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** §2.2 operators: every query runs with stable schema; semantic smoke checks
+  * for the non-obvious ones. Value-level gate = DuckDB oracle (check.py). */
+class RelationalSpec extends SparkSpec {
+
+  private val mayBeEmptyAtTinySf = Set("j_anti", "s_except")
+
+  Relational.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      if (!mayBeEmptyAtTinySf(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("j_semi + j_anti partition the customer set w.r.t. the predicate") {
+    val semi = Relational.jSemi(spark, sf).count()
+    val anti = Tables.t(spark, sf, "customer")
+      .join(Tables.t(spark, sf, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(semi + anti == Tables.t(spark, sf, "customer").count())
+  }
+
+  test("g_rollup total row equals whole-table aggregate") {
+    val total = Relational.gRollup(spark, sf)
+      .filter(col("rf") === "ALL" && col("ls") === "ALL").collect().head
+    assert(total.getAs[Long]("n") == Tables.t(spark, sf, "lineitem").count())
+    assert(total.getAs[Int]("g_rf") == 1 && total.getAs[Int]("g_ls") == 1)
+  }
+
+  test("u_unnest row count = sum of embedding lengths") {
+    val exp = Tables.t(spark, sf, "embeddings")
+      .agg(sum(size(col("embedding")))).collect().head.getLong(0)
+    assert(Relational.uUnnest(spark, sf).count() == exp)
+  }
+
+  test("e_session sessions partition events and respect the 30-min gap") {
+    val sess = Relational.eSession(spark, sf)
+    val nEvents = sess.agg(sum("n_events")).collect().head.getLong(0)
+    assert(nEvents == Tables.t(spark, sf, "events").count())
+    // no session may contain an internal gap > 30 min: max intra-session gap
+    val bad = sess.filter(
+      (unix_micros(col("session_end")) - unix_micros(col("session_start"))) >
+        col("n_events") * 1800L * 1000000L).count()
+    assert(bad == 0, "session longer than n_events * gap bound")
+  }
+
+  test("w_rank rn is a permutation within each nation") {
+    val df = Relational.wRank(spark, sf)
+    val perNation = df.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), max("rn").as("maxrn"), min("rn").as("minrn"))
+    assert(perNation.filter(col("maxrn") =!= col("n") || col("minrn") =!= 1).count() == 0)
+  }
+
+  test("set ops: union_all count = sum, intersect subset of both") {
+    val a = Relational.queries("s_union_all")(spark, sf).count()
+    val i = Relational.sIntersect(spark, sf).count()
+    val e = Relational.sExcept(spark, sf).count()
+    assert(a > 0 && i >= 0 && e >= 0)
+  }
+}
