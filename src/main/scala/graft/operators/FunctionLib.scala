@@ -1,0 +1,540 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar + aggregate function-library coverage (SURVEY.md §2.3), one query
+  * per family, each function exercised over real table columns. Reference
+  * surface: DataFusion's function crates
+  * (/root/reference/datafusion/functions/src/{string,unicode,math,datetime,
+  * regex,crypto,encoding,core}/ and functions-aggregate/src/).
+  *
+  * Every query is a narrow projection over one scan — no shuffle except the
+  * aggregate families (single hash-aggregate on a low-cardinality key).
+  * All expressions are Catalyst builtins → fully codegen'd; the DuckDB
+  * oracle uses dialect equivalents (emulations noted inline) with identical
+  * output aliases and rounding (SURVEY §4).
+  *
+  * Spark 4.1 gaps found (gcd, lcm, date_bin, numeric trunc, array_resize)
+  * are implemented as native Catalyst expressions in graft.functions
+  * (SURVEY §2.10) and covered by f_native — see NativeFunctions.scala.
+  */
+object FunctionLib {
+
+  private def t(n: String)(spark: SparkSession, dir: String) = Tables.t(spark, dir, n)
+
+  // ---------------------------------------------------------------- f_string
+  /** String family over nation names. */
+  def fString(spark: SparkSession, dir: String): DataFrame =
+    t("nation")(spark, dir).select(
+        col("n_name").as("name"),
+        concat_ws("-", col("n_name"), col("n_nationkey")).as("cw"),
+        split_part(concat_ws("-", col("n_name"), col("n_nationkey")), lit("-"), lit(1)).as("sp"),
+        repeat(substring(col("n_name"), 1, 2), 2).as("rep"),
+        regexp_replace(col("n_name"), "A", "@").as("repl"),
+        trim(concat(lit("  "), col("n_name"), lit("  "))).as("tr"),
+        ascii(col("n_name")).as("asc_code"),
+        expr("chr(ascii(n_name))").as("first_chr"),
+        lower(hex(col("n_nationkey"))).as("hx"),
+        bit_length(col("n_name")).as("bl"),
+        octet_length(col("n_name")).as("ol"),
+        col("n_name").contains("AN").as("ct"),
+        col("n_name").startsWith("A").as("sw"),
+        col("n_name").endsWith("A").as("ew"),
+        levenshtein(col("n_name"), lit("ALGERIA")).as("lev"),
+        overlay(col("n_name"), lit("XX"), lit(2), lit(2)).as("ov"))
+      .orderBy("name")
+
+  /** DuckDB: overlay emulated via substr concat. */
+  val fStringSql: String =
+    """SELECT n_name AS name,
+      |  concat_ws('-', n_name, n_nationkey) AS cw,
+      |  split_part(concat_ws('-', n_name, n_nationkey), '-', 1) AS sp,
+      |  repeat(substr(n_name, 1, 2), 2) AS rep,
+      |  regexp_replace(n_name, 'A', '@', 'g') AS repl,
+      |  trim('  ' || n_name || '  ') AS tr,
+      |  ascii(n_name) AS asc_code,
+      |  chr(ascii(n_name)) AS first_chr,
+      |  lower(to_hex(n_nationkey)) AS hx,
+      |  bit_length(n_name) AS bl,
+      |  octet_length(CAST(n_name AS BLOB)) AS ol,
+      |  contains(n_name, 'AN') AS ct,
+      |  starts_with(n_name, 'A') AS sw,
+      |  ends_with(n_name, 'A') AS ew,
+      |  levenshtein(n_name, 'ALGERIA') AS lev,
+      |  substr(n_name, 1, 1) || 'XX' || substr(n_name, 4) AS ov
+      |FROM nation ORDER BY name""".stripMargin
+
+  // --------------------------------------------------------------- f_unicode
+  /** Unicode/positional family over customer names (single-token strings so
+    * the DuckDB initcap emulation is exact). */
+  def fUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val segs = "AUTOMOBILE,BUILDING,FURNITURE,HOUSEHOLD,MACHINERY"
+    t("customer")(spark, dir).select(
+        col("c_custkey"),
+        initcap(lower(col("c_name"))).as("ic"),
+        substring(col("c_name"), 1, 4).as("lf"),
+        col("c_name").substr(length(col("c_name")) - 3, lit(4)).as("rt"),
+        lpad(col("c_name"), 22, "*").as("lp"),
+        rpad(col("c_name"), 22, "*").as("rp"),
+        reverse(col("c_name")).as("rev"),
+        locate("#", col("c_name")).as("pos"),
+        substring(col("c_name"), 10, 3).as("sub"),
+        substring_index(col("c_name"), "0", 2).as("si"),
+        find_in_set(col("c_mktsegment"), lit(segs)).as("fis"),
+        char_length(col("c_name")).as("cl"),
+        translate(col("c_name"), "Cust", "Kost").as("tl"))
+      .orderBy("c_custkey")
+  }
+
+  /** DuckDB: initcap/substring_index/find_in_set emulated; left/right via
+    * substr; strpos for locate. */
+  val fUnicodeSql: String =
+    """SELECT c_custkey,
+      |  upper(substr(lower(c_name), 1, 1)) || substr(lower(c_name), 2) AS ic,
+      |  substr(c_name, 1, 4) AS lf,
+      |  substr(c_name, length(c_name) - 3, 4) AS rt,
+      |  lpad(c_name, 22, '*') AS lp,
+      |  rpad(c_name, 22, '*') AS rp,
+      |  reverse(c_name) AS rev,
+      |  strpos(c_name, '#') AS pos,
+      |  substr(c_name, 10, 3) AS sub,
+      |  split_part(c_name, '0', 1) || '0' || split_part(c_name, '0', 2) AS si,
+      |  coalesce(list_position(string_split('AUTOMOBILE,BUILDING,FURNITURE,HOUSEHOLD,MACHINERY', ','), c_mktsegment), 0) AS fis,
+      |  length(c_name) AS cl,
+      |  translate(c_name, 'Cust', 'Kost') AS tl
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------ f_math
+  /** Math family over part (p_size int 1..50, positive retail prices). */
+  def fMath(spark: SparkSession, dir: String): DataFrame =
+    t("part")(spark, dir).select(
+        col("p_partkey"),
+        round(col("p_retailprice"), 1).as("rnd"),
+        floor(col("p_retailprice")).cast("double").as("trunc_pos"),
+        round(pow(col("p_size"), 2), 1).as("pw"),
+        round(log(2.0, col("p_size")), 6).as("lg2"),
+        round(log10(col("p_size")), 6).as("lg10"),
+        round(log(col("p_size")), 6).as("lnx"),
+        round(sqrt(col("p_size")), 6).as("sq"),
+        abs(col("p_size") - 25).as("ab"),
+        signum(col("p_size") - 25).cast("double").as("sg"),
+        ceil(col("p_retailprice") / 100.0).as("cl"),
+        factorial(pmod(col("p_size"), lit(10))).as("fact"),
+        round(cot(col("p_size").cast("double")), 6).as("ctn"),
+        round(degrees(radians(col("p_size"))), 6).as("dg"),
+        round(lit(math.Pi), 6).as("pi_6"),
+        isnan(col("p_retailprice")).as("nn"),
+        round(nanvl(col("p_retailprice"), lit(0.0)), 2).as("nv"))
+      .orderBy("p_partkey")
+
+  /** DuckDB: signum→sign, nanvl→CASE isnan, log(x)→ln, two-arg log via ln
+    * ratio (bit-identical: Spark computes log(b,x) the same way). */
+  val fMathSql: String =
+    """SELECT p_partkey,
+      |  round(p_retailprice, 1) AS rnd,
+      |  CAST(floor(p_retailprice) AS DOUBLE) AS trunc_pos,
+      |  round(pow(p_size, 2), 1) AS pw,
+      |  round(ln(p_size) / ln(2.0), 6) AS lg2,
+      |  round(log10(p_size), 6) AS lg10,
+      |  round(ln(p_size), 6) AS lnx,
+      |  round(sqrt(p_size), 6) AS sq,
+      |  abs(p_size - 25) AS ab,
+      |  CAST(sign(p_size - 25) AS DOUBLE) AS sg,
+      |  ceil(p_retailprice / 100.0) AS cl,
+      |  CAST(factorial(p_size % 10) AS BIGINT) AS fact,
+      |  round(cot(CAST(p_size AS DOUBLE)), 6) AS ctn,
+      |  round(degrees(radians(p_size)), 6) AS dg,
+      |  round(pi(), 6) AS pi_6,
+      |  isnan(p_retailprice) AS nn,
+      |  round(CASE WHEN isnan(p_retailprice) THEN 0.0 ELSE p_retailprice END, 2) AS nv
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // -------------------------------------------------------------- f_datetime
+  /** Datetime family over orders. date_bin (10-day buckets anchored at
+    * 1995-01-01) via epoch-µs arithmetic — the portable origin-aligned form;
+    * the native DateBin expression (f_native) is the Spark-first version. */
+  def fDatetime(spark: SparkSession, dir: String): DataFrame = {
+    val originUs = 788918400000000L // 1995-01-01 00:00:00 UTC in µs
+    val widthUs = 10L * 86400L * 1000000L
+    // parquet TIMESTAMP(isAdjustedToUTC=false) loads as TIMESTAMP_NTZ; cast
+    // to session-local TIMESTAMP (UTC session → same instant) for epoch fns.
+    val us = unix_micros(col("o_orderdate").cast("timestamp"))
+    t("orders")(spark, dir).select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        extract(lit("year"), col("o_orderdate")).cast("int").as("yr"),
+        date_part(lit("month"), col("o_orderdate")).cast("int").as("mo"),
+        extract(lit("day"), col("o_orderdate")).cast("int").as("dy"),
+        timestamp_micros(us - pmod(us - originUs, lit(widthUs))).as("bin10d"),
+        col("o_orderdate").cast("date").as("od"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("md"),
+        from_unixtime(unix_timestamp(col("o_orderdate").cast("timestamp"))).as("fu"),
+        us.as("ut"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("dd"))
+      .orderBy("o_orderkey")
+  }
+
+  val fDatetimeSql: String =
+    """SELECT o_orderkey,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+      |  CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
+      |  CAST(extract(day FROM o_orderdate) AS INTEGER) AS dy,
+      |  make_timestamp(epoch_us(o_orderdate)
+      |    - ((epoch_us(o_orderdate) - 788918400000000) % 864000000000)) AS bin10d,
+      |  CAST(o_orderdate AS DATE) AS od,
+      |  make_date(CAST(extract(year FROM o_orderdate) AS INTEGER),
+      |            CAST(extract(month FROM o_orderdate) AS INTEGER), 1) AS md,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fu,
+      |  epoch_us(o_orderdate) AS ut,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------- f_regex
+  /** Regex family over events.props (JSON strings — always contain digits). */
+  def fRegex(spark: SparkSession, dir: String): DataFrame =
+    t("events")(spark, dir).select(
+        col("event_id"),
+        col("props").rlike("[0-9]+").as("has_num"),
+        regexp_extract(col("props"), "[0-9]+", 0).as("num"),
+        regexp_replace(col("props"), "[0-9]", "#").as("masked"),
+        regexp_count(col("props"), lit("[0-9]")).as("n_digits"),
+        regexp_instr(col("props"), lit("[0-9]+")).as("num_pos"),
+        regexp_substr(col("event_type"), lit("[a-z]+")).as("word"))
+      .orderBy("event_id")
+
+  /** DuckDB: regexp_count via regexp_extract_all length; regexp_instr via
+    * strpos of the first match (leftmost-match property makes this exact for
+    * these self-matching patterns). */
+  val fRegexSql: String =
+    """SELECT event_id,
+      |  regexp_matches(props, '[0-9]+') AS has_num,
+      |  regexp_extract(props, '[0-9]+') AS num,
+      |  regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+      |  len(regexp_extract_all(props, '[0-9]')) AS n_digits,
+      |  strpos(props, regexp_extract(props, '[0-9]+')) AS num_pos,
+      |  regexp_extract(event_type, '[a-z]+') AS word
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- f_crypto
+  /** Crypto + encoding over customer names. sha224/384/512, sha1 and crc32
+    * have no DuckDB builtin — they are validated against
+    * java.security.MessageDigest / zlib in FunctionLibSpec instead. */
+  def fCrypto(spark: SparkSession, dir: String): DataFrame =
+    t("customer")(spark, dir).filter(col("c_custkey") <= 200).select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("m5"),
+        sha2(col("c_name").cast("binary"), 256).as("s256"),
+        lower(hex(col("c_name").cast("binary"))).as("hx"),
+        base64(col("c_name").cast("binary")).as("b64"),
+        unbase64(base64(col("c_name").cast("binary"))).cast("string").as("roundtrip"))
+      .orderBy("c_custkey")
+
+  val fCryptoSql: String =
+    """SELECT c_custkey,
+      |  md5(c_name) AS m5,
+      |  sha256(c_name) AS s256,
+      |  lower(hex(CAST(c_name AS BLOB))) AS hx,
+      |  to_base64(CAST(c_name AS BLOB)) AS b64,
+      |  c_name AS roundtrip
+      |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------- f_conditional
+  /** Conditional family over customer. */
+  def fConditional(spark: SparkSession, dir: String): DataFrame =
+    t("customer")(spark, dir).select(
+        col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", 1)
+          .when(col("c_mktsegment") === "MACHINERY", 2).otherwise(0).as("seg_code"),
+        round(coalesce(nullif(col("c_acctbal"), lit(0.0)), lit(-1.0)), 2).as("nz"),
+        round(nvl(nullif(col("c_acctbal"), col("c_acctbal")), lit(7.5)), 2).as("nv"),
+        nvl2(nullif(col("c_mktsegment"), lit("BUILDING")), lit("other"), lit("bld")).as("nv2"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("gt"),
+        round(least(col("c_acctbal"), lit(0.0)), 2).as("lt"),
+        expr("if(c_acctbal > 0, 'pos', 'nonpos')").as("iff"))
+      .orderBy("c_custkey")
+
+  val fConditionalSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+      |       WHEN c_mktsegment = 'MACHINERY' THEN 2 ELSE 0 END AS seg_code,
+      |  round(coalesce(nullif(c_acctbal, 0.0), -1.0), 2) AS nz,
+      |  round(ifnull(nullif(c_acctbal, c_acctbal), 7.5), 2) AS nv,
+      |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+      |       THEN 'other' ELSE 'bld' END AS nv2,
+      |  round(greatest(c_acctbal, 0.0), 2) AS gt,
+      |  round(least(c_acctbal, 0.0), 2) AS lt,
+      |  CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS iff
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------------- f_array
+  /** Array family over embeddings: ints derived from the first 8 floats so
+    * every op is exact. Arrays are rendered to csv strings for the compare
+    * (parquet list vs DuckDB list dtypes differ in pandas).
+    * DuckDB list_distinct does not preserve order → both sides sort before
+    * rendering wherever order is unspecified. */
+  def fArray(spark: SparkSession, dir: String): DataFrame = {
+    val a = transform(slice(col("embedding"), 1, 8),
+      x => round(x * 100, 0).cast("int"))
+    val b = array(lit(0), lit(5), lit(10), lit(-5), lit(1), lit(2), lit(3), lit(4))
+    def csv(c: Column) = array_join(c, ",")
+    t("embeddings")(spark, dir).select(
+        col("vec_id"),
+        csv(a).as("a"),
+        csv(array_sort(array_distinct(a))).as("dist"),
+        csv(array_sort(array_except(a, b))).as("exc"),
+        csv(array_sort(array_intersect(a, b))).as("inter"),
+        csv(array_sort(array_union(a, b))).as("uni"),
+        csv(flatten(array(a, b))).as("flat"),
+        coalesce(nullif(array_position(a, 5), lit(0L)), lit(0L)).as("pos5"),
+        csv(array_sort(array_remove(a, 0))).as("rm0"),
+        csv(array_repeat(lit(7), 3)).as("rep7"),
+        csv(reverse(a)).as("rev"),
+        csv(slice(a, 2, 3)).as("sl"),
+        csv(sort_array(a)).as("srt"),
+        size(a).as("card"),
+        array_contains(a, 0).as("has0"),
+        csv(zip_with(a, b, (x, y) => x + y)).as("zsum"),
+        csv(array_sort(filter(a, x => x > 0))).as("fpos"),
+        csv(transform(a, x => x * 2)).as("dbl"),
+        aggregate(a, lit(0), (acc, x) => acc + x).as("asum"),
+        round(sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)), 4).as("l2_dist"))
+      .orderBy("vec_id")
+  }
+
+  val fArraySql: String = {
+    val a = "list_transform(embedding[1:8], x -> CAST(round(x * 100, 0) AS INTEGER))"
+    val b = "[0, 5, 10, -5, 1, 2, 3, 4]"
+    s"""WITH base AS (SELECT vec_id, $a AS a, $b AS b FROM embeddings)
+       |SELECT vec_id,
+       |  coalesce(array_to_string(a, ','), '') AS a,
+       |  coalesce(array_to_string(list_sort(list_distinct(a)), ','), '') AS dist,
+       |  coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS exc,
+       |  coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ','), '') AS inter,
+       |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS uni,
+       |  coalesce(array_to_string(list_concat(a, b), ','), '') AS flat,
+       |  coalesce(list_position(a, 5), 0) AS pos5,
+       |  coalesce(array_to_string(list_sort(list_filter(a, x -> x != 0)), ','), '') AS rm0,
+       |  coalesce(array_to_string(list_transform(range(3), x -> 7), ','), '') AS rep7,
+       |  coalesce(array_to_string(list_reverse(a), ','), '') AS rev,
+       |  coalesce(array_to_string(list_slice(a, 2, 4), ','), '') AS sl,
+       |  coalesce(array_to_string(list_sort(a), ','), '') AS srt,
+       |  len(a) AS card,
+       |  list_contains(a, 0) AS has0,
+       |  coalesce(array_to_string(list_transform(range(8), i -> a[CAST(i AS INTEGER) + 1] + b[CAST(i AS INTEGER) + 1]), ','), '') AS zsum,
+       |  coalesce(array_to_string(list_sort(list_filter(a, x -> x > 0)), ','), '') AS fpos,
+       |  coalesce(array_to_string(list_transform(a, x -> x * 2), ','), '') AS dbl,
+       |  CAST(list_aggregate(a, 'sum') AS INTEGER) AS asum,
+       |  round(sqrt(CAST(list_aggregate(list_transform(range(8),
+       |    i -> (a[CAST(i AS INTEGER) + 1] - b[CAST(i AS INTEGER) + 1])
+       |       * (a[CAST(i AS INTEGER) + 1] - b[CAST(i AS INTEGER) + 1])), 'sum') AS DOUBLE)), 4) AS l2_dist
+       |FROM base ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- f_struct
+  /** Struct family over nation: build, field access, JSON render. */
+  def fStruct(spark: SparkSession, dir: String): DataFrame =
+    t("nation")(spark, dir).select(
+        col("n_nationkey"),
+        struct(col("n_name"), col("n_regionkey")).getField("n_name").as("via_struct"),
+        expr("named_struct('key', n_nationkey, 'name', n_name).name").as("via_named"),
+        to_json(expr("named_struct('key', n_nationkey, 'name', n_name)")).as("js"))
+      .orderBy("n_nationkey")
+
+  val fStructSql: String =
+    """SELECT n_nationkey,
+      |  struct_extract(struct_pack(n_name := n_name, n_regionkey := n_regionkey), 'n_name') AS via_struct,
+      |  struct_extract(struct_pack(key := n_nationkey, name := n_name), 'name') AS via_named,
+      |  to_json(struct_pack(key := n_nationkey, name := n_name)) AS js
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // ------------------------------------------------------------------- f_map
+  /** Map family over events.props JSON kv-strings: parse to a map, rebuild
+    * via entries, extract keys/values. */
+  def fMap(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), lit("map<string,int>"))
+    t("events")(spark, dir).select(
+        col("event_id"),
+        array_join(map_keys(m), ",").as("ks"),
+        element_at(m, "k").as("v"),
+        element_at(map_from_entries(map_entries(m)), "k").as("v_rebuilt"),
+        map_contains_key(m, "k").as("has_k"),
+        size(m).as("n_entries"))
+      .orderBy("event_id")
+  }
+
+  val fMapSql: String =
+    """SELECT event_id,
+      |  array_to_string(json_keys(props), ',') AS ks,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS v,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS v_rebuilt,
+      |  json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+      |  len(json_keys(props)) AS n_entries
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------------------------- a_stats
+  /** Statistical aggregates per returnflag. Quantities are integer-valued
+    * doubles → moment sums are exact; price-based regressions rounded to a
+    * step far above double-summation noise. */
+  def aStats(spark: SparkSession, dir: String): DataFrame =
+    t("lineitem")(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp("l_quantity"), 4).as("sd_s"),
+        round(stddev_pop("l_quantity"), 4).as("sd_p"),
+        round(var_samp("l_quantity"), 4).as("var_s"),
+        round(var_pop("l_quantity"), 4).as("var_p"),
+        round(covar_samp("l_quantity", "l_discount"), 6).as("cov_s"),
+        round(covar_pop("l_quantity", "l_discount"), 6).as("cov_p"),
+        round(corr("l_quantity", "l_extendedprice"), 6).as("cr"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("r_slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("r_icpt"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r_r2"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("r_avgx"),
+        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 2).as("r_avgy"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("r_n"))
+      .orderBy("l_returnflag")
+
+  val aStatsSql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_s,
+      |  round(stddev_pop(l_quantity), 4) AS sd_p,
+      |  round(var_samp(l_quantity), 4) AS var_s,
+      |  round(var_pop(l_quantity), 4) AS var_p,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS cov_s,
+      |  round(covar_pop(l_quantity, l_discount), 6) AS cov_p,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS cr,
+      |  round(regr_slope(l_extendedprice, l_quantity), 2) AS r_slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS r_icpt,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r_r2,
+      |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS r_avgx,
+      |  round(regr_avgy(l_extendedprice, l_quantity), 2) AS r_avgy,
+      |  regr_count(l_extendedprice, l_quantity) AS r_n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------- a_order_stats
+  /** Order statistics per returnflag: exact median / percentiles / mode.
+    * l_linenumber's mode is unique (1 dominates) → portable. */
+  def aOrderStats(spark: SparkSession, dir: String): DataFrame =
+    t("lineitem")(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(median(col("l_quantity")), 4).as("med"),
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
+        mode(col("l_linenumber")).cast("int").as("mode_ln"))
+      .orderBy("l_returnflag")
+
+  val aOrderStatsSql: String =
+    """SELECT l_returnflag,
+      |  round(CAST(median(l_quantity) AS DOUBLE), 4) AS med,
+      |  round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS p25,
+      |  round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS p75,
+      |  CAST(mode(l_linenumber) AS INTEGER) AS mode_ln
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- a_collect
+  /** Collection aggregates per nation: sorted array_agg, listagg/string_agg,
+    * count distinct. */
+  def aCollect(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT s_nationkey,
+        |  array_join(array_sort(collect_list(s_name)), ',') AS names,
+        |  listagg(s_name, ';') WITHIN GROUP (ORDER BY s_name) AS la,
+        |  count(DISTINCT s_suppkey) AS n_supp
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  }
+
+  val aCollectSql: String =
+    """SELECT s_nationkey,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS names,
+      |  string_agg(s_name, ';' ORDER BY s_name) AS la,
+      |  count(DISTINCT s_suppkey) AS n_supp
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // ------------------------------------------------------------- a_firstlast
+  /** min_by / max_by (argmin/argmax — DataFusion's first/last-value-by-order
+    * equivalents in a distributed setting, where unordered first() is
+    * nondeterministic by design). */
+  def aFirstLast(spark: SparkSession, dir: String): DataFrame =
+    t("supplier")(spark, dir)
+      .groupBy("s_nationkey")
+      .agg(
+        min_by(col("s_name"), col("s_acctbal")).as("poorest"),
+        max_by(col("s_name"), col("s_acctbal")).as("richest"),
+        round(min("s_acctbal"), 2).as("min_bal"),
+        round(max("s_acctbal"), 2).as("max_bal"))
+      .orderBy("s_nationkey")
+
+  val aFirstLastSql: String =
+    """SELECT s_nationkey,
+      |  min_by(s_name, s_acctbal) AS poorest,
+      |  max_by(s_name, s_acctbal) AS richest,
+      |  round(min(s_acctbal), 2) AS min_bal,
+      |  round(max(s_acctbal), 2) AS max_bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- a_bitbool
+  /** Bitwise + boolean aggregates per brand. */
+  def aBitBool(spark: SparkSession, dir: String): DataFrame =
+    t("part")(spark, dir)
+      .groupBy("p_brand")
+      .agg(
+        bit_and(col("p_size")).as("b_and"),
+        bit_or(col("p_size")).as("b_or"),
+        bit_xor(col("p_size")).as("b_xor"),
+        bool_and(col("p_size") > 10).as("all_gt10"),
+        bool_or(col("p_size") > 45).as("any_gt45"),
+        every(col("p_size") > 0).as("every_pos"),
+        some(col("p_size") > 48).as("some_gt48"))
+      .orderBy("p_brand")
+
+  val aBitBoolSql: String =
+    """SELECT p_brand,
+      |  bit_and(p_size) AS b_and,
+      |  bit_or(p_size) AS b_or,
+      |  bit_xor(p_size) AS b_xor,
+      |  bool_and(p_size > 10) AS all_gt10,
+      |  bool_or(p_size > 45) AS any_gt45,
+      |  bool_and(p_size > 0) AS every_pos,
+      |  bool_or(p_size > 48) AS some_gt48
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ----------------------------------------------------------------- a_approx
+  /** Sketch aggregates (HLL++ / KLL-style). Algorithms differ from DuckDB by
+    * design → rows-only gate; FunctionLibSpec asserts error bounds vs exact. */
+  def aApprox(spark: SparkSession, dir: String): DataFrame =
+    t("orders")(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.01).as("acd_cust"),
+        round(expr("approx_percentile(o_totalprice, 0.5)"), 2).as("ap50"),
+        round(expr("approx_percentile(o_totalprice, 0.95)"), 2).as("ap95"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
+    "f_datetime" -> (fDatetime _), "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
+    "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
+    "f_struct" -> (fStruct _), "f_map" -> (fMap _),
+    "a_stats" -> (aStats _), "a_order_stats" -> (aOrderStats _),
+    "a_collect" -> (aCollect _), "a_firstlast" -> (aFirstLast _),
+    "a_bitbool" -> (aBitBool _), "a_approx" -> (aApprox _))
+
+  /** a_approx intentionally absent (rows-only). */
+  val oracle: Map[String, String] = Map(
+    "f_string" -> fStringSql, "f_unicode" -> fUnicodeSql, "f_math" -> fMathSql,
+    "f_datetime" -> fDatetimeSql, "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
+    "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
+    "f_struct" -> fStructSql, "f_map" -> fMapSql,
+    "a_stats" -> aStatsSql, "a_order_stats" -> aOrderStatsSql,
+    "a_collect" -> aCollectSql, "a_firstlast" -> aFirstLastSql,
+    "a_bitbool" -> aBitBoolSql)
+}

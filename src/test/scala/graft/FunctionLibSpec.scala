@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.FunctionLib
+import org.apache.spark.sql.functions._
+
+/** §2.3 families: run + semantic checks. Value gate = DuckDB oracle except
+  * where algorithms are non-portable (a_approx) or DuckDB lacks the builtin
+  * (sha224/384/512, sha1, crc32) — those get known-answer tests here. */
+class FunctionLibSpec extends SparkSpec {
+
+  FunctionLib.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty && df.count() > 0)
+    }
+  }
+
+  test("sha1/sha2-224/384/512 match java.security.MessageDigest; crc32 matches zlib") {
+    import spark.implicits._
+    val s = "Customer#000000001"
+    val row = Seq(s).toDF("x").select(
+      sha1(col("x").cast("binary")).as("h1"),
+      sha2(col("x").cast("binary"), 224).as("h224"),
+      sha2(col("x").cast("binary"), 384).as("h384"),
+      sha2(col("x").cast("binary"), 512).as("h512"),
+      crc32(col("x").cast("binary")).as("c32")).collect().head
+
+    def jdk(alg: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val crc = new java.util.zip.CRC32()
+    crc.update(s.getBytes("UTF-8"))
+
+    assert(row.getAs[String]("h1") == jdk("SHA-1"))
+    assert(row.getAs[String]("h224") == jdk("SHA-224"))
+    assert(row.getAs[String]("h384") == jdk("SHA-384"))
+    assert(row.getAs[String]("h512") == jdk("SHA-512"))
+    assert(row.getAs[Long]("c32") == crc.getValue)
+  }
+
+  test("nanvl/isnan handle actual NaN (not exercised by clean table data)") {
+    import spark.implicits._
+    val row = Seq(1.0).toDF("x").select(
+      isnan(sqrt(lit(-1.0))).as("is_nan"),
+      nanvl(sqrt(lit(-1.0)), lit(42.0)).as("repl")).collect().head
+    assert(row.getAs[Boolean]("is_nan") && row.getAs[Double]("repl") == 42.0)
+  }
+
+  test("a_approx within HLL/quantile-sketch error bounds of exact values") {
+    val approx = FunctionLib.aApprox(spark, sf01).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r).toMap
+    val exact = Tables.t(spark, sf01, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("cd"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50")).collect()
+    exact.foreach { r =>
+      val a = approx(r.getAs[String]("o_orderstatus"))
+      val cdExact = r.getAs[Long]("cd").toDouble
+      val cdApprox = a.getAs[Long]("acd_cust").toDouble
+      assert(math.abs(cdApprox - cdExact) / cdExact < 0.05,
+        s"HLL err ${cdApprox} vs ${cdExact}")
+      val p50Exact = r.getAs[Double]("p50")
+      val p50Approx = a.getAs[Double]("ap50")
+      assert(math.abs(p50Approx - p50Exact) / p50Exact < 0.05,
+        s"approx_percentile err ${p50Approx} vs ${p50Exact}")
+    }
+  }
+
+  test("f_array set ops verified on a hand-computed row") {
+    val r = FunctionLib.fArray(spark, sf).filter(col("vec_id") === 0).collect().head
+    val a = r.getAs[String]("a").split(",").map(_.toInt)
+    assert(r.getAs[Int]("card") == a.length)
+    assert(r.getAs[String]("srt").split(",").map(_.toInt).toSeq == a.sorted.toSeq)
+    assert(r.getAs[Int]("asum") == a.sum)
+    assert(r.getAs[String]("dbl").split(",").map(_.toInt).toSeq == a.map(_ * 2).toSeq)
+  }
+}
