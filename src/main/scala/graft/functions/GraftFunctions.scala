@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.expr
+
+/** Registration for graft's native expressions.
+  *
+  * Two paths to the same registry entries:
+  *  - `GraftExtensions` for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the production wiring — survives session cloning and works from pure SQL);
+  *  - `GraftFunctions.register(spark)` for programmatic use on an existing
+  *    session (tests, Verify, Bench).
+  *
+  * After registration the functions are plain Catalyst expressions: they
+  * participate in whole-stage codegen, constant folding and filter pushdown
+  * like any builtin.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (c => CosineSimilarity(c(0), c(1))),
+    "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
+    "gcd" -> (c => Gcd(c(0), c(1))),
+    "lcm" -> (c => Lcm(c(0), c(1))),
+    "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        builder)
+    }
+  }
+
+  // Column-API helpers (the session must have been registered first).
+  def cosineSimilarity(a: Column, b: Column): Column =
+    callFn("cosine_similarity", a, b)
+  def hammingDistance(a: Column, b: Column): Column =
+    callFn("hamming_distance", a, b)
+
+  private def callFn(name: String, cols: Column*): Column =
+    org.apache.spark.sql.functions.call_function(name, cols: _*)
+
+  /** SQL expression text helpers for readability at call sites. */
+  def sql(s: String): Column = expr(s)
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Seq[(String, Seq[Expression] => Expression)](
+      "cosine_similarity" -> (c => CosineSimilarity(c(0), c(1))),
+      "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
+      "gcd" -> (c => Gcd(c(0), c(1))),
+      "lcm" -> (c => Lcm(c(0), c(1))),
+      "date_bin_us" -> (c => DateBin(c(0), c(1), c(2)))
+    ).foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        builder))
+    }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.NativeOps
+import org.apache.spark.sql.functions._
+
+/** §2.10 native expressions: edge cases + proof they run inside whole-stage
+  * codegen (no fallback interpretation, no UDF). */
+class NativeExpressionsSpec extends SparkSpec {
+
+  private def one(sql: String) = {
+    GraftFunctions.register(spark)
+    spark.sql(s"SELECT $sql AS v").collect().head
+  }
+
+  test("gcd/lcm edge cases match number theory") {
+    assert(one("gcd(0L, 0L)").getLong(0) == 0L)
+    assert(one("gcd(0L, 7L)").getLong(0) == 7L)
+    assert(one("gcd(-12L, 18L)").getLong(0) == 6L)
+    assert(one("lcm(0L, 5L)").getLong(0) == 0L)
+    assert(one("lcm(-4L, 6L)").getLong(0) == 12L)
+    assert(one("gcd(CAST(NULL AS BIGINT), 3L)").isNullAt(0))
+  }
+
+  test("hamming_distance identity, symmetry, known value") {
+    assert(one("hamming_distance(5L, 5L)").getInt(0) == 0)
+    assert(one("hamming_distance(0L, -1L)").getInt(0) == 64)
+    assert(one("hamming_distance(5L, 3L)").getInt(0) == 2)
+  }
+
+  test("cosine_similarity known values and zero-norm guard") {
+    val r = one("cosine_similarity(array(1.0F, 0.0F), array(0.0F, 1.0F))")
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    val same = one("cosine_similarity(array(1.0F, 2.0F), array(2.0F, 4.0F))")
+    assert(math.abs(same.getDouble(0) - 1.0) < 1e-12)
+    val zero = one("cosine_similarity(array(0.0F, 0.0F), array(1.0F, 1.0F))")
+    assert(zero.getDouble(0) == 0.0)
+  }
+
+  test("date_bin_us aligns to origin, incl. pre-origin timestamps") {
+    val r = one(
+      "date_bin_us(3600000000L, TIMESTAMP '1995-01-01 10:47:33', TIMESTAMP '1995-01-01 00:30:00')")
+    assert(r.getTimestamp(0).toString == "1995-01-01 10:30:00.0")
+    val pre = one(
+      "date_bin_us(3600000000L, TIMESTAMP '1994-12-31 23:45:00', TIMESTAMP '1995-01-01 00:30:00')")
+    assert(pre.getTimestamp(0).toString == "1994-12-31 23:30:00.0")
+  }
+
+  test("native expressions run inside WholeStageCodegen (no fallback)") {
+    GraftFunctions.register(spark)
+    val df = Tables.t(spark, sf, "embeddings")
+      .select(expr("cosine_similarity(embedding, reverse(embedding))").as("c"))
+      .filter(col("c") > -2)
+    // whole-stage codegen renders as "*(n)" stage markers in this format
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_similarity"), s"no codegen span in:\n$plan")
+    assert(df.count() > 0) // forces the generated code to actually compile+run
+  }
+
+  test("f_native cross-checks interpreted vs codegen paths") {
+    // collect() runs codegen; eval() path exercised via literal folding
+    val df = NativeOps.fNative(spark, sf)
+    val row = df.filter(col("c_custkey") === 6).collect().head
+    val nk = Tables.t(spark, sf, "customer").filter(col("c_custkey") === 6)
+      .collect().head.getAs[Int]("c_nationkey").toLong
+    assert(row.getAs[Long]("g") == graft.functions.Gcd.compute(6L, nk))
+    assert(row.getAs[Int]("hd") == java.lang.Long.bitCount(6L ^ nk))
+  }
+}
