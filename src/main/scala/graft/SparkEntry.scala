@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Tpch.queries ++ operators.Relational.queries ++
-      operators.FunctionLib.queries ++ operators.NativeOps.queries
+      operators.FunctionLib.queries ++ operators.NativeOps.queries ++
+      operators.Dedup.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names/rounding as
     * the Spark side — SURVEY.md §4). Keys absent here get rows-only checks. */
   def oracleSql: Map[String, String] =
     operators.Tpch.oracle ++ operators.Relational.oracle ++
-      operators.FunctionLib.oracle ++ operators.NativeOps.oracle
+      operators.FunctionLib.oracle ++ operators.NativeOps.oracle ++
+      operators.Dedup.oracle
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Deduplication operators over `documents` (SURVEY.md §2.5) — the
+  * training-data-pipeline layer. Reference analogue: DataFusion's hash
+  * aggregate + arrow-extra hash kernels; the pipeline designs (MinHash/LSH,
+  * SimHash, n-gram Jaccard) follow the published algorithms (Broder 1997;
+  * Charikar 2002) re-expressed as declarative Catalyst plans.
+  *
+  * 100 TB design notes:
+  *  - Everything is expression-level (xxhash64 / transform / aggregate) —
+  *    no UDFs, all codegen'd, embarrassingly parallel per row.
+  *  - Candidate generation is ALWAYS banded/blocked: one shuffle on the
+  *    (band, key) pair, join within buckets. Never a global O(n²) cross.
+  *  - Pair verification shuffles only candidate doc_ids, then joins the
+  *    shingle sets back — at scale the candidate set is ≪ the corpus.
+  *  - Skewed buckets (boilerplate text) are bounded: bucket join keys
+  *    include the band id, and AQE skew-join splits oversized buckets.
+  *
+  * The synthetic corpus has fully distinct texts, so each query plants
+  * deterministic duplicates derived from the corpus itself (keyed off
+  * doc_id, reproducible everywhere) — the operator must then find exactly
+  * those; specs assert recovery + precision.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+
+  /** Exact duplicates planted: every 10th doc re-appears under id+2000000. */
+  def withPlantedExact(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L))
+  }
+
+  /** Near-duplicates planted: every 10th doc re-appears under id+1000000
+    * with its first two words dropped (word-shingle Jaccard ≈ 0.9). */
+  def withPlantedNear(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat_ws(" ", slice(split(col("text"), " "), 3, 1000000))))
+  }
+
+  // ---------------------------------------------------------------- d_exact
+  /** Exact dedup: hash-groupBy on sha2(text). One shuffle on the 256-bit
+    * hash (not the text itself — at 100 TB you shuffle 32 bytes/doc, not
+    * the documents). keep_id = min(doc_id): deterministic survivor. */
+  def dExact(spark: SparkSession, dir: String): DataFrame =
+    withPlantedExact(docs(spark, dir))
+      .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val dExactSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM all_docs GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
+
+  // ----------------------------------------------------- minhash machinery
+  val NumPerms = 128
+  val NumBands = 16
+  val RowsPerBand: Int = NumPerms / NumBands // 8
+
+  /** doc_id, shingles (distinct), minhash signature array<long>[128].
+    * Permutation j is the seeded hash xxhash64(base_hash, j) — wrap-free
+    * (ANSI-safe), independent per j, and pure codegen. */
+  private def signatures(d: DataFrame, shingle: Column): DataFrame = {
+    val withSh = d.withColumn("shingles", array_distinct(shingle))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("bh", transform(col("shingles"), s => xxhash64(s)))
+    val sig = array((0 until NumPerms).map { j =>
+      array_min(transform(col("bh"), h => xxhash64(h, lit(j))))
+    }: _*)
+    withSh.withColumn("sig", sig)
+  }
+
+  /** Word 3-gram shingles. */
+  private def wordShingles: Column =
+    expr("""transform(sequence(0, size(split(text, ' ')) - 3),
+           |  i -> concat_ws(' ', split(text, ' ')[i],
+           |                 split(text, ' ')[i+1], split(text, ' ')[i+2]))""".stripMargin)
+
+  /** Character 5-gram shingles. */
+  private def charShingles: Column =
+    expr("transform(sequence(0, length(text) - 5), i -> substring(text, i + 1, 5))")
+
+  /** LSH banding: explode (band_id, band_hash), self-join per bucket with
+    * doc_a < doc_b, dedup candidate pairs, verify exact shingle Jaccard.
+    * Shuffles: 1 (band explode → bucket join) + 1 (join shingles back). */
+  private def minhashLshPairs(d: DataFrame, shingle: Column, minJaccard: Double): DataFrame = {
+    val sigs = signatures(d, shingle)
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until NumBands).map { b =>
+          xxhash64((0 until RowsPerBand).map(i => col("sig")(b * RowsPerBand + i)): _*)
+        }: _*)).as(Seq("band_id", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- d_minhash
+  /** MinHash(128) + LSH(16×8) near-dup pairs on word 3-shingles, verified
+    * with exact Jaccard ≥ 0.5. Rows-only gate (hash pipeline not portable
+    * to DuckDB SQL); DedupSpec asserts planted-pair recall and precision. */
+  def dMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(withPlantedNear(docs(spark, dir)), wordShingles, 0.5)
+
+  // -------------------------------------------------------- d_ngram_jaccard
+  /** Char-5-gram Jaccard over LSH buckets — the exact-verification pass at
+    * character granularity (robust to word-boundary edits). */
+  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(withPlantedNear(docs(spark, dir)), charShingles, 0.6)
+
+  // -------------------------------------------------------------- d_simhash
+  /** 64-bit SimHash + Hamming ≤ 3 candidates. Blocking: any pair within
+    * Hamming 3 shares at least one of four 16-bit chunks (pigeonhole) →
+    * equi-join per chunk, then the native hamming_distance verifies.
+    * One shuffle on (chunk_id, chunk_value). */
+  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val d = withPlantedNear(docs(spark, dir))
+    val wordHash = transform(split(col("text"), " "), w => xxhash64(w))
+    val bitCols = (0 until 64).map { k =>
+      val contrib = aggregate(col("wh"), lit(0),
+        (acc, h) => acc + when(shiftrightunsigned(h, k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(contrib > 0, lit(1L << k)).otherwise(lit(0L))
+    }
+    val sim = d.withColumn("wh", wordHash)
+      .filter(size(col("wh")) > 0)
+      .withColumn("simhash", bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
+      .select("doc_id", "simhash")
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_id", "chunk_val")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+        col("x.chunk_val") === col("y.chunk_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("hamming_distance(x.simhash, y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------ d_embed_dup
+  /** Embedding-cosine near-dup pairs: block on the 8 sign bits of the first
+    * 8 components (sign-preserving perturbations land in the same bucket),
+    * join within buckets, verify cosine > 0.98 with the native codegen
+    * expression. Planted: every 10th vector re-appears scaled ±5% per
+    * coordinate (cosine ≈ 0.9975, signs preserved). */
+  def dEmbedDup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+          (v, i) => (v * (lit(1.0) + lit(0.05) *
+            when(i % 2 === 0, 1.0).otherwise(-1.0))).cast("float")))
+    val all = emb.union(planted)
+    val bucket = (0 until 8).map(i =>
+      when(element_at(col("embedding"), i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val b = all.withColumn("bucket", bucket)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(expr("cosine_similarity(x.embedding, y.embedding)"), 4).as("cos"))
+      .filter(col("cos") > 0.98)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ----------------------------------------------------------- x_fingerprint
+  /** 64-bit rolling fingerprint: a seeded-hash chain
+    * fp_i = xxhash64(fp_{i-1}, h(w_i)) — order-sensitive (unlike the shingle
+    * sets), wrap-free under ANSI mode, equal iff texts equal w.h.p. */
+  def xFingerprint(spark: SparkSession, dir: String): DataFrame =
+    withPlantedExact(docs(spark, dir))
+      .withColumn("wh", transform(split(col("text"), " "), w => xxhash64(w)))
+      .select(col("doc_id"),
+        aggregate(col("wh"), lit(0L), (acc, h) => xxhash64(acc, h)).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),
+    "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
+    "d_embed_dup" -> (dEmbedDup _), "x_fingerprint" -> (xFingerprint _))
+
+  val oracle: Map[String, String] = Map("d_exact" -> dExactSql)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** §2.5 dedup semantics: planted duplicates must be recovered with high
+  * recall, and reported pairs must be genuinely similar (precision). */
+class DedupSpec extends SparkSpec {
+
+  private def plantedNearPairs: Long =
+    Tables.t(spark, sf, "documents").filter(col("doc_id") % 10 === 0).count()
+
+  test("d_exact groups the planted exact copies and nothing else") {
+    val res = Dedup.dExact(spark, sf)
+    val planted = plantedNearPairs
+    assert(res.filter(col("n_copies") === 2).count() == planted)
+    assert(res.filter(col("n_copies") > 2).count() == 0)
+    // survivor is always the original (min id)
+    assert(res.filter(col("keep_id") >= 2000000L).count() == 0)
+  }
+
+  test("d_minhash recovers planted near-dups with high recall and precision") {
+    val pairs = Dedup.dMinhash(spark, sf).collect()
+    val planted = plantedNearPairs
+    val recovered = pairs.count { r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L
+    }
+    assert(recovered >= (planted * 0.9).toLong,
+      s"recall: $recovered of $planted planted pairs")
+    // precision: every reported pair passed the exact-Jaccard verification
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("d_ngram_jaccard recovers planted near-dups at char granularity") {
+    val pairs = Dedup.dNgramJaccard(spark, sf).collect()
+    val planted = plantedNearPairs
+    val recovered = pairs.count { r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L
+    }
+    assert(recovered >= (planted * 0.8).toLong,
+      s"recall: $recovered of $planted")
+  }
+
+  test("d_simhash finds planted near-dups within hamming<=3") {
+    val pairs = Dedup.dSimhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+    val recovered = pairs.count { r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L
+    }
+    assert(recovered > 0, "no planted pair within hamming<=3")
+  }
+
+  test("d_embed_dup finds exactly the planted perturbed vectors") {
+    val pairs = Dedup.dEmbedDup(spark, sf).collect()
+    val planted = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 0).count()
+    val recovered = pairs.count { r =>
+      r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 1000000L
+    }
+    assert(recovered == planted, s"recall $recovered of $planted")
+    assert(pairs.forall(_.getAs[Double]("cos") > 0.98))
+  }
+
+  test("x_fingerprint: equal texts share fingerprints, distinct texts don't") {
+    val fp = Dedup.xFingerprint(spark, sf)
+    val orig = fp.filter(col("doc_id") < 2000000L)
+      .withColumnRenamed("fingerprint", "fp_o")
+    val copy = fp.filter(col("doc_id") >= 2000000L)
+      .withColumn("doc_id", col("doc_id") - 2000000L)
+      .withColumnRenamed("fingerprint", "fp_c")
+    val joined = orig.join(copy, "doc_id")
+    assert(joined.filter(col("fp_o") =!= col("fp_c")).count() == 0)
+    // no collisions among distinct originals
+    val n = orig.count()
+    assert(orig.select("fp_o").distinct().count() == n)
+  }
+}
