@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** §2.6 ANN semantics at sf0.01 (500 vectors — stable statistics):
+  * brute force is exact; LSH/IVF recall floors AND candidate-fraction
+  * ceilings (an ANN that scans everything would pass recall trivially). */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val brute = Similarity.nBruteTopk(spark, sf01).collect()
+  private lazy val bruteSets: Map[Long, Set[Long]] = brute
+    .groupBy(_.getAs[Long]("qid"))
+    .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vid")).toSet }
+
+  private def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+    val bySets = rows.groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+    val hits = bruteSets.map { case (q, truth) =>
+      bySets.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+    }
+    hits.sum / hits.size
+  }
+
+  test("n_brute_topk: k results per query, cosine non-increasing") {
+    val byQ = brute.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.values.foreach { rows =>
+      assert(rows.length == Similarity.K)
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      val cosSeq = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cosSeq == cosSeq.sorted.reverse, "cos not non-increasing")
+    }
+  }
+
+  test("n_lsh_topk: recall floor and candidate-fraction ceiling") {
+    val n = Tables.t(spark, sf01, "embeddings").count()
+    val candPerQuery = Similarity.lshCandidates(spark, sf01)
+      .groupBy("qid").count().collect().map(_.getAs[Long]("count"))
+    val candFrac = candPerQuery.sum.toDouble / (candPerQuery.length * n)
+    assert(candFrac < 0.30, s"LSH scans too much: $candFrac of corpus")
+    val recall = recallOf(Similarity.nLshTopk(spark, sf01).collect())
+    assert(recall >= 0.15, s"LSH recall $recall < 0.15")
+    assert(recall > candFrac * 1.2,
+      s"LSH no better than random sampling: recall=$recall candfrac=$candFrac")
+  }
+
+  test("n_ivf_topk: recall floor and candidate-fraction ceiling") {
+    val n = Tables.t(spark, sf01, "embeddings").count()
+    val candPerQuery = Similarity.ivfCandidates(spark, sf01)
+      .groupBy("qid").count().collect().map(_.getAs[Long]("count"))
+    val candFrac = candPerQuery.sum.toDouble / (candPerQuery.length * n)
+    assert(candFrac < 0.40, s"IVF scans too much: $candFrac of corpus")
+    val recall = recallOf(Similarity.nIvfTopk(spark, sf01).collect())
+    assert(recall >= 0.6, s"IVF recall $recall < 0.6")
+  }
+
+  test("ivf assignment covers the whole corpus exactly once") {
+    val assigned = Similarity.ivfAssigned(spark, sf01)
+    val n = Tables.t(spark, sf01, "embeddings").count()
+    assert(assigned.count() == n)
+    assert(assigned.select("vec_id").distinct().count() == n)
+    assert(assigned.agg(max("cell")).collect().head.getInt(0) < Similarity.IvfCells)
+  }
+}
