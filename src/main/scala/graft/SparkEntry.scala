@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Tpch.queries ++ operators.Relational.queries ++
       operators.FunctionLib.queries ++ operators.NativeOps.queries ++
-      operators.Dedup.queries ++ operators.Similarity.queries
+      operators.Dedup.queries ++ operators.Similarity.queries ++
+      operators.TextAnalysis.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names/rounding as
     * the Spark side — SURVEY.md §4). Keys absent here get rows-only checks. */
   def oracleSql: Map[String, String] =
     operators.Tpch.oracle ++ operators.Relational.oracle ++
       operators.FunctionLib.oracle ++ operators.NativeOps.oracle ++
-      operators.Dedup.oracle ++ operators.Similarity.oracle
+      operators.Dedup.oracle ++ operators.Similarity.oracle ++
+      operators.TextAnalysis.oracle
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.7): language ID,
+  * quality scoring, token counting, corpus stats — the pre-training data
+  * hygiene layer.
+  *
+  * All metrics are pure Catalyst expressions (split / filter / transform /
+  * aggregate / regexp_count) — codegen'd, embarrassingly parallel, zero
+  * shuffles except the final per-source aggregate in x_docstats. At 100 TB
+  * these run at scan speed; no UDF, no Python.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+
+  // --------------------------------------------------------------- x_langid
+  /** Function-word profiles (top stopwords per language). */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se", "del", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "ist", "des"))
+
+  /** Stopword-hit fraction for one language profile. */
+  private def profileScore(words: Column, profile: Seq[String]): Column =
+    round(size(filter(words, w => array_contains(typedLit(profile), w)))
+      .cast("double") / size(words), 4)
+
+  /** Language-ID scoring. Predicted language = argmax profile score with
+    * 'und' (undetermined) when no profile scores above the floor. Applied to
+    * any (doc_id, text[, lang]) frame — the planted-sentence spec reuses it. */
+  def langidOn(d: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val scored = d.withColumn("words", words)
+      .filter(size(col("words")) > 0)
+    val scoreCols = Profiles.map { case (l, p) => profileScore(col("words"), p).as(s"score_$l") }
+    val best = Profiles.map { case (l, _) =>
+      struct(col(s"score_$l").as("s"), lit(l).as("l"))
+    }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.select(Seq(col("doc_id")) ++ scoreCols: _*)
+      .withColumn("pred_lang",
+        when(best.getField("s") > 0.02, best.getField("l")).otherwise(lit("und")))
+      .orderBy("doc_id")
+  }
+
+  /** Rows-only (heuristic); TextAnalysisSpec plants genuine-language
+    * sentences and asserts correct predictions + determinism. */
+  def xLangid(spark: SparkSession, dir: String): DataFrame =
+    langidOn(docs(spark, dir).select("doc_id", "text"))
+
+  // -------------------------------------------------------------- x_quality
+  /** Quality metrics: length, punctuation ratio, stopword ratio, mean word
+    * length, repetition (1 - type/token ratio), composite score. */
+  def xQuality(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    docs(spark, dir)
+      .withColumn("words", words)
+      .filter(size(col("words")) > 0)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        size(col("words")).as("n_words"),
+        round(aggregate(transform(col("words"), w => length(w)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(col("words")), 4).as("mean_word_len"),
+        round(regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
+          length(col("text")), 4).as("punct_ratio"),
+        round(size(filter(col("words"),
+          w => array_contains(typedLit(Profiles.head._2), w))).cast("double") /
+          size(col("words")), 4).as("stopword_ratio"),
+        round(lit(1.0) - size(array_distinct(col("words"))).cast("double") /
+          size(col("words")), 4).as("repetition"))
+      .orderBy("doc_id")
+  }
+
+  val xQualitySql: String = {
+    val en = Profiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  length(text) AS len,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  round(CAST(list_aggregate(list_transform(string_split(text, ' '),
+       |    w -> length(w)), 'sum') AS DOUBLE)
+       |    / len(string_split(text, ' ')), 4) AS mean_word_len,
+       |  round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+       |    / length(text), 4) AS punct_ratio,
+       |  round(CAST(len(list_filter(string_split(text, ' '),
+       |    w -> list_contains($en, w))) AS DOUBLE)
+       |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       |  round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / len(string_split(text, ' ')), 4) AS repetition
+       |FROM documents
+       |WHERE len(string_split(text, ' ')) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- x_tokcount
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (word pieces +
+    * standalone punctuation), characters. */
+  def xTokcount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).as("re_tokens"),
+        length(col("text")).as("chars"))
+      .orderBy("doc_id")
+
+  val xTokcountSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS re_tokens,
+      |  length(text) AS chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- x_docstats
+  /** Per-source corpus statistics — the single aggregating query of the
+    * family (one partial-aggregated shuffle on `source`). */
+  def xDocstats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        countDistinct("lang").as("n_langs"),
+        round(avg(size(split(col("text"), " "))), 2).as("avg_ws_tokens"))
+      .orderBy("source")
+
+  val xDocstatsSql: String =
+    """SELECT source,
+      |  count(*) AS n_docs,
+      |  sum(n_chars) AS total_chars,
+      |  round(avg(n_chars), 2) AS avg_chars,
+      |  count(DISTINCT lang) AS n_langs,
+      |  round(avg(len(string_split(text, ' '))), 2) AS avg_ws_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_langid" -> (xLangid _), "x_quality" -> (xQuality _),
+    "x_tokcount" -> (xTokcount _), "x_docstats" -> (xDocstats _))
+
+  val oracle: Map[String, String] = Map(
+    "x_quality" -> xQualitySql, "x_tokcount" -> xTokcountSql,
+    "x_docstats" -> xDocstatsSql)
+}
