@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A row of opaque media: payload bytes + typed metadata. */
+case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+    width: Int, height: Int)
+
+/** Decoded per-item features. */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
+    brightness: Double, histogram: Seq[Double])
+
+/** Multimodal column plumbing (SURVEY.md §2.8): image/audio/video handled as
+  * opaque `binary` columns with typed metadata, decoded/feature-extracted in
+  * batched partition-local passes — the Scala analogue of a Pandas-UDF
+  * `mapInPandas` pipeline (same shape: schema in, batches through a
+  * vectorized kernel, schema out; no shuffle, no driver involvement).
+  *
+  * The container has no image/audio codecs, so [[Multimodal.decodeStub]] is a
+  * clearly-marked DETERMINISTIC STUB standing in for e.g. a JPEG decoder: it
+  * consumes the real bytes and emits stable features (checksum, mean byte
+  * value as "brightness", a byte-histogram as the "embedding"). Everything
+  * around it — binary schema, metadata struct, batching, partition
+  * preservation — is the real production plumbing and is spec-verified.
+  *
+  * 100 TB notes: payloads never leave their partition; the decode kernel is
+  * per-batch (amortizing codec init exactly like Arrow batches do); output
+  * rows are small fixed-width features, so the expensive bytes are dropped
+  * before anything downstream shuffles.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** Assemble the media frame: documents' text bytes act as the opaque
+    * payload; metadata derived deterministically from doc_id. */
+  def mediaFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      when(col("doc_id") % 2 === 0, "img/fake-rgb").otherwise("img/fake-gray").as("format"),
+      (lit(64) + pmod(col("doc_id"), lit(448))).cast("int").as("width"),
+      (lit(64) + pmod(col("doc_id") * 7, lit(448))).cast("int").as("height"))
+
+  /** ======== STUB: stands in for a real per-batch media decoder ========
+    * A production build would decode `payload` with an image library here
+    * (one codec init per batch). This stub derives deterministic features
+    * from the raw bytes so the pipeline is fully testable without codecs. */
+  def decodeStub(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val bytes = m.payload
+      var checksum = 1469598103934665603L // FNV-1a over the payload
+      var sum = 0L
+      val hist = new Array[Double](8)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xFF
+        checksum = (checksum ^ b) * 1099511628211L
+        sum += b
+        hist((b >> 5) & 7) += 1.0
+        i += 1
+      }
+      val n = math.max(bytes.length, 1)
+      MediaFeatures(m.doc_id, bytes.length, checksum,
+        sum.toDouble / n, hist.map(_ / n).toSeq)
+    }
+
+  /** The batched partition-local decode pass (mapInPandas-shaped). */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(g => decodeStub(g.toSeq)))
+  }
+
+  /** m_decode_stub: end-to-end media pipeline. Rows-only gate (stub decode
+    * has no SQL oracle); MultimodalSpec verifies determinism, counts,
+    * partition preservation and checksum semantics. */
+  def mDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeAll(mediaFrame(spark, dir).as[MediaRow])
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+        round(col("brightness"), 4).as("brightness"),
+        array_join(transform(col("histogram"), h => round(h, 4)), ",").as("histogram"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_decode_stub" -> (mDecodeStub _))
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Source/sink coverage (SURVEY.md §2.4): CSV and NDJSON round-trips and a
+  * partitioned+sorted parquet sink. Reference surface: DataFusion's
+  * CsvFormat / JsonFormat / ParquetFormat listing-table providers
+  * (/root/reference/datafusion/core/src/datasource/file_format/).
+  *
+  * Round-trip queries materialize under target/ioqueries (inside the repo,
+  * gitignored) and read back through the normal DataSource scan path, so
+  * schema inference, header handling and delimiter options are genuinely
+  * exercised. Oracles compare the round-tripped data to the original table.
+  *
+  * 100 TB note: all three writers shuffle-free (writes stay partition-local);
+  * sink_partitioned demonstrates the layout pattern (partitionBy + in-file
+  * sort) that makes downstream scans prune + merge-sort cheaply.
+  */
+object Sources {
+
+  private def ioDir(name: String): String = {
+    val d = new java.io.File(s"target/ioqueries/$name")
+    d.getParentFile.mkdirs()
+    d.getAbsolutePath
+  }
+
+  // ---------------------------------------------------------------- src_csv
+  /** CSV round-trip of nation (header, explicit delimiter, explicit schema
+    * on read — int/string columns so the text round-trip is lossless). */
+  def srcCsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("nation_csv")
+    Tables.t(spark, dir, "nation")
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("delimiter", "|")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema)
+      .option("header", "true").option("delimiter", "|")
+      .csv(out)
+      .orderBy("n_nationkey")
+  }
+
+  val srcCsvSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  // --------------------------------------------------------------- src_json
+  /** NDJSON round-trip of supplier (doubles survive via full-precision
+    * JSON encoding; values rounded on output for the oracle compare). */
+  def srcJson(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("supplier_json")
+    Tables.t(spark, dir, "supplier")
+      .write.mode(SaveMode.Overwrite).json(out)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))))
+      .json(out)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  val srcJsonSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------- sink_partitioned
+  /** Partitioned (by o_orderstatus) + per-file sorted (sortWithinPartitions
+    * on o_orderdate) parquet sink, read back through partition discovery.
+    * The layout a 100 TB fact table wants: partition pruning on status,
+    * clustered dates inside each file for min/max skipping. */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("orders_part")
+    Tables.t(spark, dir, "orders")
+      .sortWithinPartitions("o_orderdate")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderstatus")
+      .parquet(out)
+    spark.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val sinkPartitionedSql: String =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Exposed for the layout spec. */
+  def partitionedOutPath: String = ioDir("orders_part")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv" -> (srcCsv _), "src_json" -> (srcJson _),
+    "sink_partitioned" -> (sinkPartitioned _))
+
+  val oracle: Map[String, String] = Map(
+    "src_csv" -> srcCsvSql, "src_json" -> srcJsonSql,
+    "sink_partitioned" -> sinkPartitionedSql)
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event (streaming-side mirror of the `events` table). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Buffered per-user state between micro-batches. */
+case class SessionBuffer(events: Seq[(Long, Long, Double)]) // (tsUs, event_id, value)
+
+/** A closed session. */
+case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, session_value: Double)
+
+/** Structured Streaming operators over the events stream (SURVEY.md §2.9).
+  * The driver's gate is batch-only, so these are exercised by StreamingSpec
+  * (file source → memory sink, AvailableNow trigger) and checked for
+  * equivalence against the batch operators (Relational.eTumbling/eSession).
+  *
+  * 100 TB notes: the tumbling aggregate is keyed on (window, event_type) —
+  * state is one row per open window per type, bounded by the 1h watermark.
+  * Sessionization state is per-user buffered events, flushed as sessions
+  * close (gap passed) — the flatMapGroupsWithState pattern that scales to
+  * arbitrary key cardinality because state lives in the state store, not on
+  * the driver.
+  */
+object Streaming {
+
+  val GapUs: Long = 1800L * 1000000L // 30 min, matches Relational.eSession
+
+  /** Full-microsecond epoch (Timestamp.getTime is ms-truncated). */
+  def tsMicros(ts: Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
+  /** Timestamp preserving full microseconds (the ms-only constructor would
+    * silently truncate and break equality joins against batch results). */
+  def microsTs(us: Long): Timestamp = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val t = new Timestamp(sec * 1000L)
+    t.setNanos((us - sec * 1000000L).toInt * 1000)
+    t
+  }
+
+  /** Tumbling 1-hour windowed aggregate with a 1-hour watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sessionization via flatMapGroupsWithState: buffer per-user events,
+    * emit every session whose gap to the next event exceeds GapUs; the final
+    * open session flushes on state timeout (or end-of-stream in tests). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuffer, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, incoming: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          val prior = if (state.exists) state.get.events else Seq.empty
+          val all = (prior ++ incoming.map(e =>
+            (tsMicros(e.ts), e.event_id, e.value))).sortBy(t => (t._1, t._2))
+          if (all.isEmpty) Iterator.empty
+          else {
+            // split on gaps; keep the (possibly still-open) last session
+            val sessions = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, Double)]]()
+            var cur = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](all.head)
+            all.tail.foreach { e =>
+              if (e._1 - cur.last._1 > GapUs) { sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(e) }
+              else cur += e
+            }
+            val (closed, open) =
+              if (state.hasTimedOut) (sessions.toSeq :+ cur.toSeq, Seq.empty)
+              else (sessions.toSeq, cur.toSeq)
+            if (open.isEmpty) state.remove()
+            else { state.update(SessionBuffer(open)); state.setTimeoutDuration("1 hour") }
+            closed.iterator.map { s =>
+              SessionOut(userId,
+                microsTs(s.head._1), microsTs(s.last._1),
+                s.length.toLong, math.round(s.map(_._3).sum * 100.0) / 100.0)
+            }
+          }
+      }
+  }
+
+  /** Batch-mode flush of sessionize semantics (for equivalence testing):
+    * same splitting logic applied with the stream considered ended. */
+  def sessionizeBatch(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
+      val all = it.map(e => (tsMicros(e.ts), e.event_id, e.value))
+        .toSeq.sortBy(t => (t._1, t._2))
+      if (all.isEmpty) Iterator.empty
+      else {
+        val sessions = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, Double)]]()
+        var cur = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](all.head)
+        all.tail.foreach { e =>
+          if (e._1 - cur.last._1 > GapUs) { sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(e) }
+          else cur += e
+        }
+        sessions += cur.toSeq
+        sessions.iterator.map { s =>
+          SessionOut(userId,
+            microsTs(s.head._1), microsTs(s.last._1),
+            s.length.toLong, math.round(s.map(_._3).sum * 100.0) / 100.0)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.streaming.{Event, Streaming}
+import graft.operators.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** §2.9: Structured Streaming operators, file source → memory sink with an
+  * AvailableNow trigger, checked for equivalence with the batch operators. */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val streamDir: String = {
+    val d = Paths.get("target/stream_in")
+    Files.createDirectories(d)
+    Files.copy(Paths.get(s"$sf/events.parquet"), d.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    d.toAbsolutePath.toString
+  }
+
+  /** Stream of events with the same ns→µs ts conversion as Tables.events. */
+  private def eventStream: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop() // no-op if AvailableNow already finished; avoids shutdown races
+  }
+
+  test("st_tumbling_agg matches the batch tumbling aggregate") {
+    runToMemory(Streaming.tumblingAgg(eventStream), "tumbling", "append")
+    val streamed = spark.table("tumbling")
+    val batch = Relational.eTumbling(spark, sf)
+    // append mode emits only watermark-closed windows; every emitted window
+    // must match batch exactly, and most windows must have been emitted
+    val joined = streamed.as("s").join(batch.as("b"),
+      col("s.hour") === col("b.hour") && col("s.event_type") === col("b.event_type"))
+    assert(joined.filter(col("s.n") =!= col("b.n") ||
+      col("s.sum_value") =!= col("b.sum_value")).count() == 0)
+    val emitted = streamed.count()
+    val total = batch.count()
+    assert(emitted >= total - 10, s"only $emitted of $total windows closed")
+  }
+
+  test("st_session_state sessionization matches batch gaps-and-islands") {
+    import spark.implicits._
+    runToMemory(Streaming.sessionize(eventStream.as[Event]).toDF(),
+      "sessions", "append")
+    val streamed = spark.table("sessions")
+    val batch = Relational.eSession(spark, sf)
+    // closed sessions must be a subset of batch sessions with equal stats
+    val joined = streamed.as("s").join(batch.as("b"),
+      col("s.user_id") === col("b.user_id") &&
+      col("s.session_start") === col("b.session_start"))
+    assert(joined.count() == streamed.count(), "streamed session missing from batch")
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
+    // with a single AvailableNow batch the last session per user stays open:
+    val users = streamed.select("user_id").distinct().count()
+    assert(streamed.count() >= batch.count() - users,
+      s"too few closed sessions: ${streamed.count()} vs batch ${batch.count()}")
+  }
+
+  test("sessionizeBatch equals the declarative batch sessionization exactly") {
+    import spark.implicits._
+    val viaState = Streaming.sessionizeBatch(
+      Tables.t(spark, sf, "events").select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]).toDF()
+    val batch = Relational.eSession(spark, sf)
+    assert(viaState.count() == batch.count())
+    val j = viaState.as("s").join(batch.as("b"),
+      col("s.user_id") === col("b.user_id") &&
+      col("s.session_start") === col("b.session_start"))
+    assert(j.count() == batch.count())
+    assert(j.filter(col("s.n_events") =!= col("b.n_events") ||
+      col("s.session_end") =!= col("b.session_end")).count() == 0)
+  }
+}
