@@ -1,23 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark (SURVEY.md §6): headline queries over
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Materialization is a noop-format write — a full computation of every
+  * output row with zero sink cost; `count()` would let Catalyst prune the
+  * plan to whatever feeds a row count and under-measure wide queries. A
+  * one-query warmup amortizes JVM/codegen startup out of the first number.
+  */
 object Bench {
+
+  /** SURVEY §6 headline set: scan-heavy, join-heavy, subquery-heavy TPC-H
+    * plus one of each LLM-pipeline family. */
+  val Headline: Seq[String] = Seq(
+    "q1", "q3", "q5", "q6", "q9", "q18",
+    "d_exact", "d_minhash", "n_brute_topk", "x_quality")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    runOnce("q6") // warmup: session init, codegen compiler, parquet footers
+
+    val results = Headline.map(n => n -> runOnce(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

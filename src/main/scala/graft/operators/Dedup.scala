@@ -70,38 +70,57 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand: Int = NumPerms / NumBands // 8
 
-  /** doc_id, shingles (distinct), minhash signature array<long>[128].
-    * Permutation j is the seeded hash xxhash64(base_hash, j) — wrap-free
-    * (ANSI-safe), independent per j, and pure codegen. */
-  private def signatures(d: DataFrame, shingle: Column): DataFrame = {
-    val withSh = d.withColumn("shingles", array_distinct(shingle))
+  /** (doc_id, shingles): the distinct HASHED shingle set per doc, as
+    * array<long>. Shingles are hashed straight from their parts
+    * (xxhash64(w_i, w_i+1, w_i+2)) — no intermediate concat strings, and
+    * downstream set ops (Jaccard) run over longs. The word array is hoisted
+    * into its own column first — a `split(text)` inside the transform lambda
+    * re-splits per element (O(words²) per doc; profiled 6.5 s of the
+    * original 21 s at sf0.1). */
+  private def shingleSets(d: DataFrame, shingle: Column): DataFrame =
+    d.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3) // sequence(0, n-3) needs n >= 3
+      .withColumn("shingles", array_distinct(shingle))
       .filter(size(col("shingles")) > 0)
-      .withColumn("bh", transform(col("shingles"), s => xxhash64(s)))
-    val sig = array((0 until NumPerms).map { j =>
-      array_min(transform(col("bh"), h => xxhash64(h, lit(j))))
-    }: _*)
-    withSh.withColumn("sig", sig)
-  }
+      .select(col("doc_id"), col("shingles"))
 
-  /** Word 3-gram shingles. */
+  /** Minhash signatures as 128 columns m0..m127: explode the shingle hashes,
+    * then ONE hash-aggregate with 128 min buffers. Permutation j is the
+    * seeded hash xxhash64(shingle_hash, j) — wrap-free (ANSI-safe),
+    * independent per j. Explode + plain aggregates keep the hot loop inside
+    * whole-stage codegen; per-row lambda variants (transform/aggregate) are
+    * CodegenFallback — interpreted with per-element boxing — and profiled
+    * ~50% slower despite avoiding the shuffle. Map-side partial aggregation
+    * collapses each partition to one row per doc before the single shuffle,
+    * so at 100 TB the shuffle is docs × 1 KB of signature, not the exploded
+    * shingles. */
+  private def signatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("shingles")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until NumPerms).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j")): _*)
+
+  /** Hashed word 3-gram shingles (over the hoisted `words` column). */
   private def wordShingles: Column =
-    expr("""transform(sequence(0, size(split(text, ' ')) - 3),
-           |  i -> concat_ws(' ', split(text, ' ')[i],
-           |                 split(text, ' ')[i+1], split(text, ' ')[i+2]))""".stripMargin)
+    expr("""transform(sequence(0, size(words) - 3),
+           |  i -> xxhash64(words[i], words[i+1], words[i+2]))""".stripMargin)
 
-  /** Character 5-gram shingles. */
+  /** Hashed character 5-gram shingles. */
   private def charShingles: Column =
-    expr("transform(sequence(0, length(text) - 5), i -> substring(text, i + 1, 5))")
+    expr("transform(sequence(0, length(text) - 5), i -> xxhash64(substring(text, i + 1, 5)))")
 
   /** LSH banding: explode (band_id, band_hash), self-join per bucket with
     * doc_a < doc_b, dedup candidate pairs, verify exact shingle Jaccard.
     * Shuffles: 1 (band explode → bucket join) + 1 (join shingles back). */
   private def minhashLshPairs(d: DataFrame, shingle: Column, minJaccard: Double): DataFrame = {
-    val sigs = signatures(d, shingle)
-      .select(col("doc_id"), col("shingles"), col("sig"))
-    val bands = sigs.select(col("doc_id"),
+    // the shingle transform is an interpreted higher-order fn and the plan
+    // references sh three times (banding + both verify joins) — persist so
+    // it is computed once (docs × ~2 KB of hashes; MEMORY_AND_DISK spills)
+    val sh = shingleSets(d, shingle)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = signatures(sh).select(col("doc_id"),
         posexplode(array((0 until NumBands).map { b =>
-          xxhash64((0 until RowsPerBand).map(i => col("sig")(b * RowsPerBand + i)): _*)
+          xxhash64((0 until RowsPerBand).map(i => col(s"m${b * RowsPerBand + i}")): _*)
         }: _*)).as(Seq("band_id", "band_hash")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -109,7 +128,6 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = sigs.select(col("doc_id"), col("shingles"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, Tpch}
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape audit (SURVEY.md §5): the properties that make these plans
+  * survive a 100× scale-up, asserted on the executed plan so regressions
+  * (lost pushdown, broadcast falling back to shuffle, extra exchanges) fail
+  * loudly rather than silently degrading.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q1: shipdate filter reaches the parquet scan; schema pruned") {
+    val p = plan(Tpch.q1(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "q1 reads columns it never uses")
+  }
+
+  test("q3: dimension filters pushed; fact joins keyed, not cross") {
+    val p = plan(Tpch.q3(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian join")
+  }
+
+  test("q5: small dims are broadcast, not shuffled") {
+    val p = plan(Tpch.q5(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q6: fully pushed selective scan, single aggregate, no join") {
+    val p = plan(Tpch.q6(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    assert(!p.contains("Join"), "q6 should not join")
+  }
+
+  test("n_brute_topk: query side broadcast; no sort-merge join of the corpus") {
+    val p = plan(Similarity.nBruteTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not be shuffle-joined")
+  }
+
+  test("x_quality: pure narrow pipeline — zero shuffles") {
+    val p = plan(TextAnalysis.xQuality(spark, sf))
+    // the only allowed exchange is the final presentation orderBy
+    assert(countOccurrences(p, "Exchange") <= 1, p)
+  }
+
+  test("d_exact: exactly one aggregation shuffle (plus presentation sort)") {
+    val p = plan(Dedup.dExact(spark, sf))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("e_session: single shuffle on user_id feeds both window passes") {
+    val p = plan(Relational.eSession(spark, sf))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"sessionization should shuffle once on user_id:\n$p")
+  }
+
+  test("whole-stage codegen spans cover the hot paths") {
+    Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
+      TextAnalysis.xTokcount(spark, sf)).foreach { df =>
+      df.collect() // AQE finalizes (and shows codegen stages) only when THIS
+                   // plan executes; count() would execute a different one
+      assert(plan(df).contains("*("), s"no codegen stage in:\n${plan(df)}")
+    }
+  }
+}
