@@ -34,6 +34,9 @@ object GraftFunctions {
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(HammingZeroAsEquality))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HammingZeroAsEquality
   }
 
   // Column-API helpers (the session must have been registered first).
@@ -51,7 +54,8 @@ object GraftFunctions {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => HammingZeroAsEquality)
     Seq[(String, Seq[Expression] => Expression)](
       "cosine_similarity" -> (c => CosineSimilarity(c(0), c(1))),
       "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
@@ -64,4 +68,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         builder))
     }
+  }
 }
