@@ -46,7 +46,15 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     Headline.foreach(n => runOnce(n, warmDir))
 
-    val results = Headline.map(n => n -> runOnce(n, sfDir))
+    // min of two runs: JIT deoptimization storms and GC pauses add seconds
+    // of one-sided noise on a shared JVM; the minimum is the steady state.
+    // clearCache first so operators with internal persist() (minhash family)
+    // are timed cold — measuring their cache hits would flatter them.
+    val results = Headline.map { n =>
+      def cold(): Double = { spark.catalog.clearCache(); runOnce(n, sfDir) }
+      val a = cold(); val b = cold()
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

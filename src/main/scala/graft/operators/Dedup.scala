@@ -70,19 +70,37 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand: Int = NumPerms / NumBands // 8
 
-  /** (doc_id, shingles): the distinct HASHED shingle set per doc, as
-    * array<long>. Shingles are hashed straight from their parts
+  /** (doc_id, shingles): the distinct HASHED word-3-gram shingle set per
+    * doc, as array<long>. Shingles are hashed straight from their parts
     * (xxhash64(w_i, w_i+1, w_i+2)) — no intermediate concat strings, and
     * downstream set ops (Jaccard) run over longs. The word array is hoisted
     * into its own column first — a `split(text)` inside the transform lambda
     * re-splits per element (O(words²) per doc; profiled 6.5 s of the
     * original 21 s at sf0.1). */
-  private def shingleSets(d: DataFrame, shingle: Column): DataFrame =
-    d.withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3) // sequence(0, n-3) needs n >= 3
-      .withColumn("shingles", array_distinct(shingle))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"))
+  private def wordShingleSets(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(w))
+      .withColumn("w2", lead("w", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("h"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("shingles"))
+  }
+
+  /** Char-5-gram shingle sets via explode + collect_set: ~45× more shingles
+    * per doc than word 3-grams, so the interpreted-lambda form dominates the
+    * whole pipeline (profiled 7.6 s at sf0.1); exploding positions keeps the
+    * substring+hash in whole-stage codegen and the collect_set aggregation
+    * dedups map-side. */
+  private def charShingleSets(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - 5)).as("i"))
+      .select(col("doc_id"), expr("xxhash64(substring(text, i + 1, 5))").as("h"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("shingles"))
 
   /** Minhash signatures as 128 columns m0..m127: explode the shingle hashes,
     * then ONE hash-aggregate with 128 min buffers. Permutation j is the
@@ -100,26 +118,14 @@ object Dedup {
       .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
         (1 until NumPerms).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j")): _*)
 
-  /** Hashed word 3-gram shingles (over the hoisted `words` column). */
-  private def wordShingles: Column =
-    expr("""transform(sequence(0, size(words) - 3),
-           |  i -> xxhash64(words[i], words[i+1], words[i+2]))""".stripMargin)
-
-  /** Hashed character 5-gram shingles. substring's O(i) rescan looks
-    * quadratic but measures 10× FASTER than five single-char array reads —
-    * interpreted-lambda overhead is per-argument, so one substring+hash
-    * beats five boxed gets+hash. */
-  private def charShingles: Column =
-    expr("transform(sequence(0, length(text) - 5), i -> xxhash64(substring(text, i + 1, 5)))")
-
   /** LSH banding: explode (band_id, band_hash), self-join per bucket with
     * doc_a < doc_b, dedup candidate pairs, verify exact shingle Jaccard.
     * Shuffles: 1 (band explode → bucket join) + 1 (join shingles back). */
-  private def minhashLshPairs(d: DataFrame, shingle: Column, minJaccard: Double): DataFrame = {
-    // the shingle transform is an interpreted higher-order fn and the plan
-    // references sh three times (banding + both verify joins) — persist so
-    // it is computed once (docs × ~2 KB of hashes; MEMORY_AND_DISK spills)
-    val sh = shingleSets(d, shingle)
+  private def minhashLshPairs(shingleSets: DataFrame, minJaccard: Double): DataFrame = {
+    // the shingle computation feeds three plan branches (banding + both
+    // verify joins) — persist so it is computed once (docs × ~2 KB of
+    // hashes; MEMORY_AND_DISK spills)
+    val sh = shingleSets
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = signatures(sh).select(col("doc_id"),
         posexplode(array((0 until NumBands).map { b =>
@@ -147,13 +153,13 @@ object Dedup {
     * with exact Jaccard ≥ 0.5. Rows-only gate (hash pipeline not portable
     * to DuckDB SQL); DedupSpec asserts planted-pair recall and precision. */
   def dMinhash(spark: SparkSession, dir: String): DataFrame =
-    minhashLshPairs(withPlantedNear(docs(spark, dir)), wordShingles, 0.5)
+    minhashLshPairs(wordShingleSets(withPlantedNear(docs(spark, dir))), 0.5)
 
   // -------------------------------------------------------- d_ngram_jaccard
   /** Char-5-gram Jaccard over LSH buckets — the exact-verification pass at
     * character granularity (robust to word-boundary edits). */
   def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    minhashLshPairs(withPlantedNear(docs(spark, dir)), charShingles, 0.6)
+    minhashLshPairs(charShingleSets(withPlantedNear(docs(spark, dir))), 0.6)
 
   // -------------------------------------------------------------- d_simhash
   /** 64-bit SimHash + Hamming ≤ 3 candidates. Blocking: any pair within
