@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Tpch.queries ++ operators.Relational.queries ++
       operators.FunctionLib.queries ++ operators.NativeOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.TextAnalysis.queries ++ operators.Multimodal.queries ++
+      operators.TextAnalysis.queries ++ operators.ClickBench.queries ++
+      operators.Multimodal.queries ++
       sources.Sources.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names/rounding as
@@ -23,6 +24,7 @@ object SparkEntry {
     operators.Tpch.oracle ++ operators.Relational.oracle ++
       operators.FunctionLib.oracle ++ operators.NativeOps.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
-      operators.TextAnalysis.oracle ++ operators.Multimodal.oracle ++
+      operators.TextAnalysis.oracle ++ operators.ClickBench.oracle ++
+      operators.Multimodal.oracle ++
       sources.Sources.oracle
 }
