@@ -71,6 +71,24 @@ class StreamingSpec extends SparkSpec {
       s"too few closed sessions: ${streamed.count()} vs batch ${batch.count()}")
   }
 
+  test("st_session_state runs on the RocksDB state store (the 100 TB-grade provider)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runToMemory(Streaming.sessionize(eventStream.as[Event]).toDF(),
+        "sessions_rocks", "append")
+      val rocks = spark.table("sessions_rocks").count()
+      assert(rocks > 0, "no sessions emitted under RocksDB state store")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionizeBatch equals the declarative batch sessionization exactly") {
     import spark.implicits._
     val viaState = Streaming.sessionizeBatch(
