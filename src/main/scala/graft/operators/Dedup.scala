@@ -70,14 +70,13 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand: Int = NumPerms / NumBands // 8
 
-  /** (doc_id, shingles): the distinct HASHED word-3-gram shingle set per
-    * doc, as array<long>. Shingles are hashed straight from their parts
-    * (xxhash64(w_i, w_i+1, w_i+2)) — no intermediate concat strings, and
-    * downstream set ops (Jaccard) run over longs. The word array is hoisted
-    * into its own column first — a `split(text)` inside the transform lambda
-    * re-splits per element (O(words²) per doc; profiled 6.5 s of the
-    * original 21 s at sf0.1). */
-  private def wordShingleSets(d: DataFrame): DataFrame = {
+  /** Word-3-gram shingle sets for any (doc_id, text) frame, as
+    * (doc_id, shingles array<long>). Shingles are hashed straight from
+    * their parts via lead(w,1)/lead(w,2) over (doc_id, pos) — fully
+    * codegen'd (a transform-lambda shingler is interpreted and was 2×
+    * slower even after hoisting the split). The window and the collect_set
+    * aggregation share one doc_id shuffle. */
+  def wordShingleSets(d: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
@@ -93,8 +92,8 @@ object Dedup {
     * per doc than word 3-grams, so the interpreted-lambda form dominates the
     * whole pipeline (profiled 7.6 s at sf0.1); exploding positions keeps the
     * substring+hash in whole-stage codegen and the collect_set aggregation
-    * dedups map-side. */
-  private def charShingleSets(d: DataFrame): DataFrame =
+    * dedups map-side. Public API: applies to any (doc_id, text) frame. */
+  def charShingleSets(d: DataFrame): DataFrame =
     d.filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), length(col("text")) - 5)).as("i"))
@@ -120,8 +119,10 @@ object Dedup {
 
   /** LSH banding: explode (band_id, band_hash), self-join per bucket with
     * doc_a < doc_b, dedup candidate pairs, verify exact shingle Jaccard.
-    * Shuffles: 1 (band explode → bucket join) + 1 (join shingles back). */
-  private def minhashLshPairs(shingleSets: DataFrame, minJaccard: Double): DataFrame = {
+    * Shuffles: 1 (band explode → bucket join) + 1 (join shingles back).
+    * Public API: near-duplicate pairs for any (doc_id, shingles) frame
+    * (from [[wordShingleSets]]/[[charShingleSets]] or a custom shingler). */
+  def minhashLshPairs(shingleSets: DataFrame, minJaccard: Double): DataFrame = {
     // the shingle computation feeds three plan branches (banding + both
     // verify joins) — persist so it is computed once (docs × ~2 KB of
     // hashes; MEMORY_AND_DISK spills)

@@ -47,7 +47,8 @@ object Similarity {
   private val cos: Column =
     round(expr("cosine_similarity(embedding, qv)"), 6)
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  /** Public API: per-query top-k of any (qid, vid, cos) scored frame. */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -55,15 +56,17 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Public API: exact cosine top-k of `queries` (qid, qv) against `corpus`
+    * (vec_id, embedding) — the query side is broadcast. */
+  def bruteTopk(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topK(corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"), cos.as("cos")), k)
+
   // ------------------------------------------------------------ n_brute_topk
   /** Exact cosine top-k: the correctness baseline, oracle-checked. */
-  def nBruteTopk(spark: SparkSession, dir: String): DataFrame = {
-    val scored = emb(spark, dir)
-      .crossJoin(broadcast(queriesDf(spark, dir)))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("vid"), cos.as("cos"))
-    topK(scored, K)
-  }
+  def nBruteTopk(spark: SparkSession, dir: String): DataFrame =
+    bruteTopk(emb(spark, dir), queriesDf(spark, dir), K)
 
   val nBruteTopkSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
