@@ -202,12 +202,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sign-bit blocking width for embedding near-dup. Sizing rule: buckets
+    * (2^bits) should scale with corpus size so the within-bucket self-join
+    * stays ~linear — bits ≈ log2(n / desired_bucket_size). 8 bits suits the
+    * test corpora (≤ 5k vectors); a 10^10-vector corpus wants ~24 bits
+    * (use that many leading components, or hyperplane signs past dim 64). */
+  val EmbedBlockBits = 8
+
   // ------------------------------------------------------------ d_embed_dup
-  /** Embedding-cosine near-dup pairs: block on the 8 sign bits of the first
-    * 8 components (sign-preserving perturbations land in the same bucket),
-    * join within buckets, verify cosine > 0.98 with the native codegen
-    * expression. Planted: every 10th vector re-appears scaled ±5% per
-    * coordinate (cosine ≈ 0.9975, signs preserved). */
+  /** Embedding-cosine near-dup pairs: block on the sign bits of the first
+    * EmbedBlockBits components (sign-preserving perturbations land in the
+    * same bucket), join within buckets, verify cosine > 0.98 with the
+    * native codegen expression. Planted: every 10th vector re-appears
+    * scaled ±5% per coordinate (cosine ≈ 0.9975, signs preserved). */
   def dEmbedDup(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
@@ -218,7 +225,7 @@ object Dedup {
           (v, i) => (v * (lit(1.0) + lit(0.05) *
             when(i % 2 === 0, 1.0).otherwise(-1.0))).cast("float")))
     val all = emb.union(planted)
-    val bucket = (0 until 8).map(i =>
+    val bucket = (0 until EmbedBlockBits).map(i =>
       when(element_at(col("embedding"), i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
     val b = all.withColumn("bucket", bucket)

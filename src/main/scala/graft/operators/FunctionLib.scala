@@ -302,6 +302,9 @@ object FunctionLib {
         csv(array_sort(filter(a, x => x > 0))).as("fpos"),
         csv(transform(a, x => x * 2)).as("dbl"),
         aggregate(a, lit(0), (acc, x) => acc + x).as("asum"),
+        array_max(a).as("amax"),
+        array_min(a).as("amin"),
+        csv(transform(a, x => when(x === 0, 99).otherwise(x))).as("repl"),
         round(sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x)), 4).as("l2_dist"))
       .orderBy("vec_id")
@@ -330,6 +333,9 @@ object FunctionLib {
        |  coalesce(array_to_string(list_sort(list_filter(a, x -> x > 0)), ','), '') AS fpos,
        |  coalesce(array_to_string(list_transform(a, x -> x * 2), ','), '') AS dbl,
        |  CAST(list_aggregate(a, 'sum') AS INTEGER) AS asum,
+       |  CAST(list_aggregate(a, 'max') AS INTEGER) AS amax,
+       |  CAST(list_aggregate(a, 'min') AS INTEGER) AS amin,
+       |  coalesce(array_to_string(list_transform(a, x -> CASE WHEN x = 0 THEN 99 ELSE x END), ','), '') AS repl,
        |  round(sqrt(CAST(list_aggregate(list_transform(range(8),
        |    i -> (a[CAST(i AS INTEGER) + 1] - b[CAST(i AS INTEGER) + 1])
        |       * (a[CAST(i AS INTEGER) + 1] - b[CAST(i AS INTEGER) + 1])), 'sum') AS DOUBLE)), 4) AS l2_dist
