@@ -400,6 +400,20 @@ object Relational {
       |GROUP BY band
       |ORDER BY band""".stripMargin
 
+  // ------------------------------------------------------------- EXPLAIN
+  /** EXPLAIN as a query (DataFusion exposes EXPLAIN / EXPLAIN ANALYZE in
+    * SQL; Spark's SQL surface does the same). Rows-only: plan text is
+    * engine-specific by nature. The plan must mention the parquet scan and
+    * the pushed filter — RelationalSpec asserts both. */
+  def explainPlan(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """EXPLAIN FORMATTED
+        |SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
   private def viaSql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
 
@@ -413,7 +427,8 @@ object Relational {
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
     "sub_scalar" -> (subScalar _),
     "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
-    "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql))
+    "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql),
+    "explain_plan" -> (explainPlan _))
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,

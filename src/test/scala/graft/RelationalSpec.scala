@@ -59,6 +59,12 @@ class RelationalSpec extends SparkSpec {
     assert(perNation.filter(col("maxrn") =!= col("n") || col("minrn") =!= 1).count() == 0)
   }
 
+  test("explain_plan surfaces the scan and the pushed filter") {
+    val txt = Relational.explainPlan(spark, sf).collect().map(_.getString(0)).mkString
+    assert(txt.contains("Scan parquet") || txt.contains("FileScan"), txt)
+    assert(txt.contains("l_shipdate"), txt)
+  }
+
   test("set ops: union_all count = sum, intersect subset of both") {
     val a = Relational.queries("s_union_all")(spark, sf).count()
     val i = Relational.sIntersect(spark, sf).count()
