@@ -63,6 +63,16 @@ class PlanAuditSpec extends SparkSpec {
       s"sessionization should shuffle once on user_id:\n$p")
   }
 
+  test("partitioned sink layout enables partition pruning on read") {
+    graft.sources.Sources.sinkPartitioned(spark, sf).collect() // writes layout
+    val df = spark.read.parquet(graft.sources.Sources.partitionedOutPath)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"status filter did not prune partitions:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
