@@ -98,7 +98,20 @@ object Tpch {
 
   // ---------------------------------------------------------------- q4
   /** Order-priority count with EXISTS semi-join (adapted: correlation
-    * predicate l_shipdate > o_orderdate replaces commit/receipt). Ref q4.sql. */
+    * predicate l_shipdate > o_orderdate replaces commit/receipt). The
+    * correlated EXISTS is a left-semi join with a compound (equi + range)
+    * condition — Catalyst extracts the equi part for hashing. Ref q4.sql. */
+  def q4(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(Tables.t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
   val q4Sql: String =
     """SELECT o_orderpriority, count(*) AS order_count
       |FROM orders
@@ -357,7 +370,23 @@ object Tpch {
       |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
 
   // ---------------------------------------------------------------- q15
-  /** Top supplier: CTE + max-of-agg scalar subquery. Ref q15.sql. */
+  /** Top supplier: CTE + max-of-agg scalar subquery. DF form: the revenue
+    * view is one aggregate; the scalar max is a broadcast 1-row cross. */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(rev), 2).as("total_revenue"))
+    val maxRev = revenue.agg(max("total_revenue").as("mx"))
+    Tables.t(spark, dir, "supplier")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   val q15Sql: String =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
@@ -386,7 +415,23 @@ object Tpch {
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
   // ---------------------------------------------------------------- q17
-  /** Small-quantity-order revenue: correlated scalar avg subquery. Ref q17.sql. */
+  /** Small-quantity-order revenue: correlated scalar avg subquery. DF form =
+    * Catalyst's decorrelation written out: per-part averages (semi-pruned to
+    * the brand's parts before aggregating — at 100 TB the aggregate runs on
+    * the 1/brand-count fraction only) joined back. Ref q17.sql. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.t(spark, dir, "part").filter(col("p_brand") === "Brand#3")
+    val li = Tables.t(spark, dir, "lineitem")
+    val halfAvg = li
+      .join(brandParts.select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((avg("l_quantity") * 0.5).as("half_avg"))
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(halfAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
   val q17Sql: String =
     """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
       |FROM lineitem, part
@@ -466,7 +511,22 @@ object Tpch {
 
   // ---------------------------------------------------------------- q22
   /** Global sales opportunity: NOT EXISTS anti-join + scalar avg subquery
-    * (cntrycode from nationkey, no phone column). Ref q22.sql. */
+    * (cntrycode from nationkey, no phone column). DF form: broadcast 1-row
+    * average, left-anti join against recent orders. Ref q22.sql. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(spark, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0.0).agg(avg("c_acctbal").as("ab"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select((col("c_nationkey") % 10).cast("int").as("cntrycode"), col("c_acctbal"))
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   val q22Sql: String =
     """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
       |FROM (SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode, c_acctbal
@@ -479,9 +539,10 @@ object Tpch {
 
   /** DataFrame-API queries (rest run the shared SQL text via [[viaSql]]). */
   private val dfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1" -> (q1 _), "q3" -> (q3 _), "q5" -> (q5 _), "q6" -> (q6 _),
-    "q8" -> (q8 _), "q9" -> (q9 _), "q10" -> (q10 _), "q12" -> (q12 _),
-    "q13" -> (q13 _), "q14" -> (q14 _), "q19" -> (q19 _))
+    "q1" -> (q1 _), "q3" -> (q3 _), "q4" -> (q4 _), "q5" -> (q5 _),
+    "q6" -> (q6 _), "q8" -> (q8 _), "q9" -> (q9 _), "q10" -> (q10 _),
+    "q12" -> (q12 _), "q13" -> (q13 _), "q14" -> (q14 _), "q15" -> (q15 _),
+    "q17" -> (q17 _), "q19" -> (q19 _), "q22" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
     "q1" -> q1Sql, "q2" -> q2Sql, "q3" -> q3Sql, "q4" -> q4Sql,
