@@ -58,11 +58,40 @@ object ClickBench {
       |  round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** JOB/IMDB-shaped query (reference: benchmarks/src/imdb/): a selective
+    * multi-join where predicates sit on several dimensions at once and join
+    * order dominates cost — Catalyst reorders from the filtered sides. */
+  def jobLike(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "part")
+      .filter(col("p_size") < 15 && col("p_type") =!= "PROMO")
+      .join(Tables.t(spark, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .join(Tables.t(spark, dir, "supplier").filter(col("s_acctbal") > 0),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"))
+      .orderBy("n_name")
+
+  val jobLikeSql: String =
+    """SELECT n_name, count(*) AS n,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM part, lineitem, supplier, orders, nation
+      |WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+      |  AND p_size < 15 AND p_type <> 'PROMO'
+      |  AND s_acctbal > 0 AND o_orderpriority = '1-URGENT'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cb_top_users" -> (cbTopUsers _), "cb_uniq_users" -> (cbUniqUsers _),
-    "cb_quantiles" -> (cbQuantiles _))
+    "cb_quantiles" -> (cbQuantiles _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
     "cb_top_users" -> cbTopUsersSql, "cb_uniq_users" -> cbUniqUsersSql,
-    "cb_quantiles" -> cbQuantilesSql)
+    "cb_quantiles" -> cbQuantilesSql, "job_like" -> jobLikeSql)
 }

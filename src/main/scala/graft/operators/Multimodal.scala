@@ -86,8 +86,66 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** ======== STUB: stands in for a real resize kernel ========
+    * Deterministic downsample: every stride-th byte, recomputed checksum.
+    * Target dims derived from the metadata (half resolution). */
+  def resizeStub(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val stride = 2
+      var checksum = 1469598103934665603L
+      var sum = 0L
+      val hist = new Array[Double](8)
+      var i = 0
+      var n = 0
+      while (i < m.payload.length) {
+        val b = m.payload(i) & 0xFF
+        checksum = (checksum ^ b) * 1099511628211L
+        sum += b; hist((b >> 5) & 7) += 1.0; n += 1
+        i += stride
+      }
+      MediaFeatures(m.doc_id, n, checksum,
+        if (n == 0) 0.0 else sum.toDouble / n,
+        hist.map(h => if (n == 0) 0.0 else h / n).toSeq)
+    }
+
+  /** m_resize_stub: the resize pass over the same media frame — payload
+    * shrinks partition-locally BEFORE anything downstream shuffles (the
+    * property that matters at 100 TB: resize early, move less). */
+  def mResizeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFrame(spark, dir).as[MediaRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => resizeStub(g.toSeq)))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes").as("n_sampled"), col("checksum"),
+        round(col("brightness"), 4).as("brightness"))
+      .orderBy("doc_id")
+  }
+
+  /** m_frame_sample: treat the payload as a "video" of fixed-size frames,
+    * keep every 4th frame (temporal subsampling), emit one row per kept
+    * frame with a per-frame checksum. Row-explosion happens AFTER the
+    * payload is cut down — output rows are small fixed-width records. */
+  def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val FrameBytes = 64
+    val EveryNth = 4
+    mediaFrame(spark, dir).as[MediaRow]
+      .mapPartitions(_.flatMap { m =>
+        m.payload.grouped(FrameBytes).zipWithIndex
+          .filter(_._2 % EveryNth == 0)
+          .map { case (frame, idx) =>
+            var checksum = 1469598103934665603L
+            frame.foreach(b => checksum = (checksum ^ (b & 0xFF)) * 1099511628211L)
+            (m.doc_id, idx, frame.length, checksum)
+          }
+      })
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_decode_stub" -> (mDecodeStub _))
+    "m_decode_stub" -> (mDecodeStub _), "m_resize_stub" -> (mResizeStub _),
+    "m_frame_sample" -> (mFrameSample _))
 
   val oracle: Map[String, String] = Map.empty
 }

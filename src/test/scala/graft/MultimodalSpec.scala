@@ -45,6 +45,21 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("checksum") =!= col("checksum2")).count() == 0)
   }
 
+  test("m_resize_stub samples half the bytes; m_frame_sample keeps every 4th frame") {
+    val media = Multimodal.mediaFrame(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload").length).toMap
+    Multimodal.mResizeStub(spark, sf).collect().foreach { r =>
+      val full = media(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("n_sampled") == (full + 1) / 2)
+    }
+    val frames = Multimodal.mFrameSample(spark, sf)
+    frames.collect().groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val expect = (math.ceil(media(id) / 64.0).toInt + 3) / 4
+      assert(rows.length == expect, s"doc $id: ${rows.length} frames, expected $expect")
+      assert(rows.forall(_.getAs[Int]("frame_idx") % 4 == 0))
+    }
+  }
+
   test("histogram is a probability distribution over byte buckets") {
     val rows = Multimodal.mDecodeStub(spark, sf).collect()
     rows.foreach { r =>
