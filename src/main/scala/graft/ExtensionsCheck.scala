@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone check that the production wiring
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`) registers the
+  * native functions and the optimizer rule on a fresh session — the path a
+  * cluster deployment uses (specs can only exercise register(), since the
+  * shared test session exists before any extension conf could apply). */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-check")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val g = spark.sql("SELECT gcd(12L, 8L) AS g, lcm(4L, 6L) AS l, " +
+      "hamming_distance(5L, 3L) AS h, " +
+      "cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").collect().head
+    assert(g.getLong(0) == 4L && g.getLong(1) == 12L && g.getInt(2) == 2 &&
+      math.abs(g.getDouble(3) - 1.0) < 1e-12)
+
+    // optimizer rule fires via extensions: hamming=0 join becomes equi-join
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "h")
+    val joined = df.as("x").join(df.as("y"),
+      org.apache.spark.sql.functions.expr("hamming_distance(x.h, y.h) = 0"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rule did not fire via extensions:\n$plan")
+
+    println("EXTENSIONS-CHECK OK: functions + optimizer rule active via spark.sql.extensions")
+    spark.stop()
+  }
+}
