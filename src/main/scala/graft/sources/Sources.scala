@@ -27,6 +27,23 @@ object Sources {
     d.getAbsolutePath
   }
 
+  // ------------------------------------------------------------ src_parquet
+  /** The canonical parquet scan: selective filter + narrow projection, both
+    * reaching the reader (PushedFilters + pruned ReadSchema — asserted in
+    * PlanAuditSpec for the TPC-H plans; this query is the standalone
+    * demonstration with its own oracle). */
+  def srcParquet(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val srcParquetSql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity
+      |FROM lineitem WHERE l_quantity > 45.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ---------------------------------------------------------------- src_csv
   /** CSV round-trip of nation (header, explicit delimiter, explicit schema
     * on read — int/string columns so the text round-trip is lossless). */
@@ -98,10 +115,10 @@ object Sources {
   def partitionedOutPath: String = ioDir("orders_part")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "src_csv" -> (srcCsv _), "src_json" -> (srcJson _),
-    "sink_partitioned" -> (sinkPartitioned _))
+    "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
+    "src_json" -> (srcJson _), "sink_partitioned" -> (sinkPartitioned _))
 
   val oracle: Map[String, String] = Map(
-    "src_csv" -> srcCsvSql, "src_json" -> srcJsonSql,
-    "sink_partitioned" -> sinkPartitionedSql)
+    "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
+    "src_json" -> srcJsonSql, "sink_partitioned" -> sinkPartitionedSql)
 }
