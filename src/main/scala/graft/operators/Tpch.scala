@@ -60,7 +60,19 @@ object Tpch {
 
   // ---------------------------------------------------------------- q2
   /** Min-cost supplier (adapted: no partsupp → per-nation max-acctbal
-    * supplier via correlated scalar subquery; same plan shape). Ref q2.sql. */
+    * supplier). DF form: the correlated max is a window max over the
+    * nation partition — one shuffle, no rejoin. Ref q2.sql. */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s_nationkey")
+    Tables.t(spark, dir, "supplier")
+      .withColumn("mx", max("s_acctbal").over(w))
+      .filter(col("s_acctbal") === col("mx"))
+      .join(broadcast(Tables.t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"), col("n_name"))
+      .orderBy("n_name", "s_name")
+  }
+
   val q2Sql: String =
     """SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
       |FROM supplier, nation
@@ -170,6 +182,26 @@ object Tpch {
 
   // ---------------------------------------------------------------- q7
   /** Volume shipping between nation pair (anti-symmetric join). Ref q7.sql. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.t(spark, dir, "nation").as("n1")
+    val n2 = Tables.t(spark, dir, "nation").as("n2")
+    Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      .join(Tables.t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.t(spark, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.t(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2.n_nationkey"))
+      .filter((col("n1.n_name") === "NATION_1" && col("n2.n_name") === "NATION_2") ||
+              (col("n1.n_name") === "NATION_2" && col("n2.n_name") === "NATION_1"))
+      .select(col("n1.n_name").as("supp_nation"), col("n2.n_name").as("cust_nation"),
+        year(col("l_shipdate")).as("l_year"), rev.as("volume"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(round(sum("volume"), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val q7Sql: String =
     """SELECT supp_nation, cust_nation, l_year,
       |       round(sum(volume), 2) AS revenue
@@ -289,7 +321,18 @@ object Tpch {
 
   // ---------------------------------------------------------------- q11
   /** Important stock (adapted: supplier revenue share with agg-of-agg scalar
-    * subquery threshold). Ref q11.sql. */
+    * subquery threshold = broadcast 1-row average). Ref q11.sql. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(rev).as("v"))
+    val avgV = perSupp.agg(avg("v").as("av"))
+    perSupp.crossJoin(broadcast(avgV))
+      .filter(col("v") > col("av"))
+      .select(col("s_suppkey"), round(col("v"), 2).as("value"))
+      .orderBy(desc("value"), asc("s_suppkey"))
+  }
+
   val q11Sql: String =
     """SELECT l_suppkey AS s_suppkey,
       |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS value
@@ -403,7 +446,21 @@ object Tpch {
 
   // ---------------------------------------------------------------- q16
   /** Parts/supplier stats: NOT IN subquery + count distinct (adapted:
-    * lineitem replaces partsupp). Ref q16.sql. */
+    * lineitem replaces partsupp). NOT IN over a never-null key is a left
+    * anti join. Ref q16.sql. */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .join(Tables.t(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+          .select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.t(spark, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+                  col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+
   val q16Sql: String =
     """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
       |FROM lineitem, part
@@ -440,7 +497,25 @@ object Tpch {
       |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin
 
   // ---------------------------------------------------------------- q18
-  /** Large-volume customers: IN over grouped HAVING. Ref q18.sql. */
+  /** Large-volume customers: IN over grouped HAVING = semi join against the
+    * big-order aggregate. Ref q18.sql. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.t(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("sq"))
+      .filter(col("sq") > 300).select(col("l_orderkey").as("bigkey"))
+    Tables.t(spark, dir, "customer")
+      .join(Tables.t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("bigkey"), "left_semi")
+      .join(Tables.t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   val q18Sql: String =
     """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
       |  round(o_totalprice, 2) AS o_totalprice, round(sum(l_quantity), 2) AS sum_qty
@@ -472,7 +547,23 @@ object Tpch {
       |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 
   // ---------------------------------------------------------------- q20
-  /** Potential part promotion: nested IN subqueries. Ref q20.sql. */
+  /** Potential part promotion: nested IN subqueries = chained semi joins
+    * (red parts → qualifying suppliers → suppliers). Ref q20.sql. */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.t(spark, dir, "part")
+      .filter(col("p_name").like("%red%")).select("p_partkey")
+    val qualifying = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey").agg(sum("l_quantity").as("sq"))
+      .filter(col("sq") > 100).select("l_suppkey")
+    Tables.t(spark, dir, "supplier")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy("s_name")
+  }
+
   val q20Sql: String =
     """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
       |FROM supplier
@@ -491,6 +582,24 @@ object Tpch {
     * "sole late supplier among multi-supplier finished orders" — which shuffles
     * twice on l_orderkey instead of running correlated quadratic subqueries;
     * at 100 TB this is the only formulation that survives. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.t(spark, dir, "lineitem")
+      .join(Tables.t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), 1)
+        .otherwise(0)).as("late"))
+    val agg = per.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("nsupp"), sum("late").as("nlate"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+    agg.filter(col("nsupp") > 1 && col("nlate") === 1)
+      .join(Tables.t(spark, dir, "supplier"), col("s_suppkey") === col("late_supp"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(100)
+  }
+
   val q21Sql: String =
     """WITH per AS (
       |  SELECT l_orderkey, l_suppkey,
@@ -539,10 +648,12 @@ object Tpch {
 
   /** DataFrame-API queries (rest run the shared SQL text via [[viaSql]]). */
   private val dfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1" -> (q1 _), "q3" -> (q3 _), "q4" -> (q4 _), "q5" -> (q5 _),
-    "q6" -> (q6 _), "q8" -> (q8 _), "q9" -> (q9 _), "q10" -> (q10 _),
-    "q12" -> (q12 _), "q13" -> (q13 _), "q14" -> (q14 _), "q15" -> (q15 _),
-    "q17" -> (q17 _), "q19" -> (q19 _), "q22" -> (q22 _))
+    "q1" -> (q1 _), "q2" -> (q2 _), "q3" -> (q3 _), "q4" -> (q4 _),
+    "q5" -> (q5 _), "q6" -> (q6 _), "q7" -> (q7 _), "q8" -> (q8 _),
+    "q9" -> (q9 _), "q10" -> (q10 _), "q11" -> (q11 _), "q12" -> (q12 _),
+    "q13" -> (q13 _), "q14" -> (q14 _), "q15" -> (q15 _), "q16" -> (q16 _),
+    "q17" -> (q17 _), "q18" -> (q18 _), "q19" -> (q19 _), "q20" -> (q20 _),
+    "q21" -> (q21 _), "q22" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
     "q1" -> q1Sql, "q2" -> q2Sql, "q3" -> q3Sql, "q4" -> q4Sql,
