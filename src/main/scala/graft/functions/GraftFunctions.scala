@@ -24,15 +24,19 @@ object GraftFunctions {
     "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
     "gcd" -> (c => Gcd(c(0), c(1))),
     "lcm" -> (c => Lcm(c(0), c(1))),
-    "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))))
+    "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))),
+    "rolling_fingerprint" -> (c => RollingFingerprint(c(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     fns.foreach { case (name, builder) =>
-      registry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.GraftFunctions", name),
-        builder)
+      // idempotent: operators call register() defensively; re-registering an
+      // existing name triggers a "function replaced" WARN per call site.
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.registerFunction(
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.GraftFunctions", name),
+          builder)
     }
     if (!spark.experimental.extraOptimizations.contains(HammingZeroAsEquality))
       spark.experimental.extraOptimizations =
@@ -61,7 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
       "gcd" -> (c => Gcd(c(0), c(1))),
       "lcm" -> (c => Lcm(c(0), c(1))),
-      "date_bin_us" -> (c => DateBin(c(0), c(1), c(2)))
+      "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))),
+      "rolling_fingerprint" -> (c => RollingFingerprint(c(0)))
     ).foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

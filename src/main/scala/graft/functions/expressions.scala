@@ -142,9 +142,18 @@ case class Lcm(left: Expression, right: Expression)
 }
 
 object Lcm {
+  /** Errors on Long overflow (incl. abs(Long.MinValue)) instead of silently
+    * wrapping — mirrors the reference's explicit lcm overflow error
+    * (datafusion/functions/src/math/lcm.rs). */
   def compute(a: Long, b: Long): Long =
     if (a == 0 || b == 0) 0L
-    else math.abs(a / Gcd.compute(a, b) * b)
+    else {
+      val g = Gcd.compute(a, b)
+      val r = Math.multiplyExact(a / g, b) // throws ArithmeticException
+      if (r == Long.MinValue)
+        throw new ArithmeticException(s"lcm($a, $b) overflows BIGINT")
+      math.abs(r)
+    }
 }
 
 /** Origin-aligned time binning: floor((ts - origin) / width) * width + origin,
@@ -168,18 +177,74 @@ case class DateBin(widthUs: Expression, ts: Expression, originTs: Expression)
   override def dataType: DataType = TimestampType
   override def prettyName: String = "date_bin_us"
 
-  override protected def nullSafeEval(w: Any, t: Any, o: Any): Any = {
-    val width = w.asInstanceOf[Long]
-    val tUs = t.asInstanceOf[Long]
-    val oUs = o.asInstanceOf[Long]
-    Math.floorDiv(tUs - oUs, width) * width + oUs
-  }
+  override protected def nullSafeEval(w: Any, t: Any, o: Any): Any =
+    DateBin.compute(w.asInstanceOf[Long], t.asInstanceOf[Long], o.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (w, t, o) =>
-      s"${ev.value} = Math.floorDiv($t - $o, $w) * $w + $o;")
+      s"${ev.value} = graft.functions.DateBin.compute($w, $t, $o);")
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(widthUs = f, ts = s, originTs = t)
+}
+
+object DateBin {
+  /** Rejects non-positive widths explicitly (the reference's date_bin errors
+    * on "stride must be positive"; floorDiv would otherwise surface an
+    * opaque ArithmeticException or, for negative widths, wrong bins). */
+  def compute(widthUs: Long, tUs: Long, oUs: Long): Long = {
+    if (widthUs <= 0)
+      throw new IllegalArgumentException(
+        s"date_bin_us: bin width must be positive, got $widthUs")
+    Math.floorDiv(tUs - oUs, widthUs) * widthUs + oUs
+  }
+}
+
+/** 64-bit order-sensitive rolling fingerprint of whitespace-split words:
+  * fp_i = xxh64(bytes(w_i), seed = fp_{i-1}), fp_0 = 0. Replaces the round-1
+  * transform+aggregate HOF chain, which ran interpreted (CodegenFallback) and
+  * boxed per element; this is one static-call codegen'd loop over the
+  * string's UTF-8 bytes with zero allocation (no split array is ever
+  * materialized). Equal texts collide w.h.p. only when equal — the document
+  * fingerprint of SURVEY §2.7. */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint needs a string arg, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override protected def nullSafeEval(s: Any): Any =
+    RollingFingerprint.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingFingerprint.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RollingFingerprint {
+  /** Chain over words (split on single space, like `split(text, ' ')` —
+    * consecutive spaces yield empty words, hashed like any other). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var fp = 0L
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        fp = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          i - start, fp)
+        start = i + 1
+      }
+      i += 1
+    }
+    fp
+  }
 }

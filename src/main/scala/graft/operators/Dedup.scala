@@ -239,14 +239,19 @@ object Dedup {
 
   // ----------------------------------------------------------- x_fingerprint
   /** 64-bit rolling fingerprint: a seeded-hash chain
-    * fp_i = xxhash64(fp_{i-1}, h(w_i)) — order-sensitive (unlike the shingle
-    * sets), wrap-free under ANSI mode, equal iff texts equal w.h.p. */
-  def xFingerprint(spark: SparkSession, dir: String): DataFrame =
+    * fp_i = xxh64(w_i, seed = fp_{i-1}) — order-sensitive (unlike the shingle
+    * sets), wrap-free under ANSI mode, equal iff texts equal w.h.p.
+    * Native `RollingFingerprint` expression: round 1 built the chain from
+    * transform+aggregate HOFs, which are CodegenFallback (interpreted, boxed
+    * per word) — the one hot path that dodged codegen. Now one generated
+    * static call per row, zero allocation. */
+  def xFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     withPlantedExact(docs(spark, dir))
-      .withColumn("wh", transform(split(col("text"), " "), w => xxhash64(w)))
       .select(col("doc_id"),
-        aggregate(col("wh"), lit(0L), (acc, h) => xxhash64(acc, h)).as("fingerprint"))
+        expr("rolling_fingerprint(text)").as("fingerprint"))
       .orderBy("doc_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),

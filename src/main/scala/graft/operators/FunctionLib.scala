@@ -142,7 +142,7 @@ object FunctionLib {
       |  round(sqrt(p_size), 6) AS sq,
       |  abs(p_size - 25) AS ab,
       |  CAST(sign(p_size - 25) AS DOUBLE) AS sg,
-      |  ceil(p_retailprice / 100.0) AS cl,
+      |  CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS cl,
       |  CAST(factorial(p_size % 10) AS BIGINT) AS fact,
       |  round(cot(CAST(p_size AS DOUBLE)), 6) AS ctn,
       |  round(degrees(radians(p_size)), 6) AS dg,
@@ -184,7 +184,8 @@ object FunctionLib {
       |  CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
       |  CAST(extract(day FROM o_orderdate) AS INTEGER) AS dy,
       |  make_timestamp(epoch_us(o_orderdate)
-      |    - ((epoch_us(o_orderdate) - 788918400000000) % 864000000000)) AS bin10d,
+      |    - ((((epoch_us(o_orderdate) - 788918400000000) % 864000000000)
+      |        + 864000000000) % 864000000000)) AS bin10d,
       |  CAST(o_orderdate AS DATE) AS od,
       |  make_date(CAST(extract(year FROM o_orderdate) AS INTEGER),
       |            CAST(extract(month FROM o_orderdate) AS INTEGER), 1) AS md,
@@ -522,6 +523,10 @@ object FunctionLib {
         approx_count_distinct(col("o_custkey"), 0.01).as("acd_cust"),
         round(expr("approx_percentile(o_totalprice, 0.5)"), 2).as("ap50"),
         round(expr("approx_percentile(o_totalprice, 0.95)"), 2).as("ap95"),
+        // approx_median (reference: functions-aggregate/src/approx_median.rs)
+        // = the 0.5-quantile sketch; FunctionLibSpec bounds its error vs
+        // exact median alongside the other sketches.
+        round(expr("approx_percentile(o_totalprice, 0.5)"), 2).as("amed"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 

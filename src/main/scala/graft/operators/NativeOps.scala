@@ -44,7 +44,8 @@ object NativeOps {
 
   val fDateBinSql: String =
     """SELECT make_timestamp(epoch_us(o_orderdate)
-      |         - ((epoch_us(o_orderdate) - 788918400000000) % 864000000000)) AS bin,
+      |         - ((((epoch_us(o_orderdate) - 788918400000000) % 864000000000)
+      |             + 864000000000) % 864000000000)) AS bin,
       |       count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
 

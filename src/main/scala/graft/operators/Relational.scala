@@ -271,6 +271,28 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** RANGE frames (value-based, not row-count-based) — the time-series
+    * "everything in the last hour" window. Reference supports ROWS/RANGE/
+    * GROUPS (datafusion/expr/src/window_frame.rs:161); Spark has ROWS and
+    * RANGE natively. GROUPS frames are a documented engine gap: Spark 4.1
+    * has no GROUPS frame unit (SURVEY §2.3).
+    *
+    * Shared SQL text — interval-bounded RANGE parses identically in Spark
+    * and DuckDB. Peer rows (equal ts) are all included regardless of
+    * physical order, so the frame aggregates are deterministic without a
+    * tiebreak in the ORDER BY. */
+  val wRangeSql: String =
+    """SELECT user_id, event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) AS sum_1h,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+      |              AND INTERVAL 30 MINUTE FOLLOWING) AS n_centered
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------- unnest / table functions
   /** UNNEST with ordinality (posexplode) of the embedding array. Generates
     * rows per element without any shuffle — pure narrow transform. */
@@ -363,8 +385,8 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM marked)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       min(ts) AS session_start, max(ts) AS session_end,
@@ -400,6 +422,21 @@ object Relational {
       |GROUP BY band
       |ORDER BY band""".stripMargin
 
+  /** WITH RECURSIVE (reference: datafusion/sql/src/cte.rs:50
+    * `recursive_cte`). Spark 4.x executes recursive CTEs natively
+    * (UnionLoop); the same text runs in DuckDB. Integer series + running
+    * product — exercises both the recursive self-reference and an
+    * accumulator carried across iterations. */
+  val cteRecursiveSql: String =
+    """WITH RECURSIVE seq(n, fib_a, fib_b) AS (
+      |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT n + 1, fib_b, fib_a + fib_b FROM seq WHERE n < 40
+      |)
+      |SELECT n, fib_a AS fib, n * n AS sq
+      |FROM seq
+      |ORDER BY n""".stripMargin
+
   // ------------------------------------------------------------- EXPLAIN
   /** EXPLAIN as a query (DataFusion exposes EXPLAIN / EXPLAIN ANALYZE in
     * SQL; Spark's SQL surface does the same). Rows-only: plan text is
@@ -414,6 +451,67 @@ object Relational {
         |GROUP BY l_returnflag""".stripMargin)
   }
 
+  /** EXPLAIN ANALYZE (reference: datafusion/physical-plan/src/analyze.rs:42
+    * AnalyzeExec — run the query, report per-operator runtime metrics). Spark
+    * analogue: materialize, then walk the executed plan's SQLMetrics. Emits
+    * one row per (operator, metric) with the measured value — rows-only by
+    * nature (timings are nondeterministic); RelationalSpec asserts the scan
+    * and aggregate operators report positive numOutputRows. */
+  def explainAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+    // execute THIS queryExecution (a sink write would plan a separate
+    // execution and leave these metric objects untouched); the result is a
+    // 3-row aggregate so materializing on the driver is not a hot path
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def collectMetrics(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[(String, String, Long)] =
+      p.metrics.toSeq.map { case (name, m) =>
+        (p.nodeName, name, m.value)
+      } ++ p.children.flatMap(collectMetrics) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectMetrics(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectMetrics(q.plan)
+        case _ => Seq.empty
+      })
+    collectMetrics(plan).toDF("operator", "metric", "value")
+      .orderBy("operator", "metric", "value")
+  }
+
+  /** Catalog DDL surface (reference: CREATE EXTERNAL TABLE + catalog in
+    * datafusion/sql/src/statement.rs, datafusion/catalog/): CTAS into the
+    * session catalog (`CREATE TABLE ... USING parquet`), then query the
+    * managed table back. The oracle reads the source table directly, so the
+    * whole create→catalog-resolve→scan round trip is hash-checked. DESCRIBE
+    * TABLE / SHOW TABLES are spec-asserted (RelationalSpec). */
+  def ddlTable(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS graft_nation")
+    // a stale warehouse dir from a previous JVM's unregistered table would
+    // fail the CTAS with LOCATION_ALREADY_EXISTS — clear it first
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new java.io.File(
+      if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath,
+      "graft_nation")
+    if (loc.exists()) {
+      loc.listFiles().foreach(_.delete()); loc.delete()
+    }
+    spark.sql("CREATE TABLE graft_nation USING PARQUET AS SELECT * FROM nation")
+    spark.sql(
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |       min(n_name) AS first_name
+        |FROM graft_nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
+  val ddlTableSql: String =
+    """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   private def viaSql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
 
@@ -424,11 +522,14 @@ object Relational {
     "s_union_all" -> (sUnionAll _), "s_intersect" -> (sIntersect _),
     "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
+    "w_range" -> viaSql(wRangeSql),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
     "sub_scalar" -> (subScalar _),
     "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
     "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql),
-    "explain_plan" -> (explainPlan _))
+    "cte_recursive" -> viaSql(cteRecursiveSql),
+    "explain_plan" -> (explainPlan _), "explain_analyze" -> (explainAnalyze _),
+    "ddl_table" -> (ddlTable _))
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
@@ -437,8 +538,10 @@ object Relational {
     "s_union_all" -> sUnionAllSql, "s_intersect" -> sIntersectSql,
     "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
+    "w_range" -> wRangeSql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
     "sub_scalar" -> subScalarSql,
     "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
-    "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql)
+    "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql,
+    "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql)
 }

@@ -47,13 +47,58 @@ object Similarity {
   private val cos: Column =
     round(expr("cosine_similarity(embedding, qv)"), 6)
 
-  /** Public API: per-query top-k of any (qid, vid, cos) scored frame. */
+  /** Public API: per-query top-k of any (qid, vid, cos) scored frame.
+    *
+    * Two-phase, like the reference's dedicated TopK operator
+    * (datafusion/physical-plan/src/topk/mod.rs): phase 1 is a shuffle-free
+    * per-partition bounded heap (≤ k rows per qid survive each input
+    * partition), phase 2 the per-qid row_number window over the survivors.
+    * The window's input is therefore ≤ k × inputPartitions rows per qid —
+    * never O(corpus) — so no single task ever holds one query's full
+    * candidate set, at any corpus scale. */
   def topK(scored: DataFrame, k: Int): DataFrame = {
+    val local = localTopK(
+      scored.select(col("qid"), col("vid"), col("cos")), k)
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vid"))
-    scored.withColumn("rn", row_number().over(w))
+    local.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vid"), col("cos"), col("rn"))
       .orderBy("qid", "rn")
+  }
+
+  /** Phase 1 of topK: per-partition top-k per qid with a bounded heap —
+    * O(k) state per (partition, qid), zero shuffle. mapPartitions is the
+    * honest tool here: "keep k and discard the rest as you stream" is
+    * imperative per-partition state Catalyst can't express without first
+    * shuffling everything (a groupBy/window would move the full scored set). */
+  private[graft] def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // worst element at heap head: lowest cos, then highest vid
+    val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+    scored
+      .select(col("qid").cast("long"), col("vid").cast("long"),
+        col("cos").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (qid, vid, cosv) =>
+          val pq = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (pq.size < k) pq.enqueue((cosv, vid))
+          else {
+            val (wc, wv) = pq.head
+            if (cosv > wc || (cosv == wc && vid < wv)) {
+              pq.dequeue(); pq.enqueue((cosv, vid))
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, pq) =>
+          pq.iterator.map { case (cosv, vid) => (qid, vid, cosv) }
+        }
+      }
+      .toDF("qid", "vid", "cos")
   }
 
   /** Public API: exact cosine top-k of `queries` (qid, qv) against `corpus`
@@ -154,21 +199,22 @@ object Similarity {
       .select(col("cell"),
         transform(array_sort(col("dims")), d => d.getField("m").cast("float")).as("cv"))
 
-  /** Sample centroids → assign → one Lloyd refinement → final assignment. */
-  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(spark, dir)
-    val refined = refine(assignTo(corpus, centroids(spark, dir)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assignTo(corpus, refined)
-  }
-
-  /** The refined coarse quantizer (for query-side probing). */
-  private[graft] def refinedCentroids(spark: SparkSession, dir: String): DataFrame =
+  /** Sample centroids → one Lloyd refinement. The refined quantizer is
+    * persisted and returned as ONE DataFrame so corpus assignment and
+    * query-side probing share the same materialization explicitly (round-1
+    * review: the old split accessors relied on CacheManager canonical-plan
+    * matching to avoid recomputing the refinement). */
+  private[graft] def ivfQuantizer(spark: SparkSession, dir: String): DataFrame =
     refine(assignTo(emb(spark, dir), centroids(spark, dir)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Sample centroids → assign → one Lloyd refinement → final assignment. */
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
+    assignTo(emb(spark, dir), ivfQuantizer(spark, dir))
 
   private[graft] def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssigned(spark, dir)
-    val c = refinedCentroids(spark, dir)
+    val c = ivfQuantizer(spark, dir)
+    val assigned = assignTo(emb(spark, dir), c)
     val w = Window.partitionBy("qid").orderBy(desc("qcos"), asc("cell"))
     val probes = queriesDf(spark, dir).crossJoin(broadcast(c))
       .select(col("qid"), col("qv"), col("cell"),

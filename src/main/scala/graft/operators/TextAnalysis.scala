@@ -132,7 +132,7 @@ object TextAnalysis {
   val xDocstatsSql: String =
     """SELECT source,
       |  count(*) AS n_docs,
-      |  sum(n_chars) AS total_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  round(avg(n_chars), 2) AS avg_chars,
       |  count(DISTINCT lang) AS n_langs,
       |  round(avg(len(string_split(text, ' '))), 2) AS avg_ws_tokens

@@ -56,12 +56,17 @@ object Streaming {
 
   /** Sessionization via flatMapGroupsWithState: buffer per-user events,
     * emit every session whose gap to the next event exceeds GapUs; the final
-    * open session flushes on state timeout (or end-of-stream in tests). */
+    * open session flushes on EVENT-time timeout — when the watermark passes
+    * last-buffered-event + gap — so emission is deterministic w.r.t. the
+    * event stream, not the wall clock (round-1 review: ProcessingTimeTimeout
+    * made final-session flush timing nondeterministic in production). */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuffer, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, incoming: Iterator[Event], state: GroupState[SessionBuffer]) =>
           val prior = if (state.exists) state.get.events else Seq.empty
           val all = (prior ++ incoming.map(e =>
@@ -79,7 +84,15 @@ object Streaming {
               if (state.hasTimedOut) (sessions.toSeq :+ cur.toSeq, Seq.empty)
               else (sessions.toSeq, cur.toSeq)
             if (open.isEmpty) state.remove()
-            else { state.update(SessionBuffer(open)); state.setTimeoutDuration("1 hour") }
+            else {
+              state.update(SessionBuffer(open))
+              // fire when the watermark passes the session gap after the last
+              // buffered event (ms granularity; must stay above the current
+              // watermark or Spark rejects the timestamp)
+              val fireMs = Math.floorDiv(open.last._1, 1000L) + GapUs / 1000L
+              state.setTimeoutTimestamp(
+                math.max(fireMs, state.getCurrentWatermarkMs() + 1))
+            }
             closed.iterator.map { s =>
               SessionOut(userId,
                 microsTs(s.head._1), microsTs(s.last._1),

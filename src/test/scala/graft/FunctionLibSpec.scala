@@ -63,6 +63,9 @@ class FunctionLibSpec extends SparkSpec {
       val p50Approx = a.getAs[Double]("ap50")
       assert(math.abs(p50Approx - p50Exact) / p50Exact < 0.05,
         s"approx_percentile err ${p50Approx} vs ${p50Exact}")
+      val amed = a.getAs[Double]("amed")
+      assert(math.abs(amed - p50Exact) / p50Exact < 0.05,
+        s"approx_median err ${amed} vs exact median ${p50Exact}")
     }
   }
 

@@ -22,6 +22,30 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(one("gcd(CAST(NULL AS BIGINT), 3L)").isNullAt(0))
   }
 
+  test("lcm overflow raises an explicit error instead of wrapping") {
+    // 2^40 and 3·2^40 are fine; two coprime ~2^40 values overflow
+    assert(one("lcm(1099511627776L, 3298534883328L)").getLong(0) == 3298534883328L)
+    val e = intercept[Exception](one("lcm(1099511627777L, 1099511627779L)"))
+    assert(e.getMessage != null)
+  }
+
+  test("date_bin_us rejects non-positive widths with a clear message") {
+    val e = intercept[Exception](
+      one("date_bin_us(0L, TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1995-01-01 00:00:00')"))
+    assert(e.getMessage.contains("positive") ||
+      e.getCause != null && e.getCause.getMessage.contains("positive"), e.getMessage)
+  }
+
+  test("rolling_fingerprint: equal strings equal, order-sensitive, null-safe") {
+    assert(one("rolling_fingerprint('a b c')").getLong(0) ==
+      one("rolling_fingerprint('a b c')").getLong(0))
+    assert(one("rolling_fingerprint('a b c')").getLong(0) !=
+      one("rolling_fingerprint('c b a')").getLong(0))
+    assert(one("rolling_fingerprint('ab c')").getLong(0) !=
+      one("rolling_fingerprint('a bc')").getLong(0))
+    assert(one("rolling_fingerprint(CAST(NULL AS STRING))").isNullAt(0))
+  }
+
   test("hamming_distance identity, symmetry, known value") {
     assert(one("hamming_distance(5L, 5L)").getInt(0) == 0)
     assert(one("hamming_distance(0L, -1L)").getInt(0) == 64)

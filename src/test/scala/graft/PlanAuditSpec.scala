@@ -73,6 +73,40 @@ class PlanAuditSpec extends SparkSpec {
       s"status filter did not prune partitions:\n$p")
   }
 
+  test("topK phase 1 bounds the final window's input to k rows per qid per partition") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    graft.functions.GraftFunctions.register(spark)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id").as("vid"),
+        expr("cosine_similarity(embedding, qv)").as("cos"))
+    val inputParts = scored.rdd.getNumPartitions
+    val local = Similarity.localTopK(scored, 10)
+    val maxPerQid = local.groupBy("qid").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerQid <= 10L * inputParts,
+      s"phase-1 output $maxPerQid rows for one qid > k × $inputParts partitions")
+    // and phase 1 loses nothing: two-phase equals single-window top-k
+    val twoPhase = Similarity.topK(scored, 10).select("qid", "vid").collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos"), asc("vid"))
+    val oneWindow = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("qid", "vid").collect().toSet
+    assert(twoPhase == oneWindow, "two-phase top-k diverges from single-window top-k")
+  }
+
+  test("x_fingerprint runs codegen'd — native expression, no HOF fallback") {
+    val df = Dedup.xFingerprint(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("rolling_fingerprint"), p)
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"fingerprint still uses interpreted HOF lambdas:\n$p")
+    assert(p.contains("*("), s"no codegen stage in:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>

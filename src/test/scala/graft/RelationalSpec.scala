@@ -71,4 +71,46 @@ class RelationalSpec extends SparkSpec {
     val e = Relational.sExcept(spark, sf).count()
     assert(a > 0 && i >= 0 && e >= 0)
   }
+
+  test("w_range 1-hour frame counts match an explicit range self-join") {
+    val df = Relational.queries("w_range")(spark, sf)
+    val ev = Tables.t(spark, sf, "events").select("user_id", "event_id", "ts")
+    // independent formulation: n_1h = #events of same user in [ts-1h, ts]
+    val expected = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("b.ts") >= col("a.ts") - expr("INTERVAL 1 HOUR") &&
+        col("b.ts") <= col("a.ts"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_expected"))
+    val bad = df.join(expected, "event_id")
+      .filter(col("n_1h") =!= col("n_expected")).count()
+    assert(bad == 0, s"$bad rows where RANGE frame count != self-join count")
+  }
+
+  test("cte_recursive computes 40 fibonacci rows with the right tail") {
+    val rows = Relational.queries("cte_recursive")(spark, sf)
+      .orderBy("n").collect()
+    assert(rows.length == 40)
+    assert(rows.last.getLong(0) == 40L)
+    assert(rows.last.getLong(1) == 63245986L, "fib(40) wrong")
+  }
+
+  test("explain_analyze reports positive numOutputRows runtime metrics") {
+    val m = Relational.explainAnalyze(spark, sf)
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    val outRows = rows.filter(r => r.getString(1) == "numOutputRows")
+    assert(outRows.nonEmpty, "no numOutputRows metric in executed plan")
+    assert(outRows.exists(_.getLong(2) > 0), "all numOutputRows metrics are zero")
+  }
+
+  test("ddl_table CTAS is idempotent; DESCRIBE and SHOW TABLES see the table") {
+    Relational.ddlTable(spark, sf).collect()
+    val again = Relational.ddlTable(spark, sf) // re-run must not fail
+    assert(again.count() > 0)
+    val desc = spark.sql("DESCRIBE TABLE graft_nation").collect()
+    assert(desc.map(_.getString(0)).contains("n_name"), desc.mkString("\n"))
+    assert(spark.sql("SHOW TABLES").collect()
+      .exists(_.getString(1) == "graft_nation"))
+  }
 }
