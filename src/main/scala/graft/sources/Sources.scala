@@ -89,6 +89,29 @@ object Sources {
     """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------- src_avro
+  /** Avro round-trip of orders through the from-scratch DSv2 provider
+    * (graft.sources.avro.AvroDataSource — the image has no spark-avro jar,
+    * so the format itself is part of this engine; see AvroSource.scala).
+    * Exercises write (one deflate container file per task), read (one
+    * partition per file), schema inference incl. timestamp-micros, and
+    * decode-level column pruning. Oracle reads the same rows from parquet. */
+  def srcAvro(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("orders_avro")
+    Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode(SaveMode.Overwrite).format("graft-avro").save(out)
+    spark.read.format("graft-avro").load(out)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  val srcAvroSql: String =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+      |       o_orderdate
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------- sink_partitioned
   /** Partitioned (by o_orderstatus) + per-file sorted (sortWithinPartitions
     * on o_orderdate) parquet sink, read back through partition discovery.
@@ -116,9 +139,11 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
-    "src_json" -> (srcJson _), "sink_partitioned" -> (sinkPartitioned _))
+    "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
+    "sink_partitioned" -> (sinkPartitioned _))
 
   val oracle: Map[String, String] = Map(
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
-    "src_json" -> srcJsonSql, "sink_partitioned" -> sinkPartitionedSql)
+    "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,
+    "sink_partitioned" -> sinkPartitionedSql)
 }
