@@ -25,7 +25,8 @@ object GraftFunctions {
     "gcd" -> (c => Gcd(c(0), c(1))),
     "lcm" -> (c => Lcm(c(0), c(1))),
     "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))),
-    "rolling_fingerprint" -> (c => RollingFingerprint(c(0))))
+    "rolling_fingerprint" -> (c => RollingFingerprint(c(0))),
+    "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -66,7 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "gcd" -> (c => Gcd(c(0), c(1))),
       "lcm" -> (c => Lcm(c(0), c(1))),
       "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))),
-      "rolling_fingerprint" -> (c => RollingFingerprint(c(0)))
+      "rolling_fingerprint" -> (c => RollingFingerprint(c(0))),
+      "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
     ).foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

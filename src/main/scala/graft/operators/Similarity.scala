@@ -49,56 +49,25 @@ object Similarity {
 
   /** Public API: per-query top-k of any (qid, vid, cos) scored frame.
     *
-    * Two-phase, like the reference's dedicated TopK operator
-    * (datafusion/physical-plan/src/topk/mod.rs): phase 1 is a shuffle-free
-    * per-partition bounded heap (≤ k rows per qid survive each input
-    * partition), phase 2 the per-qid row_number window over the survivors.
-    * The window's input is therefore ≤ k × inputPartitions rows per qid —
-    * never O(corpus) — so no single task ever holds one query's full
-    * candidate set, at any corpus scale. */
+    * Implemented with the native `topk_pairs` bounded-heap aggregate
+    * (graft.functions.TopKPairs — the Spark-idiomatic analogue of the
+    * reference's dedicated TopK operator,
+    * datafusion/physical-plan/src/topk/mod.rs). Because it is an aggregate,
+    * Catalyst's partial-aggregation phase runs it map-side: each input
+    * partition emits at most k pairs per qid, the shuffle carries only those
+    * bounded heaps, and the final merge per qid touches ≤ k × partitions
+    * rows. No task ever holds one query's full candidate set (the round-1
+    * row_number-window sink shuffled the whole scored set into one
+    * partition per qid), and memory is O(k) per group on every path. */
   def topK(scored: DataFrame, k: Int): DataFrame = {
-    val local = localTopK(
-      scored.select(col("qid"), col("vid"), col("cos")), k)
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vid"))
-    local.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vid"), col("cos"), col("rn"))
-      .orderBy("qid", "rn")
-  }
-
-  /** Phase 1 of topK: per-partition top-k per qid with a bounded heap —
-    * O(k) state per (partition, qid), zero shuffle. mapPartitions is the
-    * honest tool here: "keep k and discard the rest as you stream" is
-    * imperative per-partition state Catalyst can't express without first
-    * shuffling everything (a groupBy/window would move the full scored set). */
-  private[graft] def localTopK(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    // worst element at heap head: lowest cos, then highest vid
-    val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+    GraftFunctions.register(scored.sparkSession)
     scored
-      .select(col("qid").cast("long"), col("vid").cast("long"),
-        col("cos").cast("double"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val heaps = scala.collection.mutable.LongMap
-          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        it.foreach { case (qid, vid, cosv) =>
-          val pq = heaps.getOrElseUpdate(qid,
-            scala.collection.mutable.PriorityQueue.empty(worstFirst))
-          if (pq.size < k) pq.enqueue((cosv, vid))
-          else {
-            val (wc, wv) = pq.head
-            if (cosv > wc || (cosv == wc && vid < wv)) {
-              pq.dequeue(); pq.enqueue((cosv, vid))
-            }
-          }
-        }
-        heaps.iterator.flatMap { case (qid, pq) =>
-          pq.iterator.map { case (cosv, vid) => (qid, vid, cosv) }
-        }
-      }
-      .toDF("qid", "vid", "cos")
+      .groupBy("qid")
+      .agg(expr(s"topk_pairs(cos, vid, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), col("p.id").as("vid"), col("p.score").as("cos"),
+        (col("pos") + 1).as("rn"))
+      .orderBy("qid", "rn")
   }
 
   /** Public API: exact cosine top-k of `queries` (qid, qv) against `corpus`

@@ -46,6 +46,21 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(one("rolling_fingerprint(CAST(NULL AS STRING))").isNullAt(0))
   }
 
+  test("topk_pairs keeps the k best pairs, best-first, deterministic ties") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9), (1L, 13L, 0.1),
+      (2L, 20L, 0.3)).toDF("qid", "vid", "cos")
+    val rows = df.groupBy("qid")
+      .agg(org.apache.spark.sql.functions.expr("topk_pairs(cos, vid, 2)").as("t"))
+      .orderBy("qid").collect()
+    val q1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(q1.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((0.9, 11L), (0.9, 12L)), s"got $q1") // tie → lower vid first
+    val q2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(q2.map(_.getLong(1)) == Seq(20L))
+  }
+
   test("hamming_distance identity, symmetry, known value") {
     assert(one("hamming_distance(5L, 5L)").getInt(0) == 0)
     assert(one("hamming_distance(0L, -1L)").getInt(0) == 64)

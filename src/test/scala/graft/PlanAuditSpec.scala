@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSpec {
       s"status filter did not prune partitions:\n$p")
   }
 
-  test("topK phase 1 bounds the final window's input to k rows per qid per partition") {
+  test("topK runs as a partial-aggregated bounded-heap aggregate, not a window sink") {
     import org.apache.spark.sql.functions._
     val corpus = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
     graft.functions.GraftFunctions.register(spark)
@@ -82,19 +82,21 @@ class PlanAuditSpec extends SparkSpec {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id").as("vid"),
         expr("cosine_similarity(embedding, qv)").as("cos"))
-    val inputParts = scored.rdd.getNumPartitions
-    val local = Similarity.localTopK(scored, 10)
-    val maxPerQid = local.groupBy("qid").count()
-      .agg(max("count")).collect()(0).getLong(0)
-    assert(maxPerQid <= 10L * inputParts,
-      s"phase-1 output $maxPerQid rows for one qid > k × $inputParts partitions")
-    // and phase 1 loses nothing: two-phase equals single-window top-k
-    val twoPhase = Similarity.topK(scored, 10).select("qid", "vid").collect().toSet
+    val top = Similarity.topK(scored, 10)
+    top.collect()
+    val p = plan(top)
+    // map-side partial + final merge: two ObjectHashAggregate nodes means the
+    // shuffle carries k-row heaps, never the full scored set
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
+      s"topk_pairs is not partial-aggregated:\n$p")
+    assert(!p.contains("Window"), s"topK still uses a window sink:\n$p")
+    // and the aggregate loses nothing: equals single-window top-k
+    val viaAgg = top.select("qid", "vid").collect().toSet
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cos"), asc("vid"))
     val oneWindow = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10).select("qid", "vid").collect().toSet
-    assert(twoPhase == oneWindow, "two-phase top-k diverges from single-window top-k")
+    assert(viaAgg == oneWindow, "topk_pairs diverges from single-window top-k")
   }
 
   test("x_fingerprint runs codegen'd — native expression, no HOF fallback") {
