@@ -19,9 +19,19 @@ object ExtensionsCheck {
 
     val g = spark.sql("SELECT gcd(12L, 8L) AS g, lcm(4L, 6L) AS l, " +
       "hamming_distance(5L, 3L) AS h, " +
-      "cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").collect().head
+      "cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
+      "rolling_fingerprint('a b') AS fp").collect().head
     assert(g.getLong(0) == 4L && g.getLong(1) == 12L && g.getInt(2) == 2 &&
       math.abs(g.getDouble(3) - 1.0) < 1e-12)
+    assert(g.getLong(4) == graft.functions.RollingFingerprint.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b")))
+
+    // the native top-k aggregate resolves through the extension registry too
+    val t = spark.sql(
+      "SELECT topk_pairs(c, i, 2) AS t FROM VALUES (0.1D, 1L), (0.9D, 2L), " +
+        "(0.5D, 3L) AS v(c, i)").collect().head
+    val pairs = t.getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.map(_.getLong(1)) == Seq(2L, 3L), s"topk via extensions: $pairs")
 
     // optimizer rule fires via extensions: hamming=0 join becomes equi-join
     import spark.implicits._

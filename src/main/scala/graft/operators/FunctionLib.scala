@@ -513,6 +513,36 @@ object FunctionLib {
       |  bool_or(p_size > 48) AS some_gt48
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // --------------------------------------------------------------- a_weighted
+  /** Weighted percentiles (reference:
+    * functions-aggregate/src/approx_percentile_cont_with_weight.rs). Spark's
+    * exact `percentile(col, p, frequency)` treats each row as `frequency`
+    * repetitions; the DuckDB oracle materializes exactly that expansion with
+    * a lateral generate_series, so the semantics are hash-checked. */
+  def aWeighted(spark: SparkSession, dir: String): DataFrame =
+    t("lineitem")(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5, CAST(l_quantity AS BIGINT))"), 4)
+          .as("wp50"),
+        round(expr("percentile(l_extendedprice, 0.9, CAST(l_quantity AS BIGINT))"), 4)
+          .as("wp90"),
+        sum(col("l_quantity").cast("long")).as("w_total"))
+      .orderBy("l_returnflag")
+
+  /** The oracle materializes the repetition semantics literally: each row
+    * expanded l_quantity times via lateral generate_series, then plain
+    * unweighted quantile_cont over the expansion. */
+  val aWeightedSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS wp50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS wp90,
+      |  count(*) AS w_total
+      |FROM (SELECT l_returnflag, l_extendedprice,
+      |             unnest(generate_series(1, CAST(l_quantity AS BIGINT))) AS g
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------- a_approx
   /** Sketch aggregates (HLL++ / KLL-style). Algorithms differ from DuckDB by
     * design → rows-only gate; FunctionLibSpec asserts error bounds vs exact. */
@@ -537,7 +567,8 @@ object FunctionLib {
     "f_struct" -> (fStruct _), "f_map" -> (fMap _),
     "a_stats" -> (aStats _), "a_order_stats" -> (aOrderStats _),
     "a_collect" -> (aCollect _), "a_firstlast" -> (aFirstLast _),
-    "a_bitbool" -> (aBitBool _), "a_approx" -> (aApprox _))
+    "a_bitbool" -> (aBitBool _), "a_weighted" -> (aWeighted _),
+    "a_approx" -> (aApprox _))
 
   /** a_approx intentionally absent (rows-only). */
   val oracle: Map[String, String] = Map(
@@ -547,5 +578,5 @@ object FunctionLib {
     "f_struct" -> fStructSql, "f_map" -> fMapSql,
     "a_stats" -> aStatsSql, "a_order_stats" -> aOrderStatsSql,
     "a_collect" -> aCollectSql, "a_firstlast" -> aFirstLastSql,
-    "a_bitbool" -> aBitBoolSql)
+    "a_bitbool" -> aBitBoolSql, "a_weighted" -> aWeightedSql)
 }

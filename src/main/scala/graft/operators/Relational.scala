@@ -422,6 +422,29 @@ object Relational {
       |GROUP BY band
       |ORDER BY band""".stripMargin
 
+  /** QUALIFY-shaped query (reference: datafusion/sql/src/select.rs parses
+    * QUALIFY): top-2 orders per customer. Spark 4.1 has no QUALIFY clause,
+    * and window-then-filter is exactly what QUALIFY desugars to — the
+    * DataFrame form IS the desugared plan; the DuckDB oracle uses the real
+    * QUALIFY syntax, so the semantic equivalence is hash-checked. */
+  def wQualify(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    ord(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val wQualifySql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+      |       row_number() OVER (PARTITION BY o_custkey
+      |                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders
+      |QUALIFY rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
   /** WITH RECURSIVE (reference: datafusion/sql/src/cte.rs:50
     * `recursive_cte`). Spark 4.x executes recursive CTEs natively
     * (UnionLoop); the same text runs in DuckDB. Integer series + running
@@ -522,7 +545,7 @@ object Relational {
     "s_union_all" -> (sUnionAll _), "s_intersect" -> (sIntersect _),
     "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
-    "w_range" -> viaSql(wRangeSql),
+    "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
     "sub_scalar" -> (subScalar _),
     "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
@@ -538,7 +561,7 @@ object Relational {
     "s_union_all" -> sUnionAllSql, "s_intersect" -> sIntersectSql,
     "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
-    "w_range" -> wRangeSql,
+    "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
     "sub_scalar" -> subScalarSql,
     "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
