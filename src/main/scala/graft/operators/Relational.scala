@@ -514,16 +514,7 @@ object Relational {
     * TABLE / SHOW TABLES are spec-asserted (RelationalSpec). */
   def ddlTable(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(spark, dir)
-    spark.sql("DROP TABLE IF EXISTS graft_nation")
-    // a stale warehouse dir from a previous JVM's unregistered table would
-    // fail the CTAS with LOCATION_ALREADY_EXISTS — clear it first
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new java.io.File(
-      if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath,
-      "graft_nation")
-    if (loc.exists()) {
-      loc.listFiles().foreach(_.delete()); loc.delete()
-    }
+    dropManaged(spark, "graft_nation")
     spark.sql("CREATE TABLE graft_nation USING PARQUET AS SELECT * FROM nation")
     spark.sql(
       """SELECT n_regionkey, count(*) AS n_nations,
@@ -534,6 +525,55 @@ object Relational {
   val ddlTableSql: String =
     """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  /** Clear a stale managed-table location left by a previous JVM (the
+    * in-memory catalog forgets tables across sessions but their files
+    * remain, and CTAS refuses to overwrite an existing location). */
+  private def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new java.io.File(
+      if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath,
+      table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
+
+  /** Bucketed co-located join — THE 100 TB join pattern (SURVEY §5): both
+    * sides pre-bucketed on the join key at write time, so the join needs no
+    * shuffle at all at read time, at any scale. The `merge` hint pins
+    * sort-merge so the plan assertion (PlanAuditSpec: zero Exchange on
+    * either join input) is deterministic rather than depending on the
+    * broadcast threshold. Oracle = the same join over the raw tables. */
+  def ddlBucketed(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    dropManaged(spark, "graft_orders_b")
+    dropManaged(spark, "graft_customer_b")
+    ord(spark, dir).write.format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_b")
+    cust(spark, dir).write.format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_b")
+    spark.table("graft_orders_b").hint("merge")
+      .join(spark.table("graft_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
+  val ddlBucketedSql: String =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   private def viaSql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
@@ -552,7 +592,7 @@ object Relational {
     "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql),
     "cte_recursive" -> viaSql(cteRecursiveSql),
     "explain_plan" -> (explainPlan _), "explain_analyze" -> (explainAnalyze _),
-    "ddl_table" -> (ddlTable _))
+    "ddl_table" -> (ddlTable _), "ddl_bucketed" -> (ddlBucketed _))
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
@@ -566,5 +606,6 @@ object Relational {
     "sub_scalar" -> subScalarSql,
     "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
     "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql,
-    "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql)
+    "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql,
+    "ddl_bucketed" -> ddlBucketedSql)
 }

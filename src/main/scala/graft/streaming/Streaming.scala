@@ -54,6 +54,16 @@ object Streaming {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming face of d_exact (SURVEY §2.5):
+    * watermarked dropDuplicates on the natural key. State is one entry per
+    * distinct key inside the watermark horizon (1 hour of event time), so
+    * state size is bounded by arrival rate × horizon, not stream length —
+    * the property that lets this run forever on a 100 TB/day feed. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
   /** Sessionization via flatMapGroupsWithState: buffer per-user events,
     * emit every session whose gap to the next event exceeds GapUs; the final
     * open session flushes on EVENT-time timeout — when the watermark passes

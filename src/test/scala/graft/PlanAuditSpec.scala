@@ -109,6 +109,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*("), s"no codegen stage in:\n$p")
   }
 
+  test("ddl_bucketed: co-located join reads bucketed tables with ZERO shuffle") {
+    val df = Relational.ddlBucketed(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), p)
+    // the only allowed exchanges: the post-join aggregation + presentation
+    // sort — the JOIN inputs themselves must come straight from the bucketed
+    // scans (Spark plans bottom-up: a shuffle under the join would print
+    // between the scans and the join node)
+    // scope to the FINAL plan (AQE appends the pre-adaptive "Initial Plan"
+    // after it); everything below the join node is its bucketed inputs
+    val finalPlan = p.split("== Initial Plan ==").head
+    val belowJoin = finalPlan.substring(finalPlan.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles its inputs:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan does not report bucketed read:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>

@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st_dedup streaming dropDuplicates equals batch distinct-by-key") {
+    // feed the stream the events file TWICE → every event_id is a duplicate;
+    // the streaming dedup must recover exactly the batch-distinct set
+    val d = Paths.get("target/stream_dedup_in")
+    Files.createDirectories(d)
+    Files.copy(Paths.get(s"$sf/events.parquet"), d.resolve("a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"), d.resolve("b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(schema)
+      .parquet(d.toAbsolutePath.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    runToMemory(Streaming.dedupStream(stream), "dedup", "append")
+    val streamed = spark.table("dedup")
+    val batchN = Tables.t(spark, sf, "events").select("event_id").distinct().count()
+    assert(streamed.count() == batchN,
+      s"streaming dedup kept ${streamed.count()} of $batchN distinct events")
+    assert(streamed.select("event_id").distinct().count() == batchN)
+  }
+
   test("sessionizeBatch equals the declarative batch sessionization exactly") {
     import spark.implicits._
     val viaState = Streaming.sessionizeBatch(
