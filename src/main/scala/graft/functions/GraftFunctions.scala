@@ -26,6 +26,9 @@ object GraftFunctions {
     "lcm" -> (c => Lcm(c(0), c(1))),
     "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))),
     "rolling_fingerprint" -> (c => RollingFingerprint(c(0))),
+    "word_shingles" -> (c => WordShingles(c(0), c(1))),
+    "char_shingles" -> (c => CharShingles(c(0), c(1))),
+    "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
@@ -68,6 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "lcm" -> (c => Lcm(c(0), c(1))),
       "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))),
       "rolling_fingerprint" -> (c => RollingFingerprint(c(0))),
+      "word_shingles" -> (c => WordShingles(c(0), c(1))),
+      "char_shingles" -> (c => CharShingles(c(0), c(1))),
+      "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
       "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
     ).foreach { case (name, builder) =>
       ext.injectFunction((

@@ -248,3 +248,170 @@ object RollingFingerprint {
     fp
   }
 }
+
+/** Shingle + MinHash kernels (SURVEY §2.5). Round 1 built shingling from
+  * posexplode+window+collect_set and signatures from a second explode into a
+  * 128-min-buffer aggregate — correct and codegen'd, but each pays a full
+  * doc_id shuffle of exploded rows. As native expressions the whole
+  * signature pipeline is a narrow per-row map: at 100 TB NOTHING shuffles
+  * until the LSH banding join, and the per-shingle permutation loop is 128
+  * wrapping multiply-adds in JIT'd JVM code (ANSI-mode SQL arithmetic would
+  * overflow-throw; JVM longs wrap by design — the standard MinHash trick). */
+object ShingleKernels {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  /** Sorted-distinct hashes of word n-gram shingles (split on ' '). */
+  def wordShingles(s: org.apache.spark.unsafe.types.UTF8String, width: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // word hashes
+    val wordHashes = new java.util.ArrayList[java.lang.Long]()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) // skip empty words (consecutive spaces)
+          wordHashes.add(XXH64.hashUnsafeBytes(bytes, BYTE_ARRAY_OFFSET + start, i - start, 0L))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = wordHashes.size
+    if (m < width) return Array.emptyLongArray
+    val out = new Array[Long](m - width + 1)
+    var j = 0
+    while (j <= m - width) {
+      var h = 0L
+      var k = 0
+      while (k < width) { h = XXH64.hashLong(wordHashes.get(j + k), h); k += 1 }
+      out(j) = h
+      j += 1
+    }
+    sortedDistinct(out)
+  }
+
+  /** Sorted-distinct hashes of byte n-gram shingles (UTF-8 "char" grams). */
+  def charShingles(s: org.apache.spark.unsafe.types.UTF8String, width: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < width) return Array.emptyLongArray
+    val out = new Array[Long](n - width + 1)
+    var i = 0
+    while (i <= n - width) {
+      out(i) = XXH64.hashUnsafeBytes(bytes, BYTE_ARRAY_OFFSET + i, width, 0L)
+      i += 1
+    }
+    sortedDistinct(out)
+  }
+
+  private def sortedDistinct(a: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 0
+    while (i < a.length) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** Per-permutation multipliers/addends, derived from splitmix64(j) (odd
+    * multiplier). Cached per permutation count. */
+  private val coefCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefs(p: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(p, _ => {
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val a = new Array[Long](p); val b = new Array[Long](p)
+      var j = 0
+      while (j < p) { a(j) = mix(2L * j) | 1L; b(j) = mix(2L * j + 1); j += 1 }
+      (a, b)
+    })
+
+  /** MinHash signature: per permutation j, min over shingles of the wrapped
+    * affine permutation a_j*h + b_j (unsigned compare for uniformity). */
+  def minhashSig(hashes: org.apache.spark.sql.catalyst.util.ArrayData, p: Int): Array[Long] = {
+    val (a, b) = coefs(p)
+    val sig = new Array[Long](p)
+    java.util.Arrays.fill(sig, -1L) // unsigned max
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < p) {
+        val v = a(j) * h + b(j)
+        if (java.lang.Long.compareUnsigned(v, sig(j)) < 0) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+abstract class ShingleExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(string, int-literal) got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** `word_shingles(text, w)` → sorted-distinct xxh64 hashes of word w-grams. */
+case class WordShingles(left: Expression, right: Expression) extends ShingleExpression {
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(t: Any, w: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleKernels.wordShingles(
+        t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleKernels.wordShingles($t, $w))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `char_shingles(text, w)` → sorted-distinct xxh64 hashes of byte w-grams. */
+case class CharShingles(left: Expression, right: Expression) extends ShingleExpression {
+  override def prettyName: String = "char_shingles"
+  override protected def nullSafeEval(t: Any, w: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleKernels.charShingles(
+        t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleKernels.charShingles($t, $w))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `minhash_sig(hashes, p)` → p-permutation MinHash signature (array<long>). */
+case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(LongType, _) if right.dataType == IntegerType && right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig(array<bigint>, int-literal) got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(hs: Any, p: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleKernels.minhashSig(
+        hs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], p.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (hs, p) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleKernels.minhashSig($hs, $p))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -71,55 +71,36 @@ object Dedup {
   val RowsPerBand: Int = NumPerms / NumBands // 8
 
   /** Word-3-gram shingle sets for any (doc_id, text) frame, as
-    * (doc_id, shingles array<long>). Shingles are hashed straight from
-    * their parts via lead(w,1)/lead(w,2) over (doc_id, pos) — fully
-    * codegen'd (a transform-lambda shingler is interpreted and was 2×
-    * slower even after hoisting the split). The window and the collect_set
-    * aggregation share one doc_id shuffle. */
+    * (doc_id, shingles array<long>), via the native `word_shingles`
+    * expression (graft.functions.ShingleKernels) — a pure narrow map with
+    * ZERO shuffle. (Round 1 derived shingles from posexplode + lead windows
+    * + collect_set, paying a full doc_id shuffle of exploded words; round 2's
+    * kernel tokenizes and hashes in one codegen'd pass per row.) Documents
+    * with fewer than 3 words have no shingle and are dropped, matching the
+    * window formulation. */
   def wordShingleSets(d: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead("w", 1).over(w))
-      .withColumn("w2", lead("w", 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("h"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("shingles"))
+    GraftFunctions.register(d.sparkSession)
+    d.select(col("doc_id"), expr("word_shingles(text, 3)").as("shingles"))
+      .filter(size(col("shingles")) > 0)
   }
 
-  /** Char-5-gram shingle sets via explode + collect_set: ~45× more shingles
-    * per doc than word 3-grams, so the interpreted-lambda form dominates the
-    * whole pipeline (profiled 7.6 s at sf0.1); exploding positions keeps the
-    * substring+hash in whole-stage codegen and the collect_set aggregation
-    * dedups map-side. Public API: applies to any (doc_id, text) frame. */
-  def charShingleSets(d: DataFrame): DataFrame =
-    d.filter(length(col("text")) >= 5)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), length(col("text")) - 5)).as("i"))
-      .select(col("doc_id"), expr("xxhash64(substring(text, i + 1, 5))").as("h"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("shingles"))
-
-  /** Minhash signatures as 128 columns m0..m127: explode the shingle hashes,
-    * then ONE hash-aggregate with 128 min buffers. Permutation j is the
-    * seeded hash xxhash64(shingle_hash, j) — wrap-free (ANSI-safe),
-    * independent per j. Explode + plain aggregates keep the hot loop inside
-    * whole-stage codegen; per-row lambda variants (transform/aggregate) are
-    * CodegenFallback — interpreted with per-element boxing — and profiled
-    * ~50% slower despite avoiding the shuffle. Map-side partial aggregation
-    * collapses each partition to one row per doc before the single shuffle,
-    * so at 100 TB the shuffle is docs × 1 KB of signature, not the exploded
-    * shingles. */
-  private def signatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), explode(col("shingles")).as("h"))
-      .groupBy("doc_id")
-      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
-        (1 until NumPerms).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j")): _*)
+  /** Char-5-gram shingle sets via the native `char_shingles` expression —
+    * same zero-shuffle shape as [[wordShingleSets]]. ~45× more shingles per
+    * doc than word 3-grams, which made the round-1 explode + collect_set
+    * form (7.6 s at sf0.1 before tuning) the pipeline's hot spot; the kernel
+    * is one pass over the UTF-8 bytes. */
+  def charShingleSets(d: DataFrame): DataFrame = {
+    GraftFunctions.register(d.sparkSession)
+    d.select(col("doc_id"), expr("char_shingles(text, 5)").as("shingles"))
+      .filter(size(col("shingles")) > 0)
+  }
 
   /** LSH banding: explode (band_id, band_hash), self-join per bucket with
     * doc_a < doc_b, dedup candidate pairs, verify exact shingle Jaccard.
-    * Shuffles: 1 (band explode → bucket join) + 1 (join shingles back).
+    * Signatures come from the native `minhash_sig` kernel (128 wrapping
+    * multiply-adds per shingle, JIT'd — no per-permutation hash calls, no
+    * 128-buffer aggregate, no shuffle), so the ONLY shuffles in the whole
+    * pipeline are the bucket join and the shingle-verify join.
     * Public API: near-duplicate pairs for any (doc_id, shingles) frame
     * (from [[wordShingleSets]]/[[charShingleSets]] or a custom shingler). */
   def minhashLshPairs(shingleSets: DataFrame, minJaccard: Double): DataFrame = {
@@ -128,9 +109,12 @@ object Dedup {
     // hashes; MEMORY_AND_DISK spills)
     val sh = shingleSets
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = signatures(sh).select(col("doc_id"),
+    val bands = sh
+      .select(col("doc_id"), expr(s"minhash_sig(shingles, $NumPerms)").as("sig"))
+      .select(col("doc_id"),
         posexplode(array((0 until NumBands).map { b =>
-          xxhash64((0 until RowsPerBand).map(i => col(s"m${b * RowsPerBand + i}")): _*)
+          xxhash64((0 until RowsPerBand).map(i =>
+            element_at(col("sig"), b * RowsPerBand + i + 1)): _*)
         }: _*)).as(Seq("band_id", "band_hash")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&

@@ -46,6 +46,33 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(one("rolling_fingerprint(CAST(NULL AS STRING))").isNullAt(0))
   }
 
+  test("word_shingles/char_shingles: counts, set semantics, width edge cases") {
+    val ws = one("word_shingles('a b c d', 3)").getSeq[Long](0)
+    assert(ws.length == 2) // (a b c), (b c d)
+    assert(ws == ws.sorted && ws.distinct == ws)
+    // too-short text → empty, not null
+    assert(one("word_shingles('a b', 3)").getSeq[Long](0).isEmpty)
+    // repeated shingles dedup: "x y z x y z x y z" has non-distinct 3-grams
+    val rep = one("word_shingles('x y z x y z x y z', 3)").getSeq[Long](0)
+    assert(rep.length == 3, s"expected 3 distinct shingles, got ${rep.length}")
+    val cs = one("char_shingles('abcdef', 5)").getSeq[Long](0)
+    assert(cs.length == 2) // abcde, bcdef
+    assert(one("char_shingles('abc', 5)").getSeq[Long](0).isEmpty)
+  }
+
+  test("minhash_sig: deterministic, set-based, bounded-min under union") {
+    val a = one("minhash_sig(word_shingles('the quick brown fox jumps', 3), 128)").getSeq[Long](0)
+    val a2 = one("minhash_sig(word_shingles('the quick brown fox jumps', 3), 128)").getSeq[Long](0)
+    assert(a.length == 128 && a == a2)
+    // signature of a superset is element-wise unsigned-≤ the subset's
+    val sup = one("minhash_sig(word_shingles('the quick brown fox jumps over dogs', 3), 128)").getSeq[Long](0)
+    assert(a.zip(sup).forall { case (x, y) =>
+      java.lang.Long.compareUnsigned(y, x) <= 0 })
+    // disjoint texts give (w.h.p.) different signatures
+    val b = one("minhash_sig(word_shingles('entirely different words here now', 3), 128)").getSeq[Long](0)
+    assert(a != b)
+  }
+
   test("topk_pairs keeps the k best pairs, best-first, deterministic ties") {
     GraftFunctions.register(spark)
     import spark.implicits._
