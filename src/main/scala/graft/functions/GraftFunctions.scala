@@ -29,6 +29,7 @@ object GraftFunctions {
     "word_shingles" -> (c => WordShingles(c(0), c(1))),
     "char_shingles" -> (c => CharShingles(c(0), c(1))),
     "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
+    "hyperplane_sign_bits" -> (c => HyperplaneSignBits(c(0), c(1))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
@@ -74,6 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "word_shingles" -> (c => WordShingles(c(0), c(1))),
       "char_shingles" -> (c => CharShingles(c(0), c(1))),
       "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
+      "hyperplane_sign_bits" -> (c => HyperplaneSignBits(c(0), c(1))),
       "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
     ).foreach { case (name, builder) =>
       ext.injectFunction((

@@ -415,3 +415,61 @@ case class MinHashSig(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** `hyperplane_sign_bits(vec, bits)` — random-hyperplane LSH bucket
+  * (Charikar 2002 sign bits) of a float-array embedding. Plane components
+  * are derived on the fly from splitmix64((j*64+i)) scaled to [-1, 1] —
+  * identical to the round-1 zip_with/aggregate HOF formulation, which ran
+  * interpreted (CodegenFallback) per corpus row; this is a bits×dim fused
+  * multiply-add loop in JIT'd code with zero allocation. Covers the first
+  * 64 dimensions (the corpus dimensionality), like the original. */
+case class HyperplaneSignBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(FloatType, _)
+        if right.dataType == IntegerType && right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sign_bits(array<float>, int-literal) got " +
+        s"${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_sign_bits"
+  override protected def nullSafeEval(v: Any, b: Any): Any =
+    HyperplaneSignBits.compute(v.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b) =>
+      s"graft.functions.HyperplaneSignBits.compute($v, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object HyperplaneSignBits {
+  /** plane(j,i) = splitmix64(j*64+i) / Long.MaxValue, in [-1, 1] — byte-for
+    * -byte the derivation the declarative form used (Similarity.planes). */
+  private def plane(idx: Int): Double = {
+    var x = idx.toLong + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x = x ^ (x >>> 31)
+    x.toDouble / Long.MaxValue.toDouble
+  }
+  private lazy val planeTable: Array[Double] =
+    Array.tabulate(32 * 64)(plane) // up to 32 sign bits
+
+  def compute(v: ArrayData, bits: Int): Int = {
+    require(bits <= 32, s"hyperplane_sign_bits supports ≤32 bits, got $bits")
+    val n = math.min(v.numElements(), 64)
+    var sig = 0
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      val base = j * 64
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * planeTable(base + i); i += 1 }
+      if (dot > 0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+}

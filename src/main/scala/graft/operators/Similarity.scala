@@ -95,24 +95,12 @@ object Similarity {
        |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
   // ---------------------------------------------------------- LSH machinery
-  /** Deterministic hyperplane components in [-1, 1] (splitmix64 of j*64+i). */
-  private def planes: Seq[Seq[Double]] = (0 until LshBits).map { j =>
-    (0 until 64).map { i =>
-      var x = (j * 64 + i).toLong + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x = x ^ (x >>> 31)
-      (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
-    }
-  }
-
-  /** Sign-bit signature of `c` w.r.t. the fixed hyperplanes → int bucket. */
+  /** Sign-bit signature w.r.t. fixed splitmix64-derived hyperplanes → int
+    * bucket, via the native `hyperplane_sign_bits` kernel (the round-1
+    * zip_with/aggregate HOF form was CodegenFallback — interpreted per
+    * corpus row; same plane derivation, same buckets). */
   private def sig(c: Column): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(
-        zip_with(c, typedLit(p), (v, w) => v * w), lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce((a: Column, b: Column) => a + b)
+    call_function("hyperplane_sign_bits", c, lit(LshBits))
 
   /** All bit-masks with popcount ≤ LshMaxHamming (multi-probe offsets). */
   private def probeMasks: Seq[Int] =
