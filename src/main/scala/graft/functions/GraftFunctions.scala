@@ -30,6 +30,7 @@ object GraftFunctions {
     "char_shingles" -> (c => CharShingles(c(0), c(1))),
     "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
     "hyperplane_sign_bits" -> (c => HyperplaneSignBits(c(0), c(1))),
+    "sorted_overlap_count" -> (c => SortedOverlapCount(c(0), c(1))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
@@ -76,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "char_shingles" -> (c => CharShingles(c(0), c(1))),
       "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
       "hyperplane_sign_bits" -> (c => HyperplaneSignBits(c(0), c(1))),
+      "sorted_overlap_count" -> (c => SortedOverlapCount(c(0), c(1))),
       "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
     ).foreach { case (name, builder) =>
       ext.injectFunction((

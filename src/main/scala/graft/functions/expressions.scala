@@ -473,3 +473,43 @@ object HyperplaneSignBits {
     sig
   }
 }
+
+/** `sorted_overlap_count(a, b)` — |a ∩ b| for two SORTED-DISTINCT long
+  * arrays (the shingle-kernel output format) via a merge loop: no hash
+  * sets, no result-array allocation. With |a∪b| = |a|+|b|−|a∩b| this gives
+  * exact Jaccard for the dedup verify joins at a fraction of
+  * array_intersect+array_union's cost. */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_overlap_count needs two array<bigint> args, got " +
+        s"${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_overlap_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedOverlapCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedOverlapCount.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedOverlapCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}

@@ -104,6 +104,7 @@ object Dedup {
     * Public API: near-duplicate pairs for any (doc_id, shingles) frame
     * (from [[wordShingleSets]]/[[charShingleSets]] or a custom shingler). */
   def minhashLshPairs(shingleSets: DataFrame, minJaccard: Double): DataFrame = {
+    GraftFunctions.register(shingleSets.sparkSession)
     // the shingle computation feeds three plan branches (banding + both
     // verify joins) — persist so it is computed once (docs × ~2 KB of
     // hashes; MEMORY_AND_DISK spills)
@@ -122,12 +123,15 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // shingle arrays are sorted-distinct (kernel output), so the exact
+    // Jaccard verify is a merge-loop overlap count — no hash sets, no
+    // intersect/union array materialization; |a∪b| = |a|+|b|−|a∩b|
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .withColumn("inter", expr("sorted_overlap_count(sh_a, sh_b)").cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
