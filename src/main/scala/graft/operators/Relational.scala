@@ -395,6 +395,49 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** As-of join — for each event, the most recent order of the same
+    * customer at-or-before the event time. Spark has no ASOF JOIN operator;
+    * the Spark-first formulation is the classic tagged-union + last-non-null
+    * window: one sort per key partition, O(n log n), never the range
+    * cross-join blowup (a naive `e.ts >= o.ts` theta-join is O(n·m) per
+    * key). DuckDB HAS a dedicated ASOF operator, so the oracle exercises the
+    * real thing against our plan — semantics hash-checked, not asserted.
+    * Order side is pre-deduped to one row per (customer, date) so the match
+    * is well-defined under ASOF's tie rules on both engines. */
+  def jAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val o = Tables.t(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ts"), col("o_orderkey"))
+      .groupBy("user_id", "ts")
+      .agg(max("o_orderkey").as("okey"))
+    // tag=0 sorts orders before events at equal ts: ASOF `>=` matches them
+    val tagged = o
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("okey"), lit(null).cast("long").as("event_id"))
+      .unionByName(ev.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("okey"), col("event_id")))
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("matched", last("okey", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("matched"), lit(-1L)).as("okey"))
+      .orderBy("event_id")
+  }
+
+  val jAsofSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+      |         max(o_orderkey) AS okey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, coalesce(o.okey, -1) AS okey
+      |FROM events e ASOF LEFT JOIN o
+      |  ON e.user_id = o.user_id AND e.ts >= o.ots
+      |ORDER BY e.event_id""".stripMargin
+
   // --------------------------------------------------------- VALUES and CTEs
   /** Inline VALUES relation (LocalRelation — no scan at all). */
   def valuesInline(spark: SparkSession, dir: String): DataFrame = {
@@ -580,7 +623,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j_semi" -> (jSemi _), "j_anti" -> (jAnti _), "j_full" -> (jFull _),
-    "j_cross" -> (jCross _),
+    "j_cross" -> (jCross _), "j_asof" -> (jAsof _),
     "g_rollup" -> (gRollup _), "g_cube" -> (gCube _), "g_sets" -> viaSql(gSetsSql),
     "s_union_all" -> (sUnionAll _), "s_intersect" -> (sIntersect _),
     "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
@@ -596,7 +639,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
-    "j_cross" -> jCrossSql,
+    "j_cross" -> jCrossSql, "j_asof" -> jAsofSql,
     "g_rollup" -> gRollupSql, "g_cube" -> gCubeSql, "g_sets" -> gSetsSql,
     "s_union_all" -> sUnionAllSql, "s_intersect" -> sIntersectSql,
     "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
