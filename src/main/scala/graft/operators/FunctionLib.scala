@@ -126,7 +126,10 @@ object FunctionLib {
         round(degrees(radians(col("p_size"))), 6).as("dg"),
         round(lit(math.Pi), 6).as("pi_6"),
         isnan(col("p_retailprice")).as("nn"),
-        round(nanvl(col("p_retailprice"), lit(0.0)), 2).as("nv"))
+        round(nanvl(col("p_retailprice"), lit(0.0)), 2).as("nv"),
+        // iszero (reference functions/src/math/iszero.rs) — Spark spells it
+        // as an equality predicate
+        (col("p_retailprice") === 0.0).as("zz"))
       .orderBy("p_partkey")
 
   /** DuckDB: signum→sign, nanvl→CASE isnan, log(x)→ln, two-arg log via ln
@@ -148,7 +151,8 @@ object FunctionLib {
       |  round(degrees(radians(p_size)), 6) AS dg,
       |  round(pi(), 6) AS pi_6,
       |  isnan(p_retailprice) AS nn,
-      |  round(CASE WHEN isnan(p_retailprice) THEN 0.0 ELSE p_retailprice END, 2) AS nv
+      |  round(CASE WHEN isnan(p_retailprice) THEN 0.0 ELSE p_retailprice END, 2) AS nv,
+      |  p_retailprice = 0.0 AS zz
       |FROM part ORDER BY p_partkey""".stripMargin
 
   // -------------------------------------------------------------- f_datetime

@@ -317,6 +317,22 @@ object Relational {
   val tGenerateSeriesSql: String =
     "SELECT CAST(n AS BIGINT) AS n FROM generate_series(1, 1000, 7) t(n) ORDER BY n"
 
+  /** Timestamp-typed series (reference generate_series supports timestamp
+    * ranges): sequence() with an interval step. */
+  def tSeriesTs(spark: SparkSession, dir: String): DataFrame = {
+    val _ = dir
+    spark.range(0, 1).select(explode(sequence(
+      lit("1995-01-01 00:00:00").cast("timestamp"),
+      lit("1995-03-01 00:00:00").cast("timestamp"),
+      expr("INTERVAL 36 HOURS"))).as("ts"))
+      .orderBy("ts")
+  }
+
+  val tSeriesTsSql: String =
+    """SELECT unnest(generate_series(TIMESTAMP '1995-01-01 00:00:00',
+      |  TIMESTAMP '1995-03-01 00:00:00', INTERVAL 36 HOUR)) AS ts
+      |ORDER BY ts""".stripMargin
+
   // ------------------------------------------------------------- subqueries
   /** Correlated + uncorrelated scalar subqueries: customers above BOTH their
     * nation's average and half the global average balance. Spark-first form:
@@ -630,6 +646,7 @@ object Relational {
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
+    "t_series_ts" -> (tSeriesTs _),
     "sub_scalar" -> (subScalar _),
     "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
     "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql),
@@ -646,6 +663,7 @@ object Relational {
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
+    "t_series_ts" -> tSeriesTsSql,
     "sub_scalar" -> subScalarSql,
     "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
     "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql,
