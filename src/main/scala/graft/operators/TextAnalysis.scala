@@ -138,11 +138,95 @@ object TextAnalysis {
       |  round(avg(len(string_split(text, ' '))), 2) AS avg_ws_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- x_normalize
+  /** Canonical text normalization — the first stage of every training-data
+    * pipeline: lowercase, strip non-alphanumerics, collapse whitespace.
+    * Pure narrow codegen'd regexps; identical regex dialect in DuckDB so the
+    * whole transform is hash-checked. */
+  def xNormalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9\\s]", ""), "\\s+", " ")).as("norm_text"))
+      .orderBy("doc_id")
+
+  val xNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- x_scrub
+  /** PII scrubbing: emails and URLs replaced with placeholder tokens. The
+    * corpus is synthetic, so each doc gets a deterministic synthetic email +
+    * URL prepended (same injection in the oracle) — the scrubber must
+    * remove exactly those. */
+  def xScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      lit("contact user"), col("doc_id"), lit("@example.com or https://ex"),
+      col("doc_id"), lit(".org/a?b=1 "), col("text"))
+    docs(spark, dir).select(col("doc_id"),
+        regexp_replace(regexp_replace(injected,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "https?://[^\\s]+", "<URL>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val xScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(
+      |    'contact user' || doc_id || '@example.com or https://ex' || doc_id
+      |      || '.org/a?b=1 ' || text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    'https?://[^\s]+', '<URL>', 'g') AS scrubbed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ x_sentences
+  /** Sentence segmentation stats: count + first sentence per doc. */
+  def xSentences(spark: SparkSession, dir: String): DataFrame = {
+    val sents = split(col("text"), "[.!?] ")
+    docs(spark, dir).select(col("doc_id"),
+        size(sents).as("n_sents"),
+        element_at(sents, 1).as("first_sent"))
+      .orderBy("doc_id")
+  }
+
+  val xSentencesSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '[.!?] ')) AS INTEGER) AS n_sents,
+      |  regexp_split_to_array(text, '[.!?] ')[1] AS first_sent
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- x_top_ngrams
+  /** Corpus-level top-20 word bigrams — the classic n-gram frequency pass.
+    * One explode + one partial-aggregated count shuffle + TakeOrdered; at
+    * 100 TB the map-side combine collapses each partition to its distinct
+    * bigrams before anything moves. */
+  def xTopNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(split(col("text"), " ").as("ws"))
+    d.select(explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+      .select(concat_ws(" ", element_at(col("ws"), col("i")),
+        element_at(col("ws"), col("i") + 1)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bg"))
+      .limit(20)
+  }
+
+  val xTopNgramsSql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |ex AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+      |pairs AS (SELECT ws[i] || ' ' || ws[i + 1] AS bg FROM ex)
+      |SELECT bg, count(*) AS n FROM pairs
+      |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
+    "x_sentences" -> (xSentences _), "x_top_ngrams" -> (xTopNgrams _),
     "x_langid" -> (xLangid _), "x_quality" -> (xQuality _),
     "x_tokcount" -> (xTokcount _), "x_docstats" -> (xDocstats _))
 
   val oracle: Map[String, String] = Map(
     "x_quality" -> xQualitySql, "x_tokcount" -> xTokcountSql,
-    "x_docstats" -> xDocstatsSql)
+    "x_docstats" -> xDocstatsSql,
+    "x_normalize" -> xNormalizeSql, "x_scrub" -> xScrubSql,
+    "x_sentences" -> xSentencesSql, "x_top_ngrams" -> xTopNgramsSql)
 }

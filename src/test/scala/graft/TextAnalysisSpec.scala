@@ -7,6 +7,29 @@ import org.apache.spark.sql.functions._
   * text does not correlate with its lang column), quality metric sanity. */
 class TextAnalysisSpec extends SparkSpec {
 
+  TextAnalysis.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("x_normalize output is lowercase alnum+space only") {
+    val bad = TextAnalysis.xNormalize(spark, sf)
+      .filter(col("norm_text").rlike("[^a-z0-9 ]")).count()
+    assert(bad == 0, s"$bad rows contain non-normalized characters")
+  }
+
+  test("x_scrub leaves no emails or URLs behind") {
+    val left = TextAnalysis.xScrub(spark, sf)
+      .filter(col("scrubbed").rlike("@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+        col("scrubbed").contains("https://")).count()
+    assert(left == 0, s"$left rows still contain PII patterns")
+    val tokens = TextAnalysis.xScrub(spark, sf)
+      .filter(col("scrubbed").contains("<EMAIL>") &&
+        col("scrubbed").contains("<URL>")).count()
+    assert(tokens > 0, "scrubber never fired")
+  }
+
   test("x_langid predicts planted genuine-language sentences correctly") {
     import spark.implicits._
     val planted = Seq(
