@@ -19,7 +19,16 @@ def load(con, sfdir):
 
 def norm(df):
     import datetime
+    import numpy as np
+    def detuple(v):
+        if isinstance(v, (np.ndarray, list)):
+            return tuple(detuple(x) for x in v)
+        return v
     for c in df.columns:
+        if df[c].dtype == object:
+            nn0 = df[c].dropna()
+            if len(nn0) and any(isinstance(v, (np.ndarray, list)) for v in nn0.head(5)):
+                df[c] = df[c].map(detuple)
         # pandas reads parquet DATE as object-of-datetime.date; DuckDB
         # fetchdf gives datetime64 — same logical type, align them
         if df[c].dtype == object:

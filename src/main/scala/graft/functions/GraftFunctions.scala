@@ -31,6 +31,8 @@ object GraftFunctions {
     "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
     "hyperplane_sign_bits" -> (c => HyperplaneSignBits(c(0), c(1))),
     "sorted_overlap_count" -> (c => SortedOverlapCount(c(0), c(1))),
+    "l2_normalize" -> (c => L2Normalize(c(0))),
+    "quantize_int8" -> (c => QuantizeInt8(c(0))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
@@ -78,6 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
       "hyperplane_sign_bits" -> (c => HyperplaneSignBits(c(0), c(1))),
       "sorted_overlap_count" -> (c => SortedOverlapCount(c(0), c(1))),
+      "l2_normalize" -> (c => L2Normalize(c(0))),
+      "quantize_int8" -> (c => QuantizeInt8(c(0))),
       "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
     ).foreach { case (name, builder) =>
       ext.injectFunction((

@@ -513,3 +513,79 @@ object SortedOverlapCount {
     n
   }
 }
+
+/** `l2_normalize(vec)` — unit-L2 embedding, double precision out. Norm is
+  * accumulated in double (float accumulation drifts from any double-math
+  * oracle); zero vectors pass through as zeros. */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"l2_normalize(array<float>) got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+  override protected def nullSafeEval(v: Any): Any =
+    L2Normalize.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.L2Normalize.compute($v)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object L2Normalize {
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    // divide (not multiply-by-reciprocal): IEEE division matches an
+    // oracle's x/norm bit-for-bit; the reciprocal trick differs in the ulp
+    while (i < n) {
+      out(i) = if (norm == 0.0) 0.0 else v.getFloat(i).toDouble / norm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `quantize_int8(vec)` — symmetric int8 quantization: scale = max|x|/127,
+  * q_i = floor(x_i/scale + 0.5) (explicit half-up — portable across
+  * engines, unlike round's half-even). The storage format that cuts a
+  * 100 TB float32 embedding corpus to a quarter; struct(scale, codes). */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quantize_int8(array<float>) got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "quantize_int8"
+  override protected def nullSafeEval(v: Any): Any =
+    QuantizeInt8.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.QuantizeInt8.compute($v)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object QuantizeInt8 {
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(v.getFloat(i).toDouble); if (a > mx) mx = a; i += 1 }
+    val scale = if (mx == 0.0) 1.0 else mx / 127.0
+    val codes = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      codes(i) = math.floor(v.getFloat(i).toDouble / scale + 0.5).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes))
+  }
+}

@@ -189,9 +189,57 @@ object Similarity {
     topK(ivfCandidates(spark, dir)
       .select(col("qid"), col("vec_id").as("vid"), cos.as("cos")), K)
 
+  // ----------------------------------------------------------- e_normalize
+  /** Unit-L2 embeddings via the native `l2_normalize` kernel (double-math,
+    * division not reciprocal — bit-compatible with the oracle's x/norm).
+    * The preprocessing step every ANN/serving path wants stored. */
+  def eNormalize(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("l2_normalize(embedding)").as("unit"))
+      .orderBy("vec_id")
+  }
+
+  val eNormalizeSql: String =
+    """SELECT vec_id,
+      |  CASE WHEN sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                 x -> x * x))) = 0 THEN
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)
+      |  ELSE
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                    y -> y * y))))
+      |  END AS unit
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------ e_quantize
+  /** Symmetric int8 quantization (scale = max|x|/127, half-up rounding) via
+    * the native `quantize_int8` kernel — the 4× storage cut for a float32
+    * embedding corpus. */
+  def eQuantize(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("quantize_int8(embedding)").as("q"))
+      .select(col("vec_id"), round(col("q.scale"), 9).as("scale"),
+        col("q.codes").as("codes"))
+      .orderBy("vec_id")
+  }
+
+  val eQuantizeSql: String =
+    """SELECT vec_id,
+      |  round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> abs(x))) / 127.0, 9) AS scale,
+      |  list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |      y -> abs(y))) / 127.0) + 0.5) AS INTEGER)) AS codes
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_brute_topk" -> (nBruteTopk _), "n_lsh_topk" -> (nLshTopk _),
-    "n_ivf_topk" -> (nIvfTopk _))
+    "n_ivf_topk" -> (nIvfTopk _),
+    "e_normalize" -> (eNormalize _), "e_quantize" -> (eQuantize _))
 
-  val oracle: Map[String, String] = Map("n_brute_topk" -> nBruteTopkSql)
+  val oracle: Map[String, String] = Map("n_brute_topk" -> nBruteTopkSql,
+    "e_normalize" -> eNormalizeSql, "e_quantize" -> eQuantizeSql)
 }

@@ -73,6 +73,26 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(a != b)
   }
 
+  test("l2_normalize: unit norm, zero-vector guard, direction preserved") {
+    val u = one("l2_normalize(array(3.0F, 4.0F))").getSeq[Double](0)
+    assert(math.abs(u(0) - 0.6) < 1e-12 && math.abs(u(1) - 0.8) < 1e-12)
+    val z = one("l2_normalize(array(0.0F, 0.0F))").getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0))
+  }
+
+  test("quantize_int8: codes within [-127,127], dequantize error bounded by scale/2") {
+    val r = one("quantize_int8(array(1.0F, -0.5F, 0.25F, 0.0F))")
+    val s = r.getStruct(0)
+    val scale = s.getDouble(0)
+    val codes = s.getSeq[Int](1)
+    assert(math.abs(scale - 1.0 / 127.0) < 1e-12)
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    val orig = Seq(1.0, -0.5, 0.25, 0.0)
+    codes.zip(orig).foreach { case (c, x) =>
+      assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+        s"dequant error for $x: code $c scale $scale") }
+  }
+
   test("topk_pairs keeps the k best pairs, best-first, deterministic ties") {
     GraftFunctions.register(spark)
     import spark.implicits._
