@@ -33,6 +33,7 @@ object GraftFunctions {
     "sorted_overlap_count" -> (c => SortedOverlapCount(c(0), c(1))),
     "l2_normalize" -> (c => L2Normalize(c(0))),
     "quantize_int8" -> (c => QuantizeInt8(c(0))),
+    "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
@@ -82,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sorted_overlap_count" -> (c => SortedOverlapCount(c(0), c(1))),
       "l2_normalize" -> (c => L2Normalize(c(0))),
       "quantize_int8" -> (c => QuantizeInt8(c(0))),
+      "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
       "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
     ).foreach { case (name, builder) =>
       ext.injectFunction((

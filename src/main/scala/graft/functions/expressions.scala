@@ -589,3 +589,60 @@ object QuantizeInt8 {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(codes))
   }
 }
+
+/** `stopword_hits(text, 'w1,w2,...')` — number of space-split words of
+  * `text` found in the comma-separated profile (profile parsed once per
+  * distinct literal, cached). Replaces the filter(words, array_contains)
+  * HOF in the quality/langid scorers, which ran interpreted per row; this
+  * is one pass over the UTF-8 bytes with a hash-set probe per word. */
+case class StopwordHits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"stopword_hits(string, string-literal) got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_hits"
+  override protected def nullSafeEval(t: Any, p: Any): Any =
+    StopwordHits.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.functions.StopwordHits.compute($t, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object StopwordHits {
+  private val profiles =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]()
+
+  private def profile(csv: org.apache.spark.unsafe.types.UTF8String) =
+    profiles.computeIfAbsent(csv.toString, k => {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      k.split(",").foreach(w =>
+        s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    })
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      csv: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val set = profile(csv)
+    val bytes = text.getBytes
+    val n = bytes.length
+    var hits = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (set.contains(org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(bytes, start, i - start))) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
+}

@@ -26,19 +26,23 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
     "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "ist", "des"))
 
-  /** Stopword-hit fraction for one language profile. */
-  private def profileScore(words: Column, profile: Seq[String]): Column =
-    round(size(filter(words, w => array_contains(typedLit(profile), w)))
+  /** Stopword-hit fraction for one language profile, via the native
+    * `stopword_hits` kernel (the round-1 filter+array_contains HOF ran
+    * interpreted per row). */
+  private def profileScore(lowerText: Column, words: Column, profile: Seq[String]): Column =
+    round(call_function("stopword_hits", lowerText, lit(profile.mkString(",")))
       .cast("double") / size(words), 4)
 
   /** Language-ID scoring. Predicted language = argmax profile score with
     * 'und' (undetermined) when no profile scores above the floor. Applied to
     * any (doc_id, text[, lang]) frame — the planted-sentence spec reuses it. */
   def langidOn(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
     val words = split(lower(col("text")), " ")
     val scored = d.withColumn("words", words)
       .filter(size(col("words")) > 0)
-    val scoreCols = Profiles.map { case (l, p) => profileScore(col("words"), p).as(s"score_$l") }
+    val scoreCols = Profiles.map { case (l, p) =>
+      profileScore(lower(col("text")), col("words"), p).as(s"score_$l") }
     val best = Profiles.map { case (l, _) =>
       struct(col(s"score_$l").as("s"), lit(l).as("l"))
     }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
@@ -57,6 +61,7 @@ object TextAnalysis {
   /** Quality metrics: length, punctuation ratio, stopword ratio, mean word
     * length, repetition (1 - type/token ratio), composite score. */
   def xQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val words = split(col("text"), " ")
     docs(spark, dir)
       .withColumn("words", words)
@@ -65,12 +70,15 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).as("len"),
         size(col("words")).as("n_words"),
-        round(aggregate(transform(col("words"), w => length(w)), lit(0),
-          (acc, x) => acc + x).cast("double") / size(col("words")), 4).as("mean_word_len"),
+        // sum(len(word)) over a single-char split is ALWAYS
+        // len(text) − (n_words − 1): pure arithmetic replaces the round-1
+        // aggregate(transform(...)) HOF chain (interpreted per row)
+        round((length(col("text")) - size(col("words")) + 1).cast("double") /
+          size(col("words")), 4).as("mean_word_len"),
         round(regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
           length(col("text")), 4).as("punct_ratio"),
-        round(size(filter(col("words"),
-          w => array_contains(typedLit(Profiles.head._2), w))).cast("double") /
+        round(call_function("stopword_hits", col("text"),
+            lit(Profiles.head._2.mkString(","))).cast("double") /
           size(col("words")), 4).as("stopword_ratio"),
         round(lit(1.0) - size(array_distinct(col("words"))).cast("double") /
           size(col("words")), 4).as("repetition"))
