@@ -128,6 +128,50 @@ class PlanAuditSpec extends SparkSpec {
       s"scan does not report bucketed read:\n$p")
   }
 
+  test("AQE splits a skewed join partition (the documented skew mitigation)") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.files.maxPartitionBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // several map tasks per scan: AQE splits a skewed REDUCER partition by
+      // mapper ranges, so a single-mapper shuffle can never be split
+      conf.set("spark.sql.files.maxPartitionBytes", "262144")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // ~95% of fact rows land on key 0 — one reducer partition dwarfs the
+      // rest (sf0.01: ~57k rows on the hot key, well past the 16KB threshold).
+      // repartition(8) first: the testdata parquet is a single row group =
+      // one real mapper, and a skewed reducer partition is split along
+      // mapper boundaries — data must arrive from several mappers at all.
+      val fact = Tables.t(spark, sf01, "lineitem")
+        .select((when(col("l_orderkey") % 20 === 0, col("l_orderkey") % 5 + 1)
+          .otherwise(0L)).as("k"), col("l_quantity"))
+        .repartition(8)
+      val dim = spark.range(0, 6).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("name"))
+      // no aggregation after the join: a downstream distribution requirement
+      // makes AQE skip the skew split (it won't add an extra shuffle unless
+      // forceOptimizeSkewedJoin) — the bare join IS the scenario
+      val joined = fact.join(dim, "k").select("name", "l_quantity")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true in plan):\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
