@@ -192,6 +192,56 @@ object Relational {
       |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |ORDER BY custkey""".stripMargin
 
+  /** EXCEPT ALL / INTERSECT ALL — multiset semantics (one survivor per
+    * matched copy). Monthly buyer lists repeat custkeys, so the multiset
+    * results genuinely differ from the distinct variants. */
+  def sExceptAll(spark: SparkSession, dir: String): DataFrame =
+    buyers(spark, dir, "1996-01-01", "1997-01-01")
+      .exceptAll(buyers(spark, dir, "1997-01-01", "1998-01-01"))
+      .orderBy("custkey")
+
+  val sExceptAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |EXCEPT ALL
+      |SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY custkey""".stripMargin
+
+  def sIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    buyers(spark, dir, "1996-01-01", "1997-01-01")
+      .intersectAll(buyers(spark, dir, "1997-01-01", "1998-01-01"))
+      .orderBy("custkey")
+
+  val sIntersectAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |INTERSECT ALL
+      |SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY custkey""".stripMargin
+
+  /** DISTINCT ON (reference sql/src/select.rs distinct_on; Postgres/DuckDB
+    * syntax): first row per key in sort order — Spark has no DISTINCT ON,
+    * and the row_number window (rn = 1) is its exact desugaring. Oracle
+    * uses real DISTINCT ON. */
+  def sDistinctOn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), asc("o_orderkey"))
+    ord(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("latest_date"))
+      .orderBy("o_custkey")
+  }
+
+  val sDistinctOnSql: String =
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+      |  o_orderdate AS latest_date
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin
+
   /** DISTINCT projection (hash-aggregate with no agg functions). */
   def sDistinct(spark: SparkSession, dir: String): DataFrame =
     li(spark, dir).select(col("l_returnflag"), col("l_linestatus"))
@@ -643,6 +693,8 @@ object Relational {
     "g_rollup" -> (gRollup _), "g_cube" -> (gCube _), "g_sets" -> viaSql(gSetsSql),
     "s_union_all" -> (sUnionAll _), "s_intersect" -> (sIntersect _),
     "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
+    "s_except_all" -> (sExceptAll _), "s_intersect_all" -> (sIntersectAll _),
+    "s_distinct_on" -> (sDistinctOn _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
@@ -660,6 +712,8 @@ object Relational {
     "g_rollup" -> gRollupSql, "g_cube" -> gCubeSql, "g_sets" -> gSetsSql,
     "s_union_all" -> sUnionAllSql, "s_intersect" -> sIntersectSql,
     "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
+    "s_except_all" -> sExceptAllSql, "s_intersect_all" -> sIntersectAllSql,
+    "s_distinct_on" -> sDistinctOnSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * for the non-obvious ones. Value-level gate = DuckDB oracle (check.py). */
 class RelationalSpec extends SparkSpec {
 
-  private val mayBeEmptyAtTinySf = Set("j_anti", "s_except")
+  private val mayBeEmptyAtTinySf = Set("j_anti", "s_except", "s_except_all")
 
   Relational.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
