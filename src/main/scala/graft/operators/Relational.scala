@@ -192,6 +192,24 @@ object Relational {
       |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |ORDER BY custkey""".stripMargin
 
+  /** Global multi-column sort — the reference's sort_tpch benchmark shape
+    * (benchmarks/src/sort_tpch.rs: end-to-end sort SQL on lineitem). Spark
+    * executes it as sample → range-partition exchange → per-partition sort:
+    * fully distributed, no single-task global sort (PlanAuditSpec asserts
+    * the rangepartitioning exchange). */
+  def srtLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(asc("l_returnflag"), desc("l_shipdate"), asc("l_orderkey"),
+        asc("l_linenumber"))
+
+  val srtLineitemSql: String =
+    """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+      |       round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey, l_linenumber""".stripMargin
+
   /** EXCEPT ALL / INTERSECT ALL — multiset semantics (one survivor per
     * matched copy). Monthly buyer lists repeat custkeys, so the multiset
     * results genuinely differ from the distinct variants. */
@@ -694,7 +712,7 @@ object Relational {
     "s_union_all" -> (sUnionAll _), "s_intersect" -> (sIntersect _),
     "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
     "s_except_all" -> (sExceptAll _), "s_intersect_all" -> (sIntersectAll _),
-    "s_distinct_on" -> (sDistinctOn _),
+    "s_distinct_on" -> (sDistinctOn _), "srt_lineitem" -> (srtLineitem _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
@@ -713,7 +731,7 @@ object Relational {
     "s_union_all" -> sUnionAllSql, "s_intersect" -> sIntersectSql,
     "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
     "s_except_all" -> sExceptAllSql, "s_intersect_all" -> sIntersectAllSql,
-    "s_distinct_on" -> sDistinctOnSql,
+    "s_distinct_on" -> sDistinctOnSql, "srt_lineitem" -> srtLineitemSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,

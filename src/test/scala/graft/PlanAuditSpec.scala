@@ -172,6 +172,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("srt_lineitem: global sort runs as a distributed range-partitioned sort") {
+    val df = Relational.srtLineitem(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Exchange rangepartitioning"),
+      s"global sort is not range-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"sort collapsed to a single partition:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
