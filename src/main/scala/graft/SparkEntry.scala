@@ -15,7 +15,7 @@ object SparkEntry {
       operators.FunctionLib.queries ++ operators.NativeOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.ClickBench.queries ++
-      operators.Multimodal.queries ++
+      operators.Multimodal.queries ++ operators.Pipeline.queries ++
       sources.Sources.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names/rounding as
@@ -25,6 +25,6 @@ object SparkEntry {
       operators.FunctionLib.oracle ++ operators.NativeOps.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++ operators.ClickBench.oracle ++
-      operators.Multimodal.oracle ++
+      operators.Multimodal.oracle ++ operators.Pipeline.oracle ++
       sources.Sources.oracle
 }

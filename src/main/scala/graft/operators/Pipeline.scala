@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** End-to-end training-data pipeline composite (SURVEY §2.5–§2.7): the
+  * operators composed the way a real corpus build uses them —
+  *
+  *   normalize → exact-dedup on normalized text → quality filter →
+  *   per-source corpus stats
+  *
+  * in ONE Catalyst plan: the normalize/filter stages fuse into the scan
+  * (narrow, codegen'd), dedup is the single hash shuffle, and the final
+  * stats aggregate is partial-aggregated. Entirely SQL-expressible, so
+  * unlike the individual fuzzy-dedup operators this composite is
+  * hash-checked against DuckDB end to end. */
+object Pipeline {
+
+  def pE2e(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9\\s]", ""), "\\s+", " ")).as("t"))
+    val deduped = norm
+      .groupBy("t")
+      .agg(min("doc_id").as("doc_id"), min_by(col("source"), col("doc_id")).as("source"))
+    deduped
+      .withColumn("n_words", size(split(col("t"), " ")))
+      .filter(col("n_words") >= 5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        round(avg(length(col("t"))), 2).as("avg_chars"))
+      .orderBy("source")
+  }
+
+  val pE2eSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |deduped AS (
+      |  SELECT t, min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+      |  FROM norm GROUP BY t),
+      |kept AS (
+      |  SELECT source, t, len(string_split(t, ' ')) AS n_words
+      |  FROM deduped WHERE len(string_split(t, ' ')) >= 5)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_words) AS BIGINT) AS total_words,
+      |       round(avg(length(t)), 2) AS avg_chars
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("p_e2e" -> (pE2e _))
+
+  val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql)
+}
