@@ -702,6 +702,51 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** CREATE VIEW + query-through-view (reference statement.rs handles
+    * CREATE VIEW): the view body carries a filter + projection; resolution,
+    * inlining and pushdown happen through the catalog object. */
+  def ddlView(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_big_orders AS
+                |SELECT o_custkey, o_totalprice FROM orders
+                |WHERE o_totalprice > 200000""".stripMargin)
+    spark.sql("""SELECT o_custkey, count(*) AS n,
+                |       round(sum(o_totalprice), 2) AS total
+                |FROM graft_big_orders
+                |GROUP BY o_custkey HAVING count(*) >= 2
+                |ORDER BY o_custkey""".stripMargin)
+  }
+
+  val ddlViewSql: String =
+    """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT o_custkey, o_totalprice FROM orders
+      |      WHERE o_totalprice > 200000)
+      |GROUP BY o_custkey HAVING count(*) >= 2
+      |ORDER BY o_custkey""".stripMargin
+
+  /** INSERT INTO a managed catalog table (reference statement.rs
+    * SqlToRel::insert_to_plan): CTAS the base, INSERT an additional derived
+    * batch, query the union back through the catalog. */
+  def ddlInsert(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    dropManaged(spark, "graft_region_copy")
+    spark.sql(
+      "CREATE TABLE graft_region_copy USING PARQUET AS SELECT * FROM region")
+    spark.sql(
+      """INSERT INTO graft_region_copy
+        |SELECT r_regionkey + 100, upper(r_name) FROM region""".stripMargin)
+    spark.sql(
+      """SELECT r_regionkey, r_name FROM graft_region_copy
+        |ORDER BY r_regionkey""".stripMargin)
+  }
+
+  val ddlInsertSql: String =
+    """SELECT r_regionkey, r_name FROM (
+      |  SELECT r_regionkey, r_name FROM region
+      |  UNION ALL
+      |  SELECT r_regionkey + 100, upper(r_name) FROM region)
+      |ORDER BY r_regionkey""".stripMargin
+
   private def viaSql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
 
@@ -722,7 +767,8 @@ object Relational {
     "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql),
     "cte_recursive" -> viaSql(cteRecursiveSql),
     "explain_plan" -> (explainPlan _), "explain_analyze" -> (explainAnalyze _),
-    "ddl_table" -> (ddlTable _), "ddl_bucketed" -> (ddlBucketed _))
+    "ddl_table" -> (ddlTable _), "ddl_bucketed" -> (ddlBucketed _),
+    "ddl_view" -> (ddlView _), "ddl_insert" -> (ddlInsert _))
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
@@ -740,5 +786,6 @@ object Relational {
     "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
     "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql,
     "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql,
-    "ddl_bucketed" -> ddlBucketedSql)
+    "ddl_bucketed" -> ddlBucketedSql,
+    "ddl_view" -> ddlViewSql, "ddl_insert" -> ddlInsertSql)
 }
