@@ -241,7 +241,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d_contam
+  /** Benchmark decontamination — the training-data op that removes documents
+    * overlapping an evaluation set. Eval set = every 25th doc's text (a
+    * deterministic stand-in for a benchmark suite); a training doc is
+    * contaminated when it shares ≥ MinHits distinct word-8-gram shingles
+    * with any eval doc (the n-gram-overlap rule used for LLM corpus
+    * decontamination).
+    *
+    * 100 TB shape: eval shingles are a SMALL relation (benchmarks are tiny
+    * next to the corpus) → broadcast hash join against the corpus's
+    * exploded shingles, then one partial-aggregated count per (doc, eval)
+    * pair. The corpus is never shuffled whole, and since the planted
+    * "training" side contains the eval docs themselves (doc ids differ),
+    * the op must find exactly those — DedupSpec asserts it. */
+  val ContamWidth = 8
+  val MinHits = 3
+
+  def dContam(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = withPlantedExact(docs(spark, dir))
+      .select(col("doc_id"), expr(s"word_shingles(text, $ContamWidth)").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val eval_ = docs(spark, dir).filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("eval_id"),
+        expr(s"word_shingles(text, $ContamWidth)").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalShingles = eval_.select(col("eval_id"), explode(col("sh")).as("h"))
+    corpus.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(evalShingles), "h")
+      .filter(col("doc_id") =!= col("eval_id"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_hits")) // shingle sets: distinct by construction
+      .filter(col("n_hits") >= MinHits)
+      .orderBy("doc_id", "eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_contam" -> (dContam _),
     "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
     "d_embed_dup" -> (dEmbedDup _), "x_fingerprint" -> (xFingerprint _))

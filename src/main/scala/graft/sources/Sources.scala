@@ -112,6 +112,35 @@ object Sources {
       |       o_orderdate
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- src_evolve
+  /** Schema evolution on read — the data-lake reality that a 100 TB table's
+    * early files lack columns added later. Batch 1 is written without
+    * n_regionkey, batch 2 with it; a mergeSchema read unions the schemas
+    * and fills the missing column with NULL for old files. Oracle builds
+    * the same union explicitly. */
+  def srcEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val out1 = ioDir("nation_evolve_b1")
+    val out2 = ioDir("nation_evolve_b2")
+    val nation = Tables.t(spark, dir, "nation")
+    nation.select(col("n_nationkey"), col("n_name"))
+      .withColumn("batch", lit(1))
+      .write.mode(SaveMode.Overwrite).parquet(out1)
+    nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .withColumn("batch", lit(2))
+      .write.mode(SaveMode.Overwrite).parquet(out2)
+    spark.read.option("mergeSchema", "true").parquet(out1, out2)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("batch"))
+      .orderBy("batch", "n_nationkey")
+  }
+
+  val srcEvolveSql: String =
+    """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+      |       1 AS batch
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 2 AS batch FROM nation
+      |ORDER BY batch, n_nationkey""".stripMargin
+
   // ------------------------------------------------------- sink_partitioned
   /** Partitioned (by o_orderstatus) + per-file sorted (sortWithinPartitions
     * on o_orderdate) parquet sink, read back through partition discovery.
@@ -140,10 +169,12 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
+    "src_evolve" -> (srcEvolve _),
     "sink_partitioned" -> (sinkPartitioned _))
 
   val oracle: Map[String, String] = Map(
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,
+    "src_evolve" -> srcEvolveSql,
     "sink_partitioned" -> sinkPartitionedSql)
 }

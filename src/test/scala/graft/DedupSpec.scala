@@ -75,4 +75,29 @@ class DedupSpec extends SparkSpec {
     val n = orig.count()
     assert(orig.select("fp_o").distinct().count() == n)
   }
+
+  test("d_contam: planted eval copies all found; every reported pair truly overlaps") {
+    // eval = every 25th doc; planted exact copies exist for every 10th doc
+    // at id+2000000 → the copies of docs divisible by 50 (lcm) MUST appear.
+    // The generated corpus also shares genuine 8-gram phrases across
+    // distinct docs, so additional true-positive pairs are legitimate —
+    // each reported pair is re-verified with an independent exact
+    // array_intersect overlap count.
+    val result = Dedup.dContam(spark, sf)
+    val found = result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = Tables.t(spark, sf, "documents").count().toInt
+    val planted = (0 until nDocs by 50).map(i => (i + 2000000L, i.toLong)).toSet
+    assert(planted.subsetOf(found), s"missed planted pairs: ${planted -- found}")
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Dedup.withPlantedExact(Tables.t(spark, sf, "documents"))
+      .select(col("doc_id"), expr(s"word_shingles(text, ${Dedup.ContamWidth})").as("sh"))
+    val verified = result
+      .join(corpus.select(col("doc_id"), col("sh").as("sh_d")), "doc_id")
+      .join(corpus.select(col("doc_id").as("eval_id"), col("sh").as("sh_e")), "eval_id")
+      .withColumn("true_overlap", size(array_intersect(col("sh_d"), col("sh_e"))))
+    assert(verified.filter(col("true_overlap") < Dedup.MinHits).count() == 0,
+      "a reported pair does not actually share enough shingles")
+    assert(verified.filter(col("true_overlap") =!= col("n_hits")).count() == 0,
+      "reported hit counts diverge from exact overlap")
+  }
 }
