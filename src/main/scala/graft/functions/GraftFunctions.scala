@@ -34,6 +34,7 @@ object GraftFunctions {
     "l2_normalize" -> (c => L2Normalize(c(0))),
     "quantize_int8" -> (c => QuantizeInt8(c(0))),
     "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
+    "cosine_similarity_int" -> (c => CosineSimilarityInt(c(0), c(1))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
@@ -84,6 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "l2_normalize" -> (c => L2Normalize(c(0))),
       "quantize_int8" -> (c => QuantizeInt8(c(0))),
       "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
+      "cosine_similarity_int" -> (c => CosineSimilarityInt(c(0), c(1))),
       "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
     ).foreach { case (name, builder) =>
       ext.injectFunction((

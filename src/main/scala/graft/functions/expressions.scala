@@ -646,3 +646,46 @@ object StopwordHits {
     hits
   }
 }
+
+/** `cosine_similarity_int(a, b)` — cosine over int arrays (the int8
+  * quantization codes from `quantize_int8`; symmetric per-vector scales
+  * cancel in cosine, so scoring needs only the codes). Same fused loop as
+  * CosineSimilarity, integer loads. */
+case class CosineSimilarityInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity_int needs two array<int> args, got " +
+        s"${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity_int"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarityInt.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSimilarityInt.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CosineSimilarityInt {
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var nx = 0L; var ny = 0L
+    var i = 0
+    while (i < n) {
+      val a = x.getInt(i).toLong; val b = y.getInt(i).toLong
+      dot += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    if (nx == 0L || ny == 0L) 0.0
+    else dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
+  }
+}

@@ -235,9 +235,28 @@ object Similarity {
       |      y -> abs(y))) / 127.0) + 0.5) AS INTEGER)) AS codes
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------ n_quant_topk
+  /** Brute-force top-k over int8-QUANTIZED embeddings — the serving-path
+    * variant: cosine is scale-invariant so the per-vector quantization
+    * scale cancels and scoring touches only the int8 codes (4× less data
+    * per row than float32; at 100 TB that is the difference between the
+    * corpus fitting executor page cache or not). Rows-only;
+    * SimilaritySpec measures recall vs the exact float top-k. */
+  def nQuantTopk(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = emb(spark, dir)
+      .select(col("vec_id"), expr("quantize_int8(embedding).codes").as("codes"))
+    val queries = q.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("codes").as("qcodes"))
+    topK(q.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        round(expr("cosine_similarity_int(codes, qcodes)"), 6).as("cos")), K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_brute_topk" -> (nBruteTopk _), "n_lsh_topk" -> (nLshTopk _),
-    "n_ivf_topk" -> (nIvfTopk _),
+    "n_ivf_topk" -> (nIvfTopk _), "n_quant_topk" -> (nQuantTopk _),
     "e_normalize" -> (eNormalize _), "e_quantize" -> (eQuantize _))
 
   val oracle: Map[String, String] = Map("n_brute_topk" -> nBruteTopkSql,

@@ -33,6 +33,11 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("n_quant_topk: int8-quantized scoring preserves most of the exact top-k") {
+    val recall = recallOf(Similarity.nQuantTopk(spark, sf01).collect())
+    assert(recall >= 0.8, s"int8 quantization recall $recall < 0.8")
+  }
+
   test("n_lsh_topk: recall floor and candidate-fraction ceiling") {
     val n = Tables.t(spark, sf01, "embeddings").count()
     val candPerQuery = Similarity.lshCandidates(spark, sf01)
