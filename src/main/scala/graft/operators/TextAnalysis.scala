@@ -226,9 +226,48 @@ object TextAnalysis {
       |SELECT bg, count(*) AS n FROM pairs
       |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin
 
+  // ----------------------------------------------------------- x_unigram_lp
+  /** Unigram log-probability scoring — the perplexity-proxy quality filter
+    * (CCNet-style): build the corpus unigram model, then score each doc by
+    * its mean word log-probability; low scores flag gibberish/boilerplate.
+    *
+    * 100 TB shape: the model is ONE partial-aggregated count (words shrink
+    * to a vocab-sized relation), the scoring join BROADCASTS the vocab —
+    * the corpus explodes to words but never shuffles; per-doc mean is a
+    * partial-aggregated groupBy on doc_id. OOV words get a -10.0 floor. */
+  def xUnigramLp(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val total = words.count().toDouble
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("w"), log(col("n") / total).as("logp"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(round(avg(coalesce(col("logp"), lit(-10.0))), 4).as("mean_logp"),
+        count(lit(1)).as("n_scored"))
+      .orderBy("doc_id")
+  }
+
+  val xUnigramLpSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0),
+      |vocab AS (
+      |  SELECT w, ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM words)) AS logp
+      |  FROM words GROUP BY w)
+      |SELECT doc_id,
+      |       round(avg(coalesce(logp, -10.0)), 4) AS mean_logp,
+      |       count(*) AS n_scored
+      |FROM words LEFT JOIN vocab USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
     "x_sentences" -> (xSentences _), "x_top_ngrams" -> (xTopNgrams _),
+    "x_unigram_lp" -> (xUnigramLp _),
     "x_langid" -> (xLangid _), "x_quality" -> (xQuality _),
     "x_tokcount" -> (xTokcount _), "x_docstats" -> (xDocstats _))
 
@@ -236,5 +275,6 @@ object TextAnalysis {
     "x_quality" -> xQualitySql, "x_tokcount" -> xTokcountSql,
     "x_docstats" -> xDocstatsSql,
     "x_normalize" -> xNormalizeSql, "x_scrub" -> xScrubSql,
-    "x_sentences" -> xSentencesSql, "x_top_ngrams" -> xTopNgramsSql)
+    "x_sentences" -> xSentencesSql, "x_top_ngrams" -> xTopNgramsSql,
+    "x_unigram_lp" -> xUnigramLpSql)
 }
