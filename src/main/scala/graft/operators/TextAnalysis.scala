@@ -239,9 +239,12 @@ object TextAnalysis {
     val words = docs(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val total = words.count().toDouble
-    val vocab = words.groupBy("w").agg(count(lit(1)).as("n"))
-      .select(col("w"), log(col("n") / total).as("logp"))
+    // total word count stays IN the plan (1-row broadcast over the tiny
+    // vocab aggregate) — no driver-side action in the operator
+    val counts = words.groupBy("w").agg(count(lit(1)).as("n"))
+    val vocab = counts
+      .crossJoin(broadcast(counts.agg(sum("n").cast("double").as("tot"))))
+      .select(col("w"), log(col("n") / col("tot")).as("logp"))
     words.join(broadcast(vocab), Seq("w"), "left")
       .groupBy("doc_id")
       .agg(round(avg(coalesce(col("logp"), lit(-10.0))), 4).as("mean_logp"),
