@@ -84,17 +84,16 @@ object AvroDataSource {
   }
 }
 
-class AvroTable(path: String, schema: StructType)
+class AvroTable(path: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-avro:$path"
-  override def schema(): StructType = schema0
-  private def schema0: StructType = schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, schema)
+    new AvroScanBuilder(path, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, info.schema())
