@@ -58,6 +58,42 @@ object ClickBench {
       |  round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Value histogram: fixed-width bins (arithmetic binning — DuckDB has no
+    * width_bucket, the explicit floor is portable), per event type. The
+    * dashboard-histogram shape: one partial-aggregated shuffle. */
+  def cbHistogram(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("bin", floor(col("value") / 10.0).cast("int"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+
+  val cbHistogramSql: String =
+    """SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bin,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type, bin
+      |ORDER BY event_type, bin""".stripMargin
+
+  /** Heavy hitters by DISTINCT reach (top event types per distinct-user
+    * count, with per-type rates) — the ClickBench "top pages by unique
+    * visitors" shape: two-level aggregate, count-distinct inside. */
+  def cbTopByUniq(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("uniq"),
+        count(lit(1)).as("n"),
+        round(count(lit(1)).cast("double") / countDistinct("user_id"), 4)
+          .as("events_per_user"))
+      .orderBy(desc("uniq"), asc("event_type"))
+      .limit(5)
+
+  val cbTopByUniqSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS uniq, count(*) AS n,
+      |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT user_id), 4)
+      |    AS events_per_user
+      |FROM events GROUP BY event_type
+      |ORDER BY uniq DESC, event_type LIMIT 5""".stripMargin
+
   /** JOB/IMDB-shaped query (reference: benchmarks/src/imdb/): a selective
     * multi-join where predicates sit on several dimensions at once and join
     * order dominates cost — Catalyst reorders from the filtered sides. */
@@ -89,9 +125,11 @@ object ClickBench {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cb_top_users" -> (cbTopUsers _), "cb_uniq_users" -> (cbUniqUsers _),
-    "cb_quantiles" -> (cbQuantiles _), "job_like" -> (jobLike _))
+    "cb_quantiles" -> (cbQuantiles _), "cb_histogram" -> (cbHistogram _),
+    "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
     "cb_top_users" -> cbTopUsersSql, "cb_uniq_users" -> cbUniqUsersSql,
-    "cb_quantiles" -> cbQuantilesSql, "job_like" -> jobLikeSql)
+    "cb_quantiles" -> cbQuantilesSql, "cb_histogram" -> cbHistogramSql,
+    "cb_top_by_uniq" -> cbTopByUniqSql, "job_like" -> jobLikeSql)
 }
