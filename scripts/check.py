@@ -20,15 +20,15 @@ def load(con, sfdir):
 def norm(df):
     import datetime
     import numpy as np
-    def detuple(v):
-        if isinstance(v, (np.ndarray, list)):
-            return tuple(detuple(x) for x in v)
-        return v
     for c in df.columns:
         if df[c].dtype == object:
             nn0 = df[c].dropna()
             if len(nn0) and any(isinstance(v, (np.ndarray, list)) for v in nn0.head(5)):
-                df[c] = df[c].map(detuple)
+                # The DRIVER's compare crashes on array columns
+                # (pandas sort_values -> factorize -> "unhashable type:
+                # numpy.ndarray", round-2 e_normalize/e_quantize). Mirror
+                # that as a hard failure so no oracle query ships arrays.
+                raise ValueError(f"array-typed column '{c}' would crash the driver compare — explode or stringify it")
         # pandas reads parquet DATE as object-of-datetime.date; DuckDB
         # fetchdf gives datetime64 — same logical type, align them
         if df[c].dtype == object:

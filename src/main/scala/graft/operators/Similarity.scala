@@ -192,48 +192,56 @@ object Similarity {
   // ----------------------------------------------------------- e_normalize
   /** Unit-L2 embeddings via the native `l2_normalize` kernel (double-math,
     * division not reciprocal — bit-compatible with the oracle's x/norm).
-    * The preprocessing step every ANN/serving path wants stored. */
+    * The preprocessing step every ANN/serving path wants stored.
+    *
+    * Output is the element-exploded form (vec_id, pos, val): the driver's
+    * pandas-based compare cannot sort/hash raw array columns (round-2
+    * CORRECTNESS err "unhashable type: numpy.ndarray"), and exploding
+    * hash-checks every element instead of an opaque blob. The stored-array
+    * form is `expr("l2_normalize(embedding)")` — one expression away. */
   def eNormalize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.t(spark, dir, "embeddings")
-      .select(col("vec_id"), expr("l2_normalize(embedding)").as("unit"))
-      .orderBy("vec_id")
+      .select(col("vec_id"),
+        posexplode(expr("l2_normalize(embedding)")).as(Seq("pos", "val")))
+      .orderBy("vec_id", "pos")
   }
 
   val eNormalizeSql: String =
-    """SELECT vec_id,
-      |  CASE WHEN sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-      |                 x -> x * x))) = 0 THEN
-      |    list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)
-      |  ELSE
-      |    list_transform(CAST(embedding AS DOUBLE[]),
-      |      x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-      |                    y -> y * y))))
-      |  END AS unit
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+    """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM b),
+      |x AS (SELECT vec_id, nrm, e,
+      |        unnest(generate_series(1, len(e))) AS i FROM n)
+      |SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+      |       CASE WHEN nrm = 0 THEN 0.0 ELSE e[CAST(i AS INTEGER)] / nrm END AS val
+      |FROM x ORDER BY vec_id, pos""".stripMargin
 
   // ------------------------------------------------------------ e_quantize
   /** Symmetric int8 quantization (scale = max|x|/127, half-up rounding) via
     * the native `quantize_int8` kernel — the 4× storage cut for a float32
-    * embedding corpus. */
+    * embedding corpus. Element-exploded output for the same driver-compare
+    * reason as e_normalize. */
   def eQuantize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.t(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("quantize_int8(embedding)").as("q"))
+      .select(col("vec_id"), expr("quantize_int8(embedding)").as("q"))
       .select(col("vec_id"), round(col("q.scale"), 9).as("scale"),
-        col("q.codes").as("codes"))
-      .orderBy("vec_id")
+        posexplode(col("q.codes")).as(Seq("pos", "code")))
+      .orderBy("vec_id", "pos")
   }
 
   val eQuantizeSql: String =
-    """SELECT vec_id,
-      |  round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
-      |    x -> abs(x))) / 127.0, 9) AS scale,
-      |  list_transform(CAST(embedding AS DOUBLE[]),
-      |    x -> CAST(floor(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]),
-      |      y -> abs(y))) / 127.0) + 0.5) AS INTEGER)) AS codes
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+    """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |        CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+      |             ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+      |        END AS sc FROM b),
+      |x AS (SELECT vec_id, sc, e,
+      |        unnest(generate_series(1, len(e))) AS i FROM s)
+      |SELECT vec_id, round(sc, 9) AS scale, CAST(i - 1 AS INTEGER) AS pos,
+      |       CAST(floor(e[CAST(i AS INTEGER)] / sc + 0.5) AS INTEGER) AS code
+      |FROM x ORDER BY vec_id, pos""".stripMargin
 
   // ------------------------------------------------------------ n_quant_topk
   /** Brute-force top-k over int8-QUANTIZED embeddings — the serving-path
