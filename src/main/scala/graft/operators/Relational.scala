@@ -747,13 +747,102 @@ object Relational {
       |  SELECT r_regionkey + 100, upper(r_name) FROM region)
       |ORDER BY r_regionkey""".stripMargin
 
+  // ------------------------------------------------------------- g_pivot
+  /** PIVOT: revenue by order-year × priority class via the dedicated
+    * `RelationalGroupedDataset.pivot` operator (explicit value list — the
+    * scale-safe form: no driver-side distinct-value scan; the plan is a
+    * single hash aggregate with one output column per pivoted value, never
+    * a shuffle per value). Reference: DataFusion expresses this shape as
+    * CASE-sum aggregates (benchmarks/queries/q12-style pivots); the oracle
+    * is exactly that desugaring. */
+  def gPivot(spark: SparkSession, dir: String): DataFrame =
+    ord(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum("o_totalprice"), 2))
+      .select(col("yr"), col("`1-URGENT`").as("p1_urgent"),
+        col("`2-HIGH`").as("p2_high"), col("`3-MEDIUM`").as("p3_medium"),
+        col("`4-NOT SPECIFIED`").as("p4_notspec"), col("`5-LOW`").as("p5_low"))
+      .orderBy("yr")
+
+  val gPivotSql: String =
+    """SELECT year(o_orderdate) AS yr,
+      |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p1_urgent,
+      |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p2_high,
+      |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p3_medium,
+      |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p4_notspec,
+      |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p5_low
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ------------------------------------------------------------ u_unpivot
+  /** UNPIVOT (melt): wide lineitem metrics → long (metric, val) rows via the
+    * dedicated `Dataset.unpivot` operator (Spark's Expand — one pass, no
+    * join/union re-scan of the input). Oracle uses DuckDB's SQL-standard
+    * UNPIVOT clause, so both engines run their native unpivot operator. */
+  def uUnpivot(spark: SparkSession, dir: String): DataFrame =
+    li(spark, dir).filter(col("l_orderkey") <= 200)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  val uUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, val
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |             l_discount FROM lineitem WHERE l_orderkey <= 200)
+      |UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // -------------------------------------------------------------- j_range
+  /** Range (interval) join: orders against a small table of price bands
+    * joined on `lo <= price < hi` — with one deliberately OVERLAPPING band,
+    * so the join is a genuine interval join (an order can land in two
+    * tiers), not a disguisable width_bucket. The band side is broadcast:
+    * Spark plans BroadcastNestedLoopJoin, which for a dim-sized interval
+    * table is the correct 100 TB plan (zero shuffle of the fact side; the
+    * residual predicate is codegen'd). A large interval table would instead
+    * be bucket-aligned to turn this into an equi-join on the bucket id —
+    * that pattern is exercised by e_tumbling/ddl_bucketed. */
+  def jRange(spark: SparkSession, dir: String): DataFrame = {
+    val tiers = spark.createDataFrame(Seq(
+      ("t1_small", 0.0, 50000.0), ("t2_mid", 50000.0, 150000.0),
+      ("t3_large", 150000.0, 300000.0), ("t4_jumbo", 300000.0, 600000.0),
+      ("t5_promo_window", 100000.0, 200000.0))).toDF("tier", "lo", "hi")
+    ord(spark, dir)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        round(min("o_totalprice"), 2).as("lo_price"),
+        round(max("o_totalprice"), 2).as("hi_price"))
+      .orderBy("tier")
+  }
+
+  val jRangeSql: String =
+    """SELECT tier, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue,
+      |       round(min(o_totalprice), 2) AS lo_price,
+      |       round(max(o_totalprice), 2) AS hi_price
+      |FROM orders
+      |JOIN (VALUES ('t1_small', 0.0, 50000.0), ('t2_mid', 50000.0, 150000.0),
+      |             ('t3_large', 150000.0, 300000.0),
+      |             ('t4_jumbo', 300000.0, 600000.0),
+      |             ('t5_promo_window', 100000.0, 200000.0)) AS t(tier, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
   private def viaSql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j_semi" -> (jSemi _), "j_anti" -> (jAnti _), "j_full" -> (jFull _),
-    "j_cross" -> (jCross _), "j_asof" -> (jAsof _),
+    "j_cross" -> (jCross _), "j_asof" -> (jAsof _), "j_range" -> (jRange _),
     "g_rollup" -> (gRollup _), "g_cube" -> (gCube _), "g_sets" -> viaSql(gSetsSql),
+    "g_pivot" -> (gPivot _), "u_unpivot" -> (uUnpivot _),
     "s_union_all" -> (sUnionAll _), "s_intersect" -> (sIntersect _),
     "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
     "s_except_all" -> (sExceptAll _), "s_intersect_all" -> (sIntersectAll _),
@@ -772,8 +861,9 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
-    "j_cross" -> jCrossSql, "j_asof" -> jAsofSql,
+    "j_cross" -> jCrossSql, "j_asof" -> jAsofSql, "j_range" -> jRangeSql,
     "g_rollup" -> gRollupSql, "g_cube" -> gCubeSql, "g_sets" -> gSetsSql,
+    "g_pivot" -> gPivotSql, "u_unpivot" -> uUnpivotSql,
     "s_union_all" -> sUnionAllSql, "s_intersect" -> sIntersectSql,
     "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
     "s_except_all" -> sExceptAllSql, "s_intersect_all" -> sIntersectAllSql,

@@ -262,11 +262,39 @@ object Similarity {
         round(expr("cosine_similarity_int(codes, qcodes)"), 6).as("cos")), K)
   }
 
+  // --------------------------------------------------------- n_range_search
+  /** Cosine RANGE search: every (query, corpus) pair with similarity ≥ τ —
+    * the "all neighbors within a radius" companion to top-k (dedup
+    * candidate mining wants this shape, not k-nearest). Exact scoring,
+    * query side broadcast, oracle-checked; the bucketed scale path is the
+    * same `lshCandidates` pruning n_lsh_topk uses, with this threshold
+    * filter in place of the top-k sink. */
+  val RangeTau = 0.2
+
+  def nRangeSearch(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).crossJoin(broadcast(queriesDf(spark, dir)))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"), cos.as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .orderBy("qid", "vid")
+
+  val nRangeSearchSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NumQueries)
+       |SELECT qid, e.vec_id AS vid,
+       |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS cos
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> qid
+       |  AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) >= $RangeTau
+       |ORDER BY qid, vid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_brute_topk" -> (nBruteTopk _), "n_lsh_topk" -> (nLshTopk _),
     "n_ivf_topk" -> (nIvfTopk _), "n_quant_topk" -> (nQuantTopk _),
+    "n_range_search" -> (nRangeSearch _),
     "e_normalize" -> (eNormalize _), "e_quantize" -> (eQuantize _))
 
   val oracle: Map[String, String] = Map("n_brute_topk" -> nBruteTopkSql,
+    "n_range_search" -> nRangeSearchSql,
     "e_normalize" -> eNormalizeSql, "e_quantize" -> eQuantizeSql)
 }

@@ -104,6 +104,47 @@ class RelationalSpec extends SparkSpec {
     assert(outRows.exists(_.getLong(2) > 0), "all numOutputRows metrics are zero")
   }
 
+  test("g_pivot cells re-aggregate to total order revenue") {
+    val p = Relational.gPivot(spark, sf)
+    val cells = p.columns.filter(_ != "yr")
+      .map(c => sum(coalesce(col(c), lit(0.0)))).reduce(_ + _)
+    val pivotTotal = p.agg(round(cells, 2)).collect().head.getDouble(0)
+    val direct = Tables.t(spark, sf, "orders")
+      // per-cell rounding first, matching the pivot's round(sum, 2) cells
+      .groupBy(year(col("o_orderdate")), col("o_orderpriority"))
+      .agg(round(sum("o_totalprice"), 2).as("s"))
+      .agg(round(sum("s"), 2)).collect().head.getDouble(0)
+    assert(math.abs(pivotTotal - direct) < 1e-6, s"$pivotTotal != $direct")
+  }
+
+  test("u_unpivot emits one row per (input row × metric) and keeps values") {
+    val base = Tables.t(spark, sf, "lineitem").filter(col("l_orderkey") <= 200)
+    val up = Relational.uUnpivot(spark, sf)
+    assert(up.count() == 3 * base.count())
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    // so compare per-key sums instead of row-joining
+    val qty = up.filter(col("metric") === "l_quantity")
+      .groupBy("l_orderkey", "l_linenumber").agg(sum("val").as("q"))
+    val exp = base.groupBy("l_orderkey", "l_linenumber")
+      .agg(sum("l_quantity").as("lq"))
+    val mismatch = exp.join(qty, Seq("l_orderkey", "l_linenumber"), "full")
+      .filter(col("lq").isNull || col("q").isNull ||
+        abs(col("lq") - col("q")) > 1e-9).count()
+    assert(mismatch == 0)
+  }
+
+  test("j_range: overlapping band double-counts; non-overlap tiers partition orders") {
+    val r = Relational.jRange(spark, sf).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    val nOrders = Tables.t(spark, sf, "orders").count()
+    val corePartition = Seq("t1_small", "t2_mid", "t3_large", "t4_jumbo")
+      .map(r.getOrElse(_, 0L)).sum
+    assert(corePartition == nOrders,
+      s"aligned tiers must partition: $corePartition != $nOrders")
+    // the promo window overlaps t2/t3, so total matches exceed the order count
+    assert(r.getOrElse("t5_promo_window", 0L) > 0)
+  }
+
   test("ddl_table CTAS is idempotent; DESCRIBE and SHOW TABLES see the table") {
     Relational.ddlTable(spark, sf).collect()
     val again = Relational.ddlTable(spark, sf) // re-run must not fail

@@ -60,6 +60,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall < 0.6")
   }
 
+  test("n_range_search agrees with brute-force top-k above the threshold") {
+    val range = Similarity.nRangeSearch(spark, sf01).collect()
+    assert(range.nonEmpty)
+    assert(range.forall(_.getAs[Double]("cos") >= Similarity.RangeTau))
+    // every top-k pair scoring >= tau must be in the range result
+    val rangePairs = range.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    val topAbove = Similarity.nBruteTopk(spark, sf01).collect()
+      .filter(_.getAs[Double]("cos") >= Similarity.RangeTau)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    assert(topAbove.subsetOf(rangePairs))
+  }
+
   test("ivf assignment covers the whole corpus exactly once") {
     val assigned = Similarity.ivfAssigned(spark, sf01)
     val n = Tables.t(spark, sf01, "embeddings").count()
