@@ -277,8 +277,73 @@ object Dedup {
       .orderBy("doc_id", "eval_id")
   }
 
+  // ---------------------------------------------------------------- d_cluster
+  /** Connected components over the near-dup pair graph — pairwise dedup
+    * (d_minhash) says "a≈b"; production dedup needs the transitive GROUPS
+    * ("a,b,c are one document; keep one") because near-duplicates chain.
+    *
+    * Algorithm: iterative minimum-label propagation. Each node starts with
+    * label = its own id; every round each node takes the min of its own and
+    * its neighbors' labels; fixpoint = every node labeled with its
+    * component's minimum id. Converges in O(component diameter) rounds —
+    * dup clusters are shallow (stars/cliques of rewrites), so 3–5 rounds in
+    * practice; `maxIter` bounds pathological chains.
+    *
+    * 100 TB shape: the edge list holds ONLY docs that appear in some
+    * near-dup pair (a small fraction of the corpus); each round is one
+    * partial-aggregated min per node after an equi-join on node id — no
+    * global structure, no driver-side graph. The per-round `count()` that
+    * detects the fixpoint is a scalar action, not a collect. (The classic
+    * refinement for skewed mega-components is large-star/small-star
+    * [Kiveris et al. 2014], which this API slot would host unchanged.) */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters from the minhash pipeline: each doc that has any
+    * verified near-duplicate, labeled with its cluster (= min doc_id in the
+    * component), plus per-cluster size — the "keep cluster_id, drop the
+    * rest" dedup decision. Rows-only (hash pipeline); DedupSpec asserts the
+    * planted chain collapses into one cluster and labels are component
+    * minima. */
+  def dCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(
+      wordShingleSets(withPlantedNear(docs(spark, dir))), 0.5)
+    val labeled = connectedComponents(pairs)
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d_contam" -> (dContam _),
+    "d_contam" -> (dContam _), "d_cluster" -> (dCluster _),
     "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
     "d_embed_dup" -> (dEmbedDup _), "x_fingerprint" -> (xFingerprint _))

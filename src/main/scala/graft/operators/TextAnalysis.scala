@@ -267,10 +267,181 @@ object TextAnalysis {
       |FROM words LEFT JOIN vocab USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- x_gopher
+  /** Gopher-style quality filter (Rae et al. 2021, "Scaling Language Models:
+    * … Gopher", §A1.1 quality heuristics) adapted to this corpus: word-count
+    * bounds, mean-word-length band, minimum fraction of words containing an
+    * alphabetic character, minimum stopword hits. Emits the per-rule stats
+    * AND the keep/reject decision with the first failing rule named — the
+    * form a pipeline audits.
+    *
+    * The alpha-word count is codegen-portable without lambda HOFs: doubling
+    * every delimiter first (' '→'  ') gives each token its own private
+    * delimiters, so a non-overlapping regexp_count of ' [^a-z ]+ ' counts
+    * alpha-free words exactly (adjacent matches no longer share the space).
+    * One projection, no shuffle, no interpreted code. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMwl = 3.0
+  val GopherMaxMwl = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStop = 2
+
+  def xGopher(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    gopherOn(docs(spark, dir).select("doc_id", "text"))
+  }
+
+  /** Gopher scoring applied to any (doc_id, text) frame (spec plants
+    * rule-violating docs through the same path). */
+  def gopherOn(d: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val padded = concat(lit(" "), regexp_replace(col("text"), lit(" "), lit("  ")), lit(" "))
+    d.withColumn("words", words)
+      .filter(size(col("words")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("words")).as("n_words"),
+        round((length(col("text")) - size(col("words")) + 1).cast("double") /
+          size(col("words")), 4).as("mean_word_len"),
+        round((size(col("words")) -
+            regexp_count(padded, lit(" [^a-z ]+ "))).cast("double") /
+          size(col("words")), 4).as("alpha_frac"),
+        call_function("stopword_hits", col("text"),
+          lit(Profiles.head._2.mkString(","))).as("n_stop"))
+      .withColumn("reject_reason",
+        when(col("n_words") < GopherMinWords, "too_few_words")
+          .when(col("n_words") > GopherMaxWords, "too_many_words")
+          .when(col("mean_word_len") < GopherMinMwl, "short_words")
+          .when(col("mean_word_len") > GopherMaxMwl, "long_words")
+          .when(col("alpha_frac") < GopherMinAlphaFrac, "non_alpha")
+          .when(col("n_stop") < GopherMinStop, "no_stopwords")
+          .otherwise("ok"))
+      .withColumn("keep", col("reject_reason") === "ok")
+      .orderBy("doc_id")
+  }
+
+  val xGopherSql: String = {
+    val en = Profiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+       |         ' ' || regexp_replace(text, ' ', '  ', 'g') || ' ' AS padded
+       |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+       |s AS (
+       |  SELECT doc_id,
+       |    len(ws) AS n_words,
+       |    round(CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws), 4)
+       |      AS mean_word_len,
+       |    round(CAST(len(ws) - len(regexp_extract_all(padded, ' [^a-z ]+ '))
+       |      AS DOUBLE) / len(ws), 4) AS alpha_frac,
+       |    len(list_filter(ws, w -> list_contains($en, w))) AS n_stop
+       |  FROM b)
+       |SELECT doc_id, n_words, mean_word_len, alpha_frac,
+       |  CAST(n_stop AS INTEGER) AS n_stop,
+       |  CASE WHEN n_words < $GopherMinWords THEN 'too_few_words'
+       |       WHEN n_words > $GopherMaxWords THEN 'too_many_words'
+       |       WHEN mean_word_len < $GopherMinMwl THEN 'short_words'
+       |       WHEN mean_word_len > $GopherMaxMwl THEN 'long_words'
+       |       WHEN alpha_frac < $GopherMinAlphaFrac THEN 'non_alpha'
+       |       WHEN n_stop < $GopherMinStop THEN 'no_stopwords'
+       |       ELSE 'ok' END AS reject_reason,
+       |  (CASE WHEN n_words < $GopherMinWords THEN 'too_few_words'
+       |       WHEN n_words > $GopherMaxWords THEN 'too_many_words'
+       |       WHEN mean_word_len < $GopherMinMwl THEN 'short_words'
+       |       WHEN mean_word_len > $GopherMaxMwl THEN 'long_words'
+       |       WHEN alpha_frac < $GopherMinAlphaFrac THEN 'non_alpha'
+       |       WHEN n_stop < $GopherMinStop THEN 'no_stopwords'
+       |       ELSE 'ok' END) = 'ok' AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- x_repetition
+  /** Repetition detection (the Gopher/C4 dup-ngram family): per-doc distinct
+    * ratio, most-frequent-word fraction, most-frequent-bigram fraction, and
+    * the repetition keep flag. Spark shape: posexplode → window-lead bigram
+    * → two partial-aggregated counts keyed on (doc_id, gram) — the shuffles
+    * carry (doc_id, gram, count) triples, never documents, and every stage
+    * is codegen (no lambda HOFs). Oracle forms the same bigrams by list
+    * index in DuckDB. */
+  val RepMaxTopWordFrac = 0.15
+  val RepMaxTopBigramFrac = 0.10
+  val RepMinDistinctRatio = 0.30
+
+  def xRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOn(docs(spark, dir).select("doc_id", "text"))
+
+  def repetitionOn(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = d.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) > 1)
+      .select(col("doc_id"), col("words"),
+        size(col("words")).as("n_words"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+    val tok = base.select(col("doc_id"), col("n_words"),
+      posexplode(col("words")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val topWord = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_c"))
+    val topBigram = tok
+      .withColumn("nxt", lead("w", 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_c"))
+    base.select(col("doc_id"), col("n_words"), col("n_distinct"))
+      .join(topWord, "doc_id").join(topBigram, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("distinct_ratio"),
+        round(col("top_word_c").cast("double") / col("n_words"), 4)
+          .as("top_word_frac"),
+        round(col("top_bigram_c").cast("double") / (col("n_words") - 1), 4)
+          .as("top_bigram_frac"))
+      .withColumn("rep_ok",
+        col("distinct_ratio") >= RepMinDistinctRatio &&
+        col("top_word_frac") <= RepMaxTopWordFrac &&
+        col("top_bigram_frac") <= RepMaxTopBigramFrac)
+      .orderBy("doc_id")
+  }
+
+  val xRepetitionSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) > 1),
+       |t AS (SELECT doc_id, ws,
+       |        unnest(generate_series(1, len(ws))) AS i FROM b),
+       |tok AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w,
+       |          CASE WHEN i < len(ws)
+       |               THEN ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)]
+       |          END AS bg
+       |        FROM t),
+       |wc AS (SELECT doc_id, max(c) AS top_word_c FROM (
+       |         SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+       |       GROUP BY doc_id),
+       |bc AS (SELECT doc_id, max(c) AS top_bigram_c FROM (
+       |         SELECT doc_id, bg, count(*) AS c FROM tok
+       |         WHERE bg IS NOT NULL GROUP BY 1, 2)
+       |       GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+       |      AS distinct_ratio
+       |  FROM b)
+       |SELECT s.doc_id, n_words, distinct_ratio,
+       |  round(CAST(top_word_c AS DOUBLE) / n_words, 4) AS top_word_frac,
+       |  round(CAST(top_bigram_c AS DOUBLE) / (n_words - 1), 4) AS top_bigram_frac,
+       |  (distinct_ratio >= $RepMinDistinctRatio
+       |   AND round(CAST(top_word_c AS DOUBLE) / n_words, 4) <= $RepMaxTopWordFrac
+       |   AND round(CAST(top_bigram_c AS DOUBLE) / (n_words - 1), 4)
+       |       <= $RepMaxTopBigramFrac) AS rep_ok
+       |FROM s JOIN wc ON s.doc_id = wc.doc_id JOIN bc ON s.doc_id = bc.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
     "x_sentences" -> (xSentences _), "x_top_ngrams" -> (xTopNgrams _),
     "x_unigram_lp" -> (xUnigramLp _),
+    "x_gopher" -> (xGopher _), "x_repetition" -> (xRepetition _),
     "x_langid" -> (xLangid _), "x_quality" -> (xQuality _),
     "x_tokcount" -> (xTokcount _), "x_docstats" -> (xDocstats _))
 
@@ -279,5 +450,6 @@ object TextAnalysis {
     "x_docstats" -> xDocstatsSql,
     "x_normalize" -> xNormalizeSql, "x_scrub" -> xScrubSql,
     "x_sentences" -> xSentencesSql, "x_top_ngrams" -> xTopNgramsSql,
-    "x_unigram_lp" -> xUnigramLpSql)
+    "x_unigram_lp" -> xUnigramLpSql,
+    "x_gopher" -> xGopherSql, "x_repetition" -> xRepetitionSql)
 }

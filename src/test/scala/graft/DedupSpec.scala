@@ -100,4 +100,42 @@ class DedupSpec extends SparkSpec {
     assert(verified.filter(col("true_overlap") =!= col("n_hits")).count() == 0,
       "reported hit counts diverge from exact overlap")
   }
+
+  test("connectedComponents collapses a transitive near-dup chain into one cluster") {
+    import spark.implicits._
+    // v0 ≈ v1 (drop 2 words), v1 ≈ v2 (drop 2 more): v0–v2 may fall below
+    // the pairwise threshold, so only transitivity groups all three
+    val words = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val chain = Seq(
+      (10L, words),
+      (11L, words.split(" ").drop(2).mkString(" ")),
+      (12L, words.split(" ").drop(4).mkString(" ")),
+      (99L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(Dedup.wordShingleSets(chain), 0.5)
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == Set(10L, 11L, 12L), s"unexpected nodes: $cc")
+    assert(cc.values.toSet == Set(10L), s"labels must be the component min: $cc")
+  }
+
+  test("d_cluster groups each planted near-dup with its source, labeled by min id") {
+    val res = Dedup.dCluster(spark, sf)
+    val byId = res.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val planted = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    planted.foreach { d =>
+      val copy = d + 1000000L
+      assert(byId.contains(copy), s"planted copy $copy missing from clusters")
+      assert(byId(copy)._1 == byId(d)._1,
+        s"copy $copy not in same cluster as source $d")
+      assert(byId(d)._2 >= 2, s"cluster of $d has size < 2")
+    }
+    // every label is the minimum doc_id of its cluster
+    val badLabel = res.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .filter(col("cluster_id") =!= col("mn")).count()
+    assert(badLabel == 0)
+  }
 }

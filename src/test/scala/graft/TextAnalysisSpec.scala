@@ -77,4 +77,43 @@ class TextAnalysisSpec extends SparkSpec {
     val total = stats.agg(sum("n_docs")).collect().head.getLong(0)
     assert(total == Tables.t(spark, sf, "documents").count())
   }
+
+  test("x_gopher rejects each planted rule violation with the right reason") {
+    import spark.implicits._
+    val good = ((1 to 30).map(i => s"word$i") ++
+      Seq("the", "a", "of") ++ (31 to 55).map(i => s"tail$i")).mkString(" ")
+    val planted = Seq(
+      (1L, good),                                            // keep
+      (2L, "the a short doc"),                               // too_few_words
+      (3L, (1 to 60).map(_ => "a b").mkString(" ")),         // short_words (mwl < 3)
+      (4L, (1 to 60).map(i => s"$i$i$i").mkString(" ") + " the a"), // non_alpha
+      (5L, (1 to 60).map(i => s"word$i").mkString(" ")))     // no_stopwords
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherOn(planted).collect()
+      .map(row => row.getLong(0) -> row.getAs[String]("reject_reason")).toMap
+    assert(r(1L) == "ok")
+    assert(r(2L) == "too_few_words")
+    assert(r(3L) == "short_words")
+    assert(r(4L) == "non_alpha")
+    assert(r(5L) == "no_stopwords")
+    val out = TextAnalysis.xGopher(spark, sf)
+    assert(out.filter(col("keep")).count() > 0)
+    assert(out.filter(!col("keep")).count() > 0,
+      "corpus should have some rejects at the Gopher thresholds")
+  }
+
+  test("x_repetition flags a degenerate repeated doc and passes a diverse one") {
+    import spark.implicits._
+    val rep = (1 to 40).map(_ => "spam ham").mkString(" ")
+    val diverse = (1 to 80).map(i => s"uniq$i").mkString(" ")
+    val r = TextAnalysis.repetitionOn(
+      Seq((1L, rep), (2L, diverse)).toDF("doc_id", "text")).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(!r(1L).getAs[Boolean]("rep_ok"))
+    assert(r(1L).getAs[Double]("top_word_frac") == 0.5)
+    assert(r(2L).getAs[Boolean]("rep_ok"))
+    assert(r(2L).getAs[Double]("distinct_ratio") == 1.0)
+    // top bigram of "spam ham spam ham ...": "spam ham" appears 40 of 79
+    assert(math.abs(r(1L).getAs[Double]("top_bigram_frac") - 0.5063) < 1e-4)
+  }
 }
