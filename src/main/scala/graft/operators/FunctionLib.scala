@@ -155,6 +155,36 @@ object FunctionLib {
       |  p_retailprice = 0.0 AS zz
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------------------ f_bitwise
+  /** Scalar bitwise operators (reference: DataFusion's `&`/`|`/`#`/`<<`/`>>`
+    * binary operators and bit_count, expr/src/operator.rs) — AND/OR/XOR/NOT,
+    * shifts, popcount, single-bit probe. All codegen'd comparisons on
+    * integer columns; getbit's oracle is the shift-and identity. */
+  def fBitwise(spark: SparkSession, dir: String): DataFrame =
+    t("part")(spark, dir).select(
+        col("p_partkey"),
+        col("p_partkey").bitwiseAND(col("p_size")).as("band"),
+        col("p_partkey").bitwiseOR(col("p_size")).as("bor"),
+        col("p_partkey").bitwiseXOR(col("p_size")).as("bxor"),
+        bitwise_not(col("p_size")).as("bnot"),
+        shiftleft(col("p_size"), 3).as("shl"),
+        shiftright(col("p_partkey"), 2).as("shr"),
+        bit_count(col("p_partkey")).as("bcnt"),
+        expr("getbit(p_size, 2)").as("gb"))
+      .orderBy("p_partkey")
+
+  val fBitwiseSql: String =
+    """SELECT p_partkey,
+      |  p_partkey & p_size AS band,
+      |  p_partkey | p_size AS bor,
+      |  xor(p_partkey, p_size) AS bxor,
+      |  ~p_size AS bnot,
+      |  p_size << 3 AS shl,
+      |  p_partkey >> 2 AS shr,
+      |  bit_count(p_partkey) AS bcnt,
+      |  (p_size >> 2) & 1 AS gb
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // -------------------------------------------------------------- f_datetime
   /** Datetime family over orders. date_bin (10-day buckets anchored at
     * 1995-01-01) via epoch-µs arithmetic — the portable origin-aligned form;
@@ -566,6 +596,7 @@ object FunctionLib {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
+    "f_bitwise" -> (fBitwise _),
     "f_datetime" -> (fDatetime _), "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _),
@@ -577,6 +608,7 @@ object FunctionLib {
   /** a_approx intentionally absent (rows-only). */
   val oracle: Map[String, String] = Map(
     "f_string" -> fStringSql, "f_unicode" -> fUnicodeSql, "f_math" -> fMathSql,
+    "f_bitwise" -> fBitwiseSql,
     "f_datetime" -> fDatetimeSql, "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql,

@@ -112,6 +112,30 @@ object Sources {
       |       o_orderdate
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- src_arrow
+  /** Arrow IPC round-trip of orders through the from-scratch columnar DSv2
+    * provider (graft.sources.arrow.ArrowDataSource; reference surface
+    * core/src/datasource/file_format/arrow.rs). Write: one IPC file per
+    * task, 4096-row record batches. Read: each batch's vectors wrapped in
+    * Spark's ArrowColumnVector and scanned as a ColumnarBatch — the same
+    * vectorized path as the parquet reader, zero per-row decode. Oracle
+    * reads the same rows from parquet. */
+  def srcArrow(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("orders_arrow")
+    Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode(SaveMode.Overwrite).format("graft-arrow").save(out)
+    spark.read.format("graft-arrow").load(out)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  val srcArrowSql: String =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+      |       o_orderdate
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- src_evolve
   /** Schema evolution on read — the data-lake reality that a 100 TB table's
     * early files lack columns added later. Batch 1 is written without
@@ -169,12 +193,12 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
-    "src_evolve" -> (srcEvolve _),
+    "src_arrow" -> (srcArrow _), "src_evolve" -> (srcEvolve _),
     "sink_partitioned" -> (sinkPartitioned _))
 
   val oracle: Map[String, String] = Map(
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,
-    "src_evolve" -> srcEvolveSql,
+    "src_arrow" -> srcArrowSql, "src_evolve" -> srcEvolveSql,
     "sink_partitioned" -> sinkPartitionedSql)
 }

@@ -112,6 +112,16 @@ object Streaming {
       }
   }
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * bounded dimension (user_id → attributes). The static side is broadcast
+    * — Spark re-plans it per micro-batch, the stream side is NEVER shuffled
+    * (no state store, no watermark needed for an inner/left join against a
+    * static table). This is the standard "attach user/account metadata at
+    * ingest" stage of a 100 TB/day feed: dimension churn is picked up at
+    * micro-batch boundaries because the static plan re-executes each batch. */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Batch-mode flush of sessionize semantics (for equivalence testing):
     * same splitting logic applied with the stream considered ended. */
   def sessionizeBatch(events: Dataset[Event]): Dataset[SessionOut] = {

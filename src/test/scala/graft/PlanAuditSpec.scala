@@ -182,6 +182,54 @@ class PlanAuditSpec extends SparkSpec {
       s"sort collapsed to a single partition:\n$p")
   }
 
+  test("g_pivot plans as aggregate passes — no per-value shuffles or joins") {
+    val df = Relational.gPivot(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"pivot must not join per value:\n$p")
+    // Spark pivots in two aggregate phases: groupBy(yr, priority) sum, then
+    // pivotfirst on yr — 2 hashpartitioning exchanges regardless of how many
+    // pivot values there are (the second carries years × priorities rows,
+    // nothing fact-sized). More would mean a shuffle/join per value.
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("partial_pivotfirst"),
+      s"pivot phase is not partial-aggregated:\n$p")
+  }
+
+  test("u_unpivot plans as a single Expand pass over the input") {
+    val p = plan(Relational.uUnpivot(spark, sf))
+    assert(p.contains("Expand"), s"unpivot should use Expand, not unions:\n$p")
+    assert(!p.contains("Union"), s"unpivot re-scans the input per metric:\n$p")
+  }
+
+  test("j_range: interval join broadcasts the band side; fact side unshuffled") {
+    val df = Relational.jRange(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x_gopher and x_repetition stay codegen'd — no interpreted lambdas") {
+    Seq(TextAnalysis.xGopher(spark, sf), TextAnalysis.xRepetition(spark, sf))
+      .foreach { df =>
+        df.collect()
+        val p = plan(df)
+        assert(!p.toLowerCase.contains("lambdafunction"),
+          s"interpreted HOF lambda in hot path:\n$p")
+        assert(p.contains("*("), s"no codegen stage in:\n$p")
+      }
+  }
+
+  test("x_repetition gram counts are partial-aggregated before the shuffle") {
+    val df = TextAnalysis.xRepetition(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // both count aggregates must show map-side partial + final pairs
+    assert(countOccurrences(p, "partial_count") >= 2,
+      s"gram counts shuffle raw tokens (no map-side combine):\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>

@@ -53,6 +53,23 @@ class StreamingSpec extends SparkSpec {
     assert(emitted >= total - 10, s"only $emitted of $total windows closed")
   }
 
+  test("st_enrich stream-static broadcast join equals the batch join") {
+    val dim = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    runToMemory(Streaming.enrich(eventStream, dim)
+      .select("event_id", "user_id", "segment"), "enriched", "append")
+    val streamed = spark.table("enriched")
+    val batch = Tables.t(spark, sf, "events")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select("event_id", "user_id", "segment")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // left join: events with no matching dim row must still flow through
+    assert(streamed.filter(col("segment").isNull).count() ==
+      batch.filter(col("segment").isNull).count())
+  }
+
   test("st_session_state sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     runToMemory(Streaming.sessionize(eventStream.as[Event]).toDF(),
