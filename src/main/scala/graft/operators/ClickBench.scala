@@ -123,12 +123,41 @@ object ClickBench {
       |  AND s_acctbal > 0 AND o_orderpriority = '1-URGENT'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------------------- cb_h2o_gb
+  /** h2o-ai groupby shapes not covered elsewhere (reference
+    * benchmarks/queries/h2o/groupby.sql q6/q7): exact MEDIAN + stddev per
+    * group and max−min range per group, keyed per user — the
+    * order-statistic-per-high-cardinality-key aggregate. Exact percentile
+    * buffers per group are the deliberate cost (h2o semantics); at 100 TB
+    * the same query swaps `percentile` for `approx_percentile` (a_approx)
+    * when error tolerance allows — both run as one partial-aggregated
+    * shuffle on user_id. */
+  def cbH2oGb(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("median_v"),
+        round(stddev_samp(col("value")), 4).as("sd_v"),
+        round(max("value") - min("value"), 4).as("range_v"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  val cbH2oGbSql: String =
+    """SELECT user_id,
+      |  round(median(value), 4) AS median_v,
+      |  round(stddev_samp(value), 4) AS sd_v,
+      |  round(max(value) - min(value), 4) AS range_v,
+      |  count(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cb_h2o_gb" -> (cbH2oGb _),
     "cb_top_users" -> (cbTopUsers _), "cb_uniq_users" -> (cbUniqUsers _),
     "cb_quantiles" -> (cbQuantiles _), "cb_histogram" -> (cbHistogram _),
     "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
+    "cb_h2o_gb" -> cbH2oGbSql,
     "cb_top_users" -> cbTopUsersSql, "cb_uniq_users" -> cbUniqUsersSql,
     "cb_quantiles" -> cbQuantilesSql, "cb_histogram" -> cbHistogramSql,
     "cb_top_by_uniq" -> cbTopByUniqSql, "job_like" -> jobLikeSql)

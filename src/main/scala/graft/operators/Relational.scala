@@ -479,6 +479,93 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------- e_session_fn
+  /** Sessionization via Spark's dedicated `session_window` operator (the
+    * built-in dynamic-gap session aggregate; Structured Streaming shares
+    * this exact operator with state-store-backed merging). Same semantics as
+    * the gaps-and-islands e_session — session_window.start is the first
+    * event's ts — so the oracle is the e_session oracle projected to the
+    * start-keyed columns (session_window.end is last-event + gap, a
+    * different convention from e_session's last-event end, so `end` is
+    * deliberately not emitted). One shuffle on user_id, sessions merged
+    * within partitions. */
+  def eSessionFn(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  val eSessionFnSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |       count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // -------------------------------------------------------------- j_lateral
+  /** LATERAL join — the correlated table-subquery join (reference: DataFusion
+    * plans correlated subqueries via its decorrelation pass; Spark 4 has
+    * first-class LATERAL). Top-2 orders per nation's customers: the lateral
+    * subquery is correlated, ordered, and limited — the shape that forces
+    * real decorrelation (Spark rewrites it to a ranked window join, which is
+    * exactly the scale-safe plan). DuckDB runs the same SQL text. */
+  val jLateralSql: String =
+    """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------- w_ignore_nulls
+  /** IGNORE NULLS window functions (reference window_frame + built-in window
+    * exprs support ignore-nulls): last-observation-carried-forward gap fill
+    * — the canonical sensor/time-series repair. NULLs are planted
+    * deterministically (event_id % 3), then filled with the most recent
+    * non-null reading per user; first_value IGNORE NULLS anchors each row to
+    * its user's first real reading. */
+  def wIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev(spark, dir)
+      .withColumn("reading",
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(round(col("value"), 2)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("reading"),
+        last("reading", ignoreNulls = true).over(w).as("ffill"),
+        first("reading", ignoreNulls = true).over(wAll).as("first_reading"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val wIgnoreNullsSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE round(value, 2) END AS reading
+      |  FROM events)
+      |SELECT user_id, event_id, ts, reading,
+      |  last_value(reading IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+      |  first_value(reading IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_reading
+      |FROM r ORDER BY user_id, event_id""".stripMargin
+
   /** As-of join — for each event, the most recent order of the same
     * customer at-or-before the event time. Spark has no ASOF JOIN operator;
     * the Spark-first formulation is the classic tagged-union + last-non-null
@@ -849,6 +936,8 @@ object Relational {
     "s_distinct_on" -> (sDistinctOn _), "srt_lineitem" -> (srtLineitem _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
+    "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
+    "e_session_fn" -> (eSessionFn _),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
     "sub_scalar" -> (subScalar _),
@@ -870,6 +959,8 @@ object Relational {
     "s_distinct_on" -> sDistinctOnSql, "srt_lineitem" -> srtLineitemSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
+    "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,
+    "e_session_fn" -> eSessionFnSql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,
     "sub_scalar" -> subScalarSql,

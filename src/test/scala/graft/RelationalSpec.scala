@@ -145,6 +145,50 @@ class RelationalSpec extends SparkSpec {
     assert(r.getOrElse("t5_promo_window", 0L) > 0)
   }
 
+  test("e_session_fn (session_window operator) equals gaps-and-islands e_session") {
+    val viaFn = Relational.eSessionFn(spark, sf)
+      .select("user_id", "session_start", "n_events", "session_value")
+    val viaWindows = Relational.eSession(spark, sf)
+      .select("user_id", "session_start", "n_events", "session_value")
+    assert(viaFn.count() == viaWindows.count())
+    assert(viaFn.exceptAll(viaWindows).count() == 0)
+    assert(viaWindows.exceptAll(viaFn).count() == 0)
+  }
+
+  test("j_lateral top-2-per-customer equals the ranked-window formulation") {
+    Tables.registerViews(spark, sf)
+    val lateral = spark.sql(Relational.jLateralSql)
+      .select("c_custkey", "o_orderkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val ranked = Tables.t(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select("c_custkey", "o_orderkey")
+    assert(lateral.count() == ranked.count())
+    assert(lateral.exceptAll(ranked).count() == 0)
+  }
+
+  test("w_ignore_nulls forward-fill equals the most recent non-null reading") {
+    val rows = Relational.wIgnoreNulls(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { es =>
+      var lastSeen: Option[Double] = None
+      // replay in the window's order: (ts, event_id)
+      // (getTime is ms-truncated; tsMicros keeps the full µs for ordering)
+      es.sortBy(r => (graft.streaming.Streaming.tsMicros(r.getTimestamp(2)),
+          r.getLong(1))).foreach { r =>
+        if (!r.isNullAt(3)) lastSeen = Some(r.getDouble(3))
+        (lastSeen, if (r.isNullAt(4)) None else Some(r.getDouble(4))) match {
+          case (Some(a), Some(b)) => assert(a == b, s"ffill mismatch at $r")
+          case (None, None) => // before first reading: both null
+          case other => fail(s"ffill mismatch at $r: $other")
+        }
+      }
+    }
+  }
+
   test("ddl_table CTAS is idempotent; DESCRIBE and SHOW TABLES see the table") {
     Relational.ddlTable(spark, sf).collect()
     val again = Relational.ddlTable(spark, sf) // re-run must not fail
