@@ -52,8 +52,35 @@ object Pipeline {
       |       round(avg(length(t)), 2) AS avg_chars
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("p_e2e" -> (pE2e _))
+  // ---------------------------------------------------------------- p_sample
+  /** Deterministic stratified sampling — the source-mixing step of a corpus
+    * build ("web at 25%, curated at 75%"). The keep decision is a pure
+    * function of the document CONTENT (md5 prefix vs a per-source
+    * threshold), so it is reproducible across runs and clusters, stable
+    * under repartitioning, and needs no RNG state — the property that makes
+    * a 100 TB mixing job restartable and auditable (`rand()` sampling is
+    * none of those). Hex-prefix thresholds: '3f' ≈ 25%, 'bf' ≈ 75%; md5 hex
+    * is lowercase in both engines so the string compare is portable.
+    * Narrow filter, no shuffle. */
+  def pSample(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
+    val thr = when(srcNum % 2 === 0, lit("3f")).otherwise(lit("bf"))
+    Tables.t(spark, dir, "documents")
+      .filter(substring(md5(col("text").cast("binary")), 1, 2) <= thr)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
 
-  val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql)
+  val pSampleSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE substring(md5(text), 1, 2) <=
+      |  CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0
+      |       THEN '3f' ELSE 'bf' END
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _))
+
+  val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql,
+    "p_sample" -> pSampleSql)
 }

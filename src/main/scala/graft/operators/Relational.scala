@@ -516,6 +516,43 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  // --------------------------------------------------------------- w_groups
+  /** GROUPS window frames, EMULATED (reference window_frame.rs:229 supports
+    * ROWS/RANGE/GROUPS; Spark 4.1 has no GROUPS frame unit — round-1 gap,
+    * now closed by desugaring): a GROUPS frame over peer groups equals a
+    * ROWS frame over the per-peer-group partial aggregates, joined back to
+    * the rows. Plan: one partial-aggregated groupBy (peer sums), a ROWS
+    * window over the (small) distinct-key set, and an equi-join back — each
+    * stage shuffles on (user_id[, minute]) only. The bundled DuckDB also
+    * lacks GROUPS mode ("not implemented yet"), so the oracle is an
+    * INDEPENDENT formulation — a dense_rank self-join over peer-group sums
+    * (|rank_a − rank_b| ≤ 1) — not a copy of the Spark desugaring; matching
+    * hashes check the semantics, not the construction. */
+  def wGroups(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).withColumn("m", date_trunc("minute", col("ts")))
+    val peers = e.groupBy("user_id", "m").agg(sum("value").as("s"))
+    val w = Window.partitionBy("user_id").orderBy("m").rowsBetween(-1, 1)
+    val framed = peers.withColumn("gsum", sum("s").over(w))
+      .select(col("user_id"), col("m"), round(col("gsum"), 2).as("gsum"))
+    e.select(col("event_id"), col("user_id"), col("m"))
+      .join(framed, Seq("user_id", "m"))
+      .select(col("event_id"), col("user_id"), col("m"), col("gsum"))
+      .orderBy("event_id")
+  }
+
+  val wGroupsSql: String =
+    """WITH e AS (SELECT event_id, user_id, date_trunc('minute', ts) AS m, value
+      |           FROM events),
+      |g AS (SELECT user_id, m, sum(value) AS s FROM e GROUP BY user_id, m),
+      |r AS (SELECT user_id, m, s,
+      |        dense_rank() OVER (PARTITION BY user_id ORDER BY m) AS dr FROM g),
+      |f AS (SELECT a.user_id, a.m, round(sum(b.s), 2) AS gsum
+      |      FROM r a JOIN r b ON a.user_id = b.user_id AND abs(a.dr - b.dr) <= 1
+      |      GROUP BY a.user_id, a.m)
+      |SELECT event_id, e.user_id, e.m, gsum
+      |FROM e JOIN f ON e.user_id = f.user_id AND e.m = f.m
+      |ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------- j_lateral
   /** LATERAL join — the correlated table-subquery join (reference: DataFusion
     * plans correlated subqueries via its decorrelation pass; Spark 4 has
@@ -937,7 +974,7 @@ object Relational {
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
     "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
-    "e_session_fn" -> (eSessionFn _),
+    "e_session_fn" -> (eSessionFn _), "w_groups" -> (wGroups _),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
     "sub_scalar" -> (subScalar _),
@@ -960,7 +997,7 @@ object Relational {
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
     "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,
-    "e_session_fn" -> eSessionFnSql,
+    "e_session_fn" -> eSessionFnSql, "w_groups" -> wGroupsSql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,
     "sub_scalar" -> subScalarSql,
