@@ -122,6 +122,29 @@ object Streaming {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-STREAM inner join (the DataFusion SymmetricHashJoinExec
+    * analogue): purchases joined to the same user's clicks within the
+    * preceding hour. Both sides are watermarked and the join carries an
+    * event-time RANGE condition — that pair is what lets Spark bound the
+    * join state (each side's buffer is evictable once the other side's
+    * watermark passes the range), so state is arrival-rate × window, not
+    * stream length — the invariant that keeps an unbounded 100 TB/day
+    * double-stream join runnable forever. */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(c, expr(
+      """user_id = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select("user_id", "purchase_id", "purchase_ts", "value",
+        "click_id", "click_ts")
+  }
+
   /** Batch-mode flush of sessionize semantics (for equivalence testing):
     * same splitting logic applied with the stream considered ended. */
   def sessionizeBatch(events: Dataset[Event]): Dataset[SessionOut] = {

@@ -70,6 +70,37 @@ class StreamingSpec extends SparkSpec {
       batch.filter(col("segment").isNull).count())
   }
 
+  test("st_join stream-stream range join equals the batch join") {
+    val clicks = eventStream.filter(col("event_type") === "click")
+    val purchases = eventStream.filter(col("event_type") === "purchase")
+    runToMemory(Streaming.streamStreamJoin(clicks, purchases)
+      .select("purchase_id", "click_id"), "ssjoin", "append")
+    val streamed = spark.table("ssjoin")
+
+    val ev = Tables.t(spark, sf, "events")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = bp.join(bc, expr(
+      """user_id = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select("purchase_id", "click_id")
+    // inner stream-stream join with both sides watermarked: every batch
+    // pair must be emitted once the watermark closes — with AvailableNow
+    // over a finite file source some trailing pairs can stay buffered, so
+    // assert subset + near-complete coverage and no duplicates
+    assert(streamed.exceptAll(batch).count() == 0,
+      "stream join emitted a pair the batch join doesn't have")
+    val nStream = streamed.count(); val nBatch = batch.count()
+    assert(nBatch > 0 && nStream >= (nBatch * 0.9).toLong,
+      s"stream join emitted only $nStream of $nBatch pairs")
+    assert(streamed.distinct().count() == nStream, "duplicate joined pairs")
+  }
+
   test("st_session_state sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     runToMemory(Streaming.sessionize(eventStream.as[Event]).toDF(),
