@@ -516,6 +516,58 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  // -------------------------------------------------------------- sql_params
+  /** Parameterized SQL (the reference's PREPARE/placeholder surface,
+    * sql/src/planner.rs infer_types for $1-style params; Spark 4 spells it
+    * `spark.sql(text, args)` with named parameters). The parameter values
+    * are bound by the engine, not string-interpolated — the oracle inlines
+    * the same constants. */
+  def sqlParams(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_totalprice > :minPrice AND o_orderdate >= :fromDate
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("minPrice" -> 150000.0,
+        "fromDate" -> java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+  }
+
+  val sqlParamsSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |WHERE o_totalprice > 150000.0
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------- s_union_by_name
+  /** UNION BY NAME — position-independent set union (DataFusion
+    * union_by_name / DuckDB UNION ALL BY NAME; Spark spells it
+    * `unionByName`, here with allowMissingColumns so each leg's missing
+    * column nulls in). */
+  def sUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val a = ord(spark, dir).filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice"), 2).as("price"))
+    val b = ord(spark, dir).filter(col("o_orderkey") % 100 === 1)
+      .select(round(col("o_totalprice"), 2).as("price"),
+        col("o_orderkey").as("k")) // different order, no `pri`
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("k")
+  }
+
+  val sUnionByNameSql: String =
+    """SELECT k, pri, price FROM (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |         round(o_totalprice, 2) AS price
+      |  FROM orders WHERE o_orderkey % 100 = 0
+      |  UNION ALL BY NAME
+      |  SELECT round(o_totalprice, 2) AS price, o_orderkey AS k
+      |  FROM orders WHERE o_orderkey % 100 = 1)
+      |ORDER BY k""".stripMargin
+
   // --------------------------------------------------------------- w_groups
   /** GROUPS window frames, EMULATED (reference window_frame.rs:229 supports
     * ROWS/RANGE/GROUPS; Spark 4.1 has no GROUPS frame unit — round-1 gap,
@@ -975,6 +1027,7 @@ object Relational {
     "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
     "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
     "e_session_fn" -> (eSessionFn _), "w_groups" -> (wGroups _),
+    "sql_params" -> (sqlParams _), "s_union_by_name" -> (sUnionByName _),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
     "sub_scalar" -> (subScalar _),
@@ -998,6 +1051,7 @@ object Relational {
     "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
     "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,
     "e_session_fn" -> eSessionFnSql, "w_groups" -> wGroupsSql,
+    "sql_params" -> sqlParamsSql, "s_union_by_name" -> sUnionByNameSql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,
     "sub_scalar" -> subScalarSql,
