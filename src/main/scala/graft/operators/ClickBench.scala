@@ -150,14 +150,41 @@ object ClickBench {
       |  count(*) AS n
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------- cb_salted_uniq
+  /** Salted exact distinct-count — the manual hot-key mitigation for
+    * aggregates (AQE splits skewed JOIN partitions, not skewed AGGREGATE
+    * keys, and partial aggregation cannot shrink a distinct: the whole
+    * distinct set of a hot key lands in one reducer). Phase 1 groups by
+    * (key, hash(member) % S): each hot key's distinct space is partitioned
+    * across S reducers, each holding 1/S of the state; because the salt is
+    * a function of the DISTINCT MEMBER, per-salt distinct counts sum to the
+    * exact global distinct. `event_type` has 5 values over all events —
+    * maximal key skew — and the result is hash-checked against a plain
+    * COUNT(DISTINCT). */
+  val SaltBuckets = 16
+
+  def cbSaltedUniq(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"),
+        pmod(xxhash64(col("user_id")), lit(SaltBuckets)).as("salt"))
+      .agg(countDistinct("user_id").as("d"), count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(sum("d").as("uniq_users"), sum("c").as("n_events"))
+      .orderBy("event_type")
+
+  val cbSaltedUniqSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS uniq_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cb_h2o_gb" -> (cbH2oGb _),
+    "cb_h2o_gb" -> (cbH2oGb _), "cb_salted_uniq" -> (cbSaltedUniq _),
     "cb_top_users" -> (cbTopUsers _), "cb_uniq_users" -> (cbUniqUsers _),
     "cb_quantiles" -> (cbQuantiles _), "cb_histogram" -> (cbHistogram _),
     "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
-    "cb_h2o_gb" -> cbH2oGbSql,
+    "cb_h2o_gb" -> cbH2oGbSql, "cb_salted_uniq" -> cbSaltedUniqSql,
     "cb_top_users" -> cbTopUsersSql, "cb_uniq_users" -> cbUniqUsersSql,
     "cb_quantiles" -> cbQuantilesSql, "cb_histogram" -> cbHistogramSql,
     "cb_top_by_uniq" -> cbTopByUniqSql, "job_like" -> jobLikeSql)
