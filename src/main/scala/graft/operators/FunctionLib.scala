@@ -155,6 +155,63 @@ object FunctionLib {
       |  p_retailprice = 0.0 AS zz
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------------------ f_trig
+  /** Trigonometric + hyperbolic family (reference functions/src/math/mod.rs
+    * exports sin/cos/tan, asin/acos/atan/atan2, sinh/cosh/tanh,
+    * asinh/acosh/atanh, cbrt, exp). Inputs are scaled into each function's
+    * domain from p_size (1..50): d = p_size/50 ∈ (0,1] for the circular +
+    * hyperbolic args, p_size/51 for atanh's open |x|<1 interval, 1+d for
+    * acosh's [1,∞). The scaling divisions are single IEEE ops, so both
+    * engines see bit-identical arguments; outputs round to 6 dp (the f_math
+    * discipline) to absorb last-ulp libm differences. */
+  def fTrig(spark: SparkSession, dir: String): DataFrame = {
+    val d  = col("p_size").cast("double") / 50.0
+    val d2 = col("p_size").cast("double") / 51.0
+    t("part")(spark, dir).select(
+        col("p_partkey"),
+        round(sin(d), 6).as("sn"),
+        round(cos(d), 6).as("cs"),
+        round(tan(d), 6).as("tn"),
+        round(asin(d), 6).as("asn"),
+        round(acos(d), 6).as("acs"),
+        round(atan(d), 6).as("at"),
+        round(atan2(col("p_size").cast("double"), lit(7.0)), 6).as("at2"),
+        round(sinh(d), 6).as("snh"),
+        round(cosh(d), 6).as("csh"),
+        round(tanh(d), 6).as("tnh"),
+        round(asinh(d), 6).as("asnh"),
+        round(acosh(d + 1.0), 6).as("acsh"),
+        round(atanh(d2), 6).as("atnh"),
+        round(cbrt(col("p_size")), 6).as("cbr"),
+        round(exp(d), 6).as("ex"))
+      .orderBy("p_partkey")
+  }
+
+  /** DuckDB has no hyperbolic builtins — emulated via exp/ln identities
+    * (sinh=(eˣ−e⁻ˣ)/2 etc.); both sides' values agree within an ulp, and
+    * the shared 6-dp rounding makes the hash compare exact. */
+  val fTrigSql: String =
+    """SELECT p_partkey,
+      |  round(sin(d), 6) AS sn,
+      |  round(cos(d), 6) AS cs,
+      |  round(tan(d), 6) AS tn,
+      |  round(asin(d), 6) AS asn,
+      |  round(acos(d), 6) AS acs,
+      |  round(atan(d), 6) AS at,
+      |  round(atan2(CAST(p_size AS DOUBLE), 7.0), 6) AS at2,
+      |  round((exp(d) - exp(-d)) / 2, 6) AS snh,
+      |  round((exp(d) + exp(-d)) / 2, 6) AS csh,
+      |  round((exp(2*d) - 1) / (exp(2*d) + 1), 6) AS tnh,
+      |  round(ln(d + sqrt(d*d + 1)), 6) AS asnh,
+      |  round(ln((d+1) + sqrt((d+1)*(d+1) - 1)), 6) AS acsh,
+      |  round(0.5 * ln((1 + d2) / (1 - d2)), 6) AS atnh,
+      |  round(cbrt(p_size), 6) AS cbr,
+      |  round(exp(d), 6) AS ex
+      |FROM (SELECT p_partkey, p_size,
+      |        CAST(p_size AS DOUBLE) / 50.0 AS d,
+      |        CAST(p_size AS DOUBLE) / 51.0 AS d2 FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------------------------ f_bitwise
   /** Scalar bitwise operators (reference: DataFusion's `&`/`|`/`#`/`<<`/`>>`
     * binary operators and bit_count, expr/src/operator.rs) — AND/OR/XOR/NOT,
@@ -617,7 +674,7 @@ object FunctionLib {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_hll_rollup" -> (aHllRollup _),
     "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
-    "f_bitwise" -> (fBitwise _),
+    "f_trig" -> (fTrig _), "f_bitwise" -> (fBitwise _),
     "f_datetime" -> (fDatetime _), "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _),
@@ -629,7 +686,7 @@ object FunctionLib {
   /** a_approx intentionally absent (rows-only). */
   val oracle: Map[String, String] = Map(
     "f_string" -> fStringSql, "f_unicode" -> fUnicodeSql, "f_math" -> fMathSql,
-    "f_bitwise" -> fBitwiseSql,
+    "f_trig" -> fTrigSql, "f_bitwise" -> fBitwiseSql,
     "f_datetime" -> fDatetimeSql, "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql,

@@ -15,6 +15,16 @@ class FunctionLibSpec extends SparkSpec {
     }
   }
 
+  test("f_trig: circular and hyperbolic identities hold at 6dp") {
+    FunctionLib.fTrig(spark, sf).collect().foreach { r =>
+      val (sn, cs) = (r.getAs[Double]("sn"), r.getAs[Double]("cs"))
+      val (snh, csh) = (r.getAs[Double]("snh"), r.getAs[Double]("csh"))
+      assert(math.abs(sn * sn + cs * cs - 1.0) < 1e-5)
+      assert(math.abs(csh * csh - snh * snh - 1.0) < 1e-4)
+      assert(math.abs(r.getAs[Double]("tn") - sn / cs) < 1e-4)
+    }
+  }
+
   test("sha1/sha2-224/384/512 match java.security.MessageDigest; crc32 matches zlib") {
     import spark.implicits._
     val s = "Customer#000000001"
