@@ -278,52 +278,89 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d_cluster
+  /** One large-star round [Kiveris et al. 2014]: every node u connects each
+    * STRICTLY LARGER neighbor to m = min(Γ(u) ∪ {u}). Preserves
+    * connectivity, strictly flattens tall components. */
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val minN = nbrs.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+    nbrs.join(minN, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient each edge large→small; every node connects
+    * its smaller neighbors (and itself) to the minimum of that set. */
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    val minN = oriented.groupBy("u").agg(min("v").as("m"))
+    oriented.join(minN, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(minN.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Connected components over the near-dup pair graph — pairwise dedup
     * (d_minhash) says "a≈b"; production dedup needs the transitive GROUPS
     * ("a,b,c are one document; keep one") because near-duplicates chain.
     *
-    * Algorithm: iterative minimum-label propagation. Each node starts with
-    * label = its own id; every round each node takes the min of its own and
-    * its neighbors' labels; fixpoint = every node labeled with its
-    * component's minimum id. Converges in O(component diameter) rounds —
-    * dup clusters are shallow (stars/cliques of rewrites), so 3–5 rounds in
-    * practice; `maxIter` bounds pathological chains.
+    * Algorithm: alternating large-star/small-star contraction [Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014] — the
+    * round-3 min-label-propagation loop needed O(component diameter) rounds
+    * and silently returned WRONG labels when a chain outlasted `maxIter`.
+    * Star contraction converges in O(log² n) rounds worst case (≈log n in
+    * practice: a 60-node chain takes 4 rounds, not 60), and non-convergence
+    * now THROWS rather than mislabeling.
+    *
+    * Fixpoint test: the canonical (large→small) edge set is unchanged —
+    * checked with one scalar aggregate (count + order-insensitive hash
+    * checksum), not a collect. At the fixpoint every edge is (node,
+    * component-min), so labels fall straight out of the edge list.
     *
     * 100 TB shape: the edge list holds ONLY docs that appear in some
-    * near-dup pair (a small fraction of the corpus); each round is one
-    * partial-aggregated min per node after an equi-join on node id — no
-    * global structure, no driver-side graph. The per-round `count()` that
-    * detects the fixpoint is a scalar action, not a collect. (The classic
-    * refinement for skewed mega-components is large-star/small-star
-    * [Kiveris et al. 2014], which this API slot would host unchanged.) */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(MEMORY_AND_DISK)
+    * near-dup pair (a small fraction of the corpus); each round is two
+    * groupBy-min + equi-join passes over edges — no global structure, no
+    * driver-side graph. Skewed mega-components (100 TB boilerplate) are
+    * exactly what the large-star step splits: a node's larger neighbors
+    * re-attach to the component min, so hub degree halves per round.
+    * `localCheckpoint` each round truncates the otherwise-doubling lineage
+    * (each round's plan references the last round's twice). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint()
+    // all nodes, captured before contraction rewires the edge list
+    val nodes = edges.select(col("u")).union(edges.select(col("v").as("u")))
+      .distinct().withColumnRenamed("u", "id").localCheckpoint()
+    // bit_xor: order-insensitive and overflow-free (ANSI sum of full-range
+    // hashes would throw); edge sets are distinct so xor-cancellation is moot
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = checksum(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(${sig._1} edges remain) — raise maxIter; labels would be wrong")
+    // fixpoint edges are (node, component-min); isolated minima label themselves
+    nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
   }
 
   /** Near-dup clusters from the minhash pipeline: each doc that has any

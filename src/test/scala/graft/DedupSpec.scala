@@ -119,6 +119,37 @@ class DedupSpec extends SparkSpec {
     assert(cc.values.toSet == Set(10L), s"labels must be the component min: $cc")
   }
 
+  test("connectedComponents labels a 200-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for label propagation (diameter = n);
+    // star contraction must collapse it well inside the default maxIter=15
+    // (log-rounds), and label every node with the component min
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain)
+    assert(cc.count() == 200)
+    assert(cc.filter(col("cluster_id") =!= 0L).count() == 0,
+      "every chain node must carry the component minimum 0")
+  }
+
+  test("connectedComponents throws loudly instead of mislabeling on non-convergence") {
+    import spark.implicits._
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents handles multiple components and self-pairs") {
+    import spark.implicits._
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (30L, 30L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L),
+      s"got $cc")
+  }
+
   test("d_cluster groups each planted near-dup with its source, labeled by min id") {
     val res = Dedup.dCluster(spark, sf)
     val byId = res.collect()
