@@ -13,10 +13,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** SURVEY §6 headline set: scan-heavy, join-heavy, subquery-heavy TPC-H
-    * plus one of each LLM-pipeline family. */
+    * plus one of each LLM-pipeline family, plus the round-3 pipeline layer
+    * (iterative clustering, n-gram dedup, text-quality kernels, h2o-style
+    * groupby, fused end-to-end pipeline) so the newest code is perf-tracked
+    * round-over-round. */
   val Headline: Seq[String] = Seq(
     "q1", "q3", "q5", "q6", "q9", "q18",
-    "d_exact", "d_minhash", "n_brute_topk", "x_quality")
+    "d_exact", "d_minhash", "n_brute_topk", "x_quality",
+    "d_cluster", "d_ngram_jaccard", "x_gopher", "x_repetition",
+    "cb_h2o_gb", "p_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,19 +50,40 @@ object Bench {
     // d_minhash run. Steady-state is what a long-lived cluster sees.
     val warmDir = "/root/testdata/sf0.001"
     Headline.foreach(n => runOnce(n, warmDir))
+    // …then once at the TARGET sf: AQE finalizes different physical shapes
+    // there (broadcast vs shuffle, coalesced partition counts), each with its
+    // own one-time janino compile — without this pass the first measured run
+    // absorbs those compiles and the recorded spread hits 50–90%.
+    Headline.foreach { n => spark.catalog.clearCache(); runOnce(n, sfDir) }
 
-    // min of two runs: JIT deoptimization storms and GC pauses add seconds
+    // min of three runs: JIT deoptimization storms and GC pauses add seconds
     // of one-sided noise on a shared JVM; the minimum is the steady state.
-    // clearCache first so operators with internal persist() (minhash family)
-    // are timed cold — measuring their cache hits would flatter them.
+    // Round 3 showed min-of-2 still lets ~10% phantom drift through — with
+    // three runs the min is covered twice over. Per-query `spread` = the
+    // relative gap between the two FASTEST runs: it measures whether the
+    // steady state reproduces (small gap → the min is trustworthy; a large
+    // gap → treat the number as noisy, not as a regression). The slowest of
+    // the three is deliberately excluded — it is the GC/scheduler outlier
+    // min-of-N exists to reject, and (max−min) would just measure that
+    // outlier. clearCache first so operators with internal persist()
+    // (minhash family) are timed cold — measuring cache hits would flatter
+    // them; System.gc() so one query's garbage is not another's pause.
     val results = Headline.map { n =>
-      def cold(): Double = { spark.catalog.clearCache(); runOnce(n, sfDir) }
-      val a = cold(); val b = cold()
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      def cold(): Double = {
+        spark.catalog.clearCache(); System.gc(); runOnce(n, sfDir)
+      }
+      val runs = Seq(cold(), cold(), cold())
+      if (runs.exists(_ < 0)) n -> (-1.0, -1.0)
+      else {
+        val sorted = runs.sorted
+        n -> (sorted.head, if (sorted.head > 0) (sorted(1) - sorted.head) / sorted.head else 0.0)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spreads,"runs":3,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] noise when run via `sbt runMain`, so
     // the canonical copy goes to a file the driver can read verbatim.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
