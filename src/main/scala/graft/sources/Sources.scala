@@ -190,15 +190,83 @@ object Sources {
   /** Exposed for the layout spec. */
   def partitionedOutPath: String = ioDir("orders_part")
 
+  // --------------------------------------------------------------- sink_csv
+  /** Partitioned CSV sink (COPY ... TO 'dir' (FORMAT CSV, PARTITION_BY ...)
+    * parity — reference: datafusion/sql/src/statement.rs CopyTo +
+    * core/src/datasource/file_format/csv.rs write path): customer written
+    * partitioned by market segment with header + explicit delimiter, read
+    * back through partition discovery with an explicit schema. The oracle
+    * hash-checks every round-tripped row against the original table, so
+    * quoting, header and partition-value encode/decode are all on the
+    * line — not just a row count. Writes are partition-local (no shuffle);
+    * the directory-per-segment layout is what lets a downstream scan prune
+    * whole segments. */
+  def sinkCsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("customer_csv_part")
+    Tables.t(spark, dir, "customer")
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("delimiter", "|")
+      .partitionBy("c_mktsegment")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true").option("delimiter", "|")
+      .csv(out)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val sinkCsvSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+      |       c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------- sink_json
+  /** Partitioned NDJSON sink (CopyTo JSON parity — reference
+    * file_format/json.rs): part written partitioned by brand, read back via
+    * partition discovery; full-precision doubles survive the text
+    * round-trip and the oracle hash-checks every row. */
+  def sinkJson(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("part_json_part")
+    Tables.t(spark, dir, "part")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_brand")
+      .json(out)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType),
+      StructField("p_brand", StringType)))
+    spark.read.schema(schema).json(out)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), round(col("p_retailprice"), 2).as("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  val sinkJsonSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+      |       round(p_retailprice, 2) AS p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
     "src_arrow" -> (srcArrow _), "src_evolve" -> (srcEvolve _),
-    "sink_partitioned" -> (sinkPartitioned _))
+    "sink_partitioned" -> (sinkPartitioned _),
+    "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _))
 
   val oracle: Map[String, String] = Map(
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,
     "src_arrow" -> srcArrowSql, "src_evolve" -> srcEvolveSql,
-    "sink_partitioned" -> sinkPartitionedSql)
+    "sink_partitioned" -> sinkPartitionedSql,
+    "sink_csv" -> sinkCsvSql, "sink_json" -> sinkJsonSql)
 }

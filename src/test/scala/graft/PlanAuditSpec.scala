@@ -13,6 +13,11 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** An executed AQE plan prints "== Final Plan ==" AND "== Initial Plan ==";
+    * counting operators across both double-counts every exchange. */
+  private def finalPlan(df: DataFrame): String =
+    plan(df).split("== Initial Plan ==").head
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
@@ -228,6 +233,37 @@ class PlanAuditSpec extends SparkSpec {
     // both count aggregates must show map-side partial + final pairs
     assert(countOccurrences(p, "partial_count") >= 2,
       s"gram counts shuffle raw tokens (no map-side combine):\n$p")
+  }
+
+  test("d_cluster contraction round: constant shuffle count, no cartesian, bounded lineage") {
+    import spark.implicits._
+    // per-round cost must not depend on graph size or iteration count:
+    // each star step is groupBy-min + equi-join on node id — a fixed
+    // handful of hash exchanges — and localCheckpoint inside
+    // connectedComponents truncates lineage so round N's plan is the same
+    // shape as round 1's (no plan growth, no cartesian ever)
+    val edges = (0L until 64L).map(i => (i, i + 1)).toDF("u", "v")
+      .localCheckpoint()
+    val round = Dedup.smallStar(Dedup.largeStar(edges))
+    round.collect()
+    val p = finalPlan(round)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 8,
+      s"contraction round shuffle count grew:\n$p")
+  }
+
+  test("p_e2e: dedup is the single fact shuffle; normalize fuses into the scan") {
+    val df = graft.operators.Pipeline.pE2e(spark, sf)
+    df.collect() // AQE-finalized plan
+    val p = finalPlan(df)
+    // exactly two hash exchanges end-to-end: the groupBy(t) dedup (the only
+    // shuffle that carries per-document data) and the tiny per-source stats
+    // aggregate; the regex-normalize prefix must ride inside a codegen stage
+    // with the scan, never materialize or shuffle raw text twice
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("*("), s"no codegen stage in:\n$p")
   }
 
   test("whole-stage codegen spans cover the hot paths") {

@@ -198,4 +198,19 @@ class RelationalSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES").collect()
       .exists(_.getString(1) == "graft_nation"))
   }
+
+  test("ddl_info_schema lists every engine table with ordered, typed columns") {
+    val rows = Relational.ddlInfoSchema(spark, sf).collect()
+    val byTable = rows.groupBy(_.getString(0))
+    assert(Tables.all.toSet.subsetOf(byTable.keySet),
+      s"missing tables: ${Tables.all.toSet -- byTable.keySet}")
+    // spot-check the information_schema.columns shape on lineitem
+    val li = byTable("lineitem").sortBy(_.getInt(2))
+    assert(li.map(_.getString(1)).startsWith(Seq("l_orderkey")), li.mkString(","))
+    assert(li.map(_.getInt(2)).toSeq == (1 to li.length).toSeq,
+      "ordinal_position must be dense from 1")
+    assert(li.forall(r => r.getString(3).nonEmpty), "every column needs a type")
+    assert(byTable("documents").exists(r =>
+      r.getString(1) == "text" && r.getString(3) == "string"))
+  }
 }

@@ -50,6 +50,31 @@ class SimilaritySpec extends SparkSpec {
       s"LSH no better than random sampling: recall=$recall candfrac=$candFrac")
   }
 
+  test("LSH sizing knob: recall and scan fraction both fall as bits rise; default floor holds") {
+    // the recall/bits curve behind the LshBits sizing rule: more bits →
+    // smaller buckets → harder pruning → lower scan fraction AND lower
+    // recall at fixed probe radius. The sweep pins both monotonicities so
+    // a regression in either direction (or a knob that stops doing
+    // anything) fails.
+    val n = Tables.t(spark, sf01, "embeddings").count().toDouble
+    val curve = Seq(4, 8, 12).map { bits =>
+      val cand = Similarity.lshCandidates(spark, sf01, bits, Similarity.LshMaxHamming)
+        .groupBy("qid").count().collect().map(_.getAs[Long]("count"))
+      val frac = cand.sum / (cand.length * n)
+      val rec = recallOf(
+        Similarity.nLshTopkWith(spark, sf01, bits, Similarity.LshMaxHamming).collect())
+      (bits, rec, frac)
+    }
+    info(curve.map { case (b, r, f) =>
+      f"bits=$b recall=$r%.3f scanned=$f%.3f" }.mkString("; "))
+    curve.sliding(2).foreach { case Seq((b1, r1, f1), (b2, r2, f2)) =>
+      assert(r1 >= r2, s"recall must not rise with bits: $b1→$r1, $b2→$r2")
+      assert(f1 > f2, s"scan fraction must fall with bits: $b1→$f1, $b2→$f2")
+    }
+    val default = curve.find(_._1 == Similarity.LshBits).get
+    assert(default._2 >= 0.25, s"default-bits recall ${default._2} < 0.25")
+  }
+
   test("n_ivf_topk: recall floor and candidate-fraction ceiling") {
     val n = Tables.t(spark, sf01, "embeddings").count()
     val candPerQuery = Similarity.ivfCandidates(spark, sf01)
