@@ -332,12 +332,17 @@ object Dedup {
     * `localCheckpoint` each round truncates the otherwise-doubling lineage
     * (each round's plan references the last round's twice). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // LAZY localCheckpoint everywhere: the per-round checksum (the
+    // convergence test, which must run anyway) is the action that
+    // materializes each checkpoint — one Spark job per round, not two
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v"))
-      .localCheckpoint()
-    // all nodes, captured before contraction rewires the edge list
+      .localCheckpoint(eager = false)
+    // all nodes, captured from the initial edge list before contraction
+    // rewires it (plain derived plan — reads the checkpointed edges once,
+    // at the final labeling join)
     val nodes = edges.select(col("u")).union(edges.select(col("v").as("u")))
-      .distinct().withColumnRenamed("u", "id").localCheckpoint()
+      .distinct().withColumnRenamed("u", "id")
     // bit_xor: order-insensitive and overflow-free (ANSI sum of full-range
     // hashes would throw); edge sets are distinct so xor-cancellation is moot
     def checksum(e: DataFrame): (Long, Long) = {
@@ -348,7 +353,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSig = checksum(next)
       converged = nextSig == sig
       sig = nextSig

@@ -78,9 +78,56 @@ object Pipeline {
       |       THEN '3f' ELSE 'bf' END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- p_token_budget
+  /** Budget-constrained source mixing — the "N billion tokens per source"
+    * allocation step of a corpus build: within each source, take documents
+    * in priority order (longest first, deterministic tie-break) until the
+    * source's token budget is exhausted. One window shuffle on `source`
+    * (running token total), then a pure filter — the cumulative-sum
+    * formulation needs no iteration and no driver state. Per-source budgets
+    * derive from the source id (even sources 800 tokens, odd 400) the same
+    * deterministic way p_sample derives its rates.
+    *
+    * 100 TB note: the window partitions by source, so a corpus with FEW
+    * giant sources would skew; the production form adds a salt level
+    * (budget per (source, shard) then a tiny per-source reconciliation
+    * pass). At realistic source cardinality (domains, crawls, datasets) the
+    * per-source window is the right single-shuffle plan. */
+  def pTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
+    val budget = when(srcNum % 2 === 0, lit(800)).otherwise(lit(400))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("toks"), asc("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("toks"))
+      .withColumn("cum_toks", sum("toks").over(w))
+      .filter(col("cum_toks") <= budget)
+      .select("source", "doc_id", "toks", "cum_toks")
+      .orderBy("source", "cum_toks")
+  }
+
+  val pTokenBudgetSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |             len(string_split(text, ' ')) AS toks FROM documents),
+      |c AS (SELECT doc_id, source, toks,
+      |        sum(toks) OVER (PARTITION BY source
+      |                        ORDER BY toks DESC, doc_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS cum_toks
+      |      FROM d)
+      |SELECT source, doc_id, CAST(toks AS INTEGER) AS toks,
+      |       CAST(cum_toks AS BIGINT) AS cum_toks
+      |FROM c
+      |WHERE cum_toks <= CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0
+      |                       THEN 800 ELSE 400 END
+      |ORDER BY source, cum_toks""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _))
+    Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _),
+      "p_token_budget" -> (pTokenBudget _))
 
   val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql,
-    "p_sample" -> pSampleSql)
+    "p_sample" -> pSampleSql, "p_token_budget" -> pTokenBudgetSql)
 }

@@ -521,7 +521,17 @@ object Relational {
     * sql/src/planner.rs infer_types for $1-style params; Spark 4 spells it
     * `spark.sql(text, args)` with named parameters). The parameter values
     * are bound by the engine, not string-interpolated — the oracle inlines
-    * the same constants. */
+    * the same constants.
+    *
+    * PREPARE/EXECUTE lifecycle note: the reference additionally keeps a
+    * named server-side statement object (sql/src/statement.rs `Prepare`,
+    * executed later by name). Spark has no PREPARE statement — its
+    * analogue is reusing the same SQL text with fresh `args`, which
+    * re-binds and re-plans per call (plan caching happens in Catalyst's
+    * plan cache, not a user-visible statement handle). The *binding*
+    * semantics — typed engine-side substitution, no injection — are what
+    * this query covers; the statement-object lifecycle is a client/session
+    * feature Spark intentionally lacks. */
   def sqlParams(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(spark, dir)
     spark.sql(
@@ -940,6 +950,26 @@ object Relational {
       |  SELECT r_regionkey + 100, upper(r_name) FROM region)
       |ORDER BY r_regionkey""".stripMargin
 
+  // --------------------------------------------------------- s_limit_offset
+  /** LIMIT/OFFSET pagination (reference: logical-plan Limit { skip, fetch },
+    * sql SELECT ... LIMIT n OFFSET m). Deterministic page: ties broken by
+    * key. Scale shape: Spark plans a global TakeOrdered-style limit — only
+    * offset+limit rows ever reach the driver-side final stage, the sort
+    * itself is partial per partition; OFFSET deep paging (offset ≫ limit)
+    * is an anti-pattern at 100 TB regardless of engine (keyset pagination
+    * is the scale path) but the operator semantics are covered here. */
+  def sLimitOffset(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .offset(100).limit(20)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority"))
+
+  val sLimitOffsetSql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 100""".stripMargin
+
   // --------------------------------------------------------- ddl_info_schema
   /** Catalog introspection — information_schema.tables/columns parity
     * (reference: datafusion/catalog/src/information_schema.rs builds the
@@ -1081,7 +1111,8 @@ object Relational {
     "explain_plan" -> (explainPlan _), "explain_analyze" -> (explainAnalyze _),
     "ddl_table" -> (ddlTable _), "ddl_bucketed" -> (ddlBucketed _),
     "ddl_view" -> (ddlView _), "ddl_insert" -> (ddlInsert _),
-    "ddl_info_schema" -> (ddlInfoSchema _))
+    "ddl_info_schema" -> (ddlInfoSchema _),
+    "s_limit_offset" -> (sLimitOffset _))
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
@@ -1105,5 +1136,6 @@ object Relational {
     "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql,
     "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql,
     "ddl_bucketed" -> ddlBucketedSql,
-    "ddl_view" -> ddlViewSql, "ddl_insert" -> ddlInsertSql)
+    "ddl_view" -> ddlViewSql, "ddl_insert" -> ddlInsertSql,
+    "s_limit_offset" -> sLimitOffsetSql)
 }

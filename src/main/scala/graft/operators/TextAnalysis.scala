@@ -483,7 +483,47 @@ object TextAnalysis {
        |    / count(*), 4) AS oov_rate
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ x_boilerplate
+  /** Cross-document boilerplate detection — the corpus-level pass that
+    * finds sentences repeated across many documents (nav bars, footers,
+    * license blurbs) which per-document dedup can never see. A footer
+    * sentence is planted on every 5th doc (the corpus's natural sentences
+    * are all distinct), and detection must surface exactly the sentences
+    * shared by ≥ 5 distinct docs.
+    *
+    * Scale shape: explode to (sentence, doc_id), one partial-aggregated
+    * count-distinct shuffle keyed on the sentence, threshold filter. At
+    * 100 TB the map-side partial collapses each partition to its distinct
+    * (sentence, doc) pairs before anything moves; the true production form
+    * keys on xxhash64(sentence) (8 bytes moved per sentence, join the
+    * strings back for the report) — same plan, thinner shuffle. */
+  def xBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(". Subscribe to our newsletter today.")))
+        .otherwise(col("text")).as("text"))
+    planted
+      .select(col("doc_id"), explode(split(col("text"), "[.!?] ")).as("sent"))
+      .groupBy("sent")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 5)
+      .orderBy(desc("n_docs"), asc("sent"))
+  }
+
+  val xBoilerplateSql: String =
+    """WITH p AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN text || '. Subscribe to our newsletter today.'
+      |       ELSE text END AS text
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |        unnest(regexp_split_to_array(text, '[.!?] ')) AS sent FROM p)
+      |SELECT sent, count(DISTINCT doc_id) AS n_docs
+      |FROM s GROUP BY sent HAVING count(DISTINCT doc_id) >= 5
+      |ORDER BY n_docs DESC, sent""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_boilerplate" -> (xBoilerplate _),
     "x_vocab_encode" -> (xVocabEncode _),
     "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
     "x_sentences" -> (xSentences _), "x_top_ngrams" -> (xTopNgrams _),
@@ -493,6 +533,7 @@ object TextAnalysis {
     "x_tokcount" -> (xTokcount _), "x_docstats" -> (xDocstats _))
 
   val oracle: Map[String, String] = Map(
+    "x_boilerplate" -> xBoilerplateSql,
     "x_quality" -> xQualitySql, "x_tokcount" -> xTokcountSql,
     "x_docstats" -> xDocstatsSql,
     "x_normalize" -> xNormalizeSql, "x_scrub" -> xScrubSql,

@@ -31,4 +31,31 @@ class PipelineSpec extends SparkSpec {
         s"even=$even rate $rate too far from $expected (n=$n)")
     }
   }
+
+  test("p_token_budget: per-source totals within budget, maximal, priority-ordered") {
+    val kept = Pipeline.pTokenBudget(spark, sf).collect()
+      .groupBy(_.getString(0))
+    val allDocs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).as("toks"))
+      .collect().groupBy(_.getString(0))
+    kept.foreach { case (src, rows) =>
+      val budget = if (src.drop(3).toInt % 2 == 0) 800 else 400
+      val total = rows.map(_.getInt(2)).sum
+      assert(total <= budget, s"$src kept $total tokens > budget $budget")
+      // maximality: the highest-priority doc NOT kept would bust the budget
+      val keptIds = rows.map(_.getLong(1)).toSet
+      val next = allDocs(src).filter(r => !keptIds.contains(r.getLong(1)))
+        .sortBy(r => (-r.getInt(2), r.getLong(1))).headOption
+      next.foreach { n =>
+        assert(total + n.getInt(2) > budget,
+          s"$src left doc ${n.getLong(1)} (${n.getInt(2)} toks) on the table " +
+            s"with only $total/$budget used")
+      }
+      // priority order: kept docs are a prefix of the (toks desc, id) order
+      val keptSorted = rows.sortBy(r => (-r.getInt(2), r.getLong(1))).map(_.getLong(1)).toSeq
+      val prefix = allDocs(src).sortBy(r => (-r.getInt(2), r.getLong(1)))
+        .map(_.getLong(1)).take(rows.length).toSeq
+      assert(keptSorted == prefix, s"$src kept a non-prefix of the priority order")
+    }
+  }
 }

@@ -199,6 +199,16 @@ class RelationalSpec extends SparkSpec {
       .exists(_.getString(1) == "graft_nation"))
   }
 
+  test("s_limit_offset returns exactly rows 101-120 of the global order") {
+    val page = Relational.sLimitOffset(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    val full = Tables.t(spark, sf, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(page == full.slice(100, 120),
+      s"pagination window mismatch: got ${page.take(5)}…")
+  }
+
   test("ddl_info_schema lists every engine table with ordered, typed columns") {
     val rows = Relational.ddlInfoSchema(spark, sf).collect()
     val byTable = rows.groupBy(_.getString(0))

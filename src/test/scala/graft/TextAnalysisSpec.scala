@@ -138,4 +138,15 @@ class TextAnalysisSpec extends SparkSpec {
     // top bigram of "spam ham spam ham ...": "spam ham" appears 40 of 79
     assert(math.abs(r(1L).getAs[Double]("top_bigram_frac") - 0.5063) < 1e-4)
   }
+
+  test("x_boilerplate finds exactly the planted cross-document footer") {
+    val rows = TextAnalysis.xBoilerplate(spark, sf).collect()
+    val planted = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(rows.length == 1,
+      s"only the planted footer repeats across docs: ${rows.mkString(";")}")
+    assert(rows.head.getString(0) == "Subscribe to our newsletter today.")
+    assert(rows.head.getLong(1) == planted,
+      s"footer must be counted once per planted doc ($planted)")
+  }
 }
