@@ -68,4 +68,72 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Double]("brightness") >= 0 && r.getAs[Double]("brightness") <= 255)
     }
   }
+
+  test("PPM decoder recovers a hand-built image exactly and rejects junk") {
+    // 2x1 image, known pixels, plus a header comment (the format allows it)
+    val bytes = "P6\n# test\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val img = Multimodal.decodePpm(bytes)
+    assert(img.width == 2 && img.height == 1)
+    assert(img.rgb.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("JFIF not a ppm".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster must not decode
+      Multimodal.decodePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("nearest-neighbor resize picks exactly the expected source pixels") {
+    // 4x4 image whose pixel (x,y) = (16x+y, 0, 0); half-res picks x∈{0,2}, y∈{0,2}
+    val img = Multimodal.decodePpm(
+      Multimodal.encodePpm(4, 4, (x, y) => (16 * x + y, 0, 0)))
+    val half = Multimodal.resizePpmNearest(img, 2, 2)
+    val reds = (0 until 4).map(i => half.rgb(i * 3) & 0xFF)
+    assert(reds == Seq(0, 32, 2, 34), s"got $reds")
+  }
+
+  test("WAV decoder walks RIFF chunks and recovers hand-built samples exactly") {
+    val samples = Array[Short](1000, -1000, 32767, -32768, 0)
+    val audio = Multimodal.decodeWav(Multimodal.encodeWav(16000, samples))
+    assert(audio.sampleRate == 16000)
+    assert(audio.samples.toSeq == samples.toSeq,
+      "samples must survive the encode/decode round trip bit-exactly")
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("not riff data....".getBytes("US-ASCII"))
+    }
+  }
+
+  test("m_image_decode/resize/audio: real parses, exact dims, deterministic") {
+    val dec = Multimodal.mImageDecode(spark, sf).collect()
+    assert(dec.nonEmpty)
+    dec.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == 8 + (id % 9).toInt)
+      assert(r.getAs[Int]("height") == 8 + (id % 7).toInt)
+      val luma = 0.299 * r.getAs[Double]("mean_r") +
+        0.587 * r.getAs[Double]("mean_g") + 0.114 * r.getAs[Double]("mean_b")
+      assert(math.abs(luma - r.getAs[Double]("luma")) < 0.01)
+    }
+    val rs = Multimodal.mImageResize(spark, sf).collect()
+    rs.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == (8 + (id % 9).toInt) / 2)
+      assert(r.getAs[Int]("height") == (8 + (id % 7).toInt) / 2)
+      assert(r.getAs[Int]("n_bytes") ==
+        r.getAs[Int]("width") * r.getAs[Int]("height") * 3)
+    }
+    val au = Multimodal.mAudioDecode(spark, sf).collect()
+    au.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("n_samples") == 256 + (id % 8).toInt * 32)
+      assert(r.getAs[Int]("peak") <= 8000 + (id % 10).toInt * 2000)
+      val zcr = r.getAs[Double]("zcr")
+      assert(zcr > 0 && zcr < 0.5, s"doc $id zcr $zcr out of band")
+    }
+    // decode is a pure function of doc_id → byte-identical reruns
+    assert(Multimodal.mAudioDecode(spark, sf).collect().map(_.toString).toSeq ==
+      au.map(_.toString).toSeq)
+  }
 }
