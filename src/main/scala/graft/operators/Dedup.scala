@@ -95,6 +95,15 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
   }
 
+  /** The 16 LSH band hashes of a 128-component minhash signature column —
+    * xxhash64 over each band's 8 components. Shared by the batch banding
+    * join and the streaming bucket-state dedup. */
+  def bandHashes(sig: Column): Column =
+    array((0 until NumBands).map { b =>
+      xxhash64((0 until RowsPerBand).map(i =>
+        element_at(sig, b * RowsPerBand + i + 1)): _*)
+    }: _*)
+
   /** LSH banding: explode (band_id, band_hash), self-join per bucket with
     * doc_a < doc_b, dedup candidate pairs, verify exact shingle Jaccard.
     * Signatures come from the native `minhash_sig` kernel (128 wrapping
@@ -113,10 +122,7 @@ object Dedup {
     val bands = sh
       .select(col("doc_id"), expr(s"minhash_sig(shingles, $NumPerms)").as("sig"))
       .select(col("doc_id"),
-        posexplode(array((0 until NumBands).map { b =>
-          xxhash64((0 until RowsPerBand).map(i =>
-            element_at(col("sig"), b * RowsPerBand + i + 1)): _*)
-        }: _*)).as(Seq("band_id", "band_hash")))
+        posexplode(bandHashes(col("sig"))).as(Seq("band_id", "band_hash")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_hash") === col("y.band_hash") &&

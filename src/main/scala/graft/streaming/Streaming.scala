@@ -145,6 +145,71 @@ object Streaming {
         "click_id", "click_ts")
   }
 
+  /** A streaming near-dup match: an arriving document matched against the
+    * LSH bucket's stored representative. */
+  case class DocMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
+  /** Per-LSH-bucket state: the first document seen in this bucket. */
+  case class BucketRep(rep_id: Long, sig: Seq[Long])
+
+  /** Streaming near-duplicate dedup — the continuous-ingest face of
+    * d_minhash (SURVEY §2.5): every arriving document is minhashed and
+    * banded with the SAME kernels and band layout as the batch pipeline
+    * (`Dedup.bandHashes`), then checked against per-bucket state; a match
+    * is emitted when the signature-agreement estimate of Jaccard (the
+    * minhash property: P[component collision] = J) clears `minSigSim`.
+    *
+    * 100 TB shape: state is ONE representative signature (~1 KB) per
+    * non-empty LSH bucket — bounded by the bucket space actually touched,
+    * not by stream length, and it lives in the state store (RocksDB at
+    * scale), never on the driver. The batch pipeline verifies candidates
+    * against exact shingle sets; a stream cannot hold shingle sets for
+    * every document ever seen, so the signature estimate IS the verify —
+    * the standard streaming trade (±1/√128 ≈ 0.09 estimate error), spec'd
+    * against exact Jaccard in StreamingSpec. A production deployment adds
+    * an event-time timeout to TTL cold buckets; with no timestamp on the
+    * documents stream this slot stays NoTimeout here. */
+  def minhashDedupStream(docs: DataFrame,
+      minSigSim: Double = 0.5): Dataset[DocMatch] = {
+    import docs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.operators.Dedup
+    val banded = docs
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), expr(s"minhash_sig(sh, ${Dedup.NumPerms})").as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(Dedup.bandHashes(col("sig"))).as(Seq("band_id", "band_hash")))
+      .as[(Long, Seq[Long], Int, Long)]
+    banded
+      .groupByKey { case (_, _, bandId, bandHash) => (bandId, bandHash) }
+      .flatMapGroupsWithState[BucketRep, DocMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
+         state: GroupState[BucketRep]) =>
+          // deterministic within a micro-batch: smallest doc_id seeds the
+          // bucket, later arrivals compare against the stored representative
+          val arrivals = rows.map { case (id, sig, _, _) => (id, sig) }
+            .toSeq.sortBy(_._1)
+          val out = Seq.newBuilder[DocMatch]
+          var rep = if (state.exists) Some(state.get) else None
+          arrivals.foreach { case (id, sig) =>
+            rep match {
+              case None => rep = Some(BucketRep(id, sig))
+              case Some(r) if r.rep_id == id => ()
+              case Some(r) =>
+                val eq = r.sig.iterator.zip(sig.iterator)
+                  .count { case (a, b) => a == b }
+                val est = eq.toDouble / r.sig.length
+                if (est >= minSigSim)
+                  out += DocMatch(id, r.rep_id, math.round(est * 10000) / 10000.0)
+            }
+          }
+          rep.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Batch-mode flush of sessionize semantics (for equivalence testing):
     * same splitting logic applied with the stream considered ended. */
   def sessionizeBatch(events: Dataset[Event]): Dataset[SessionOut] = {

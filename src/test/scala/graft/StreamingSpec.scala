@@ -176,4 +176,57 @@ class StreamingSpec extends SparkSpec {
     assert(j.filter(col("s.n_events") =!= col("b.n_events") ||
       col("s.session_end") =!= col("b.session_end")).count() == 0)
   }
+
+  test("st_minhash_dedup matches planted near-dups across micro-batch state") {
+    import graft.operators.Dedup
+    // two files → with maxFilesPerTrigger=1, originals seed bucket state in
+    // micro-batch 1 and the planted near-dup copies arriving in batch 2 must
+    // match against STATE, not within-batch pairs
+    val dir = Paths.get("target/stream_docs")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    Dedup.withPlantedNear(docs).filter(col("doc_id") >= 1000000L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
+    def move(sub: String, out: String): Unit = {
+      val part = Files.list(Paths.get(s"$dir/$sub")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(part), dir.resolve(out),
+        StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(s"$dir/$sub").toFile)
+    }
+    move("b1", "0-originals.parquet")
+    move("b2", "1-copies.parquet")
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+    runToMemory(Streaming.minhashDedupStream(stream).toDF(), "stream_dedup", "append")
+    val matches = spark.table("stream_dedup")
+      .select("doc_id", "dup_of", "est_jaccard").distinct().collect()
+
+    // recall: planted copies (source + 1000000, first two words dropped)
+    // must match their source via cross-batch bucket state
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = matches.filter(r => r.getLong(0) >= 1000000L &&
+      r.getLong(1) == r.getLong(0) - 1000000L).map(_.getLong(0) - 1000000L).toSet
+    val recall = hits.intersect(planted).size.toDouble / planted.size
+    assert(recall >= 0.8, s"stream dedup recall $recall < 0.8")
+
+    // precision: every emitted estimate must be close to the true Jaccard
+    // of that pair's shingle sets (±0.15 ≫ the 1/√128 sig-estimate error)
+    import spark.implicits._
+    val shingles = Dedup.wordShingleSets(Dedup.withPlantedNear(docs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    matches.foreach { r =>
+      val (a, b) = (shingles(r.getLong(0)), shingles(r.getLong(1)))
+      val trueJ = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(r.getDouble(2) - trueJ) < 0.15,
+        s"pair ${r.getLong(0)}->${r.getLong(1)} est ${r.getDouble(2)} vs true $trueJ")
+      assert(trueJ >= 0.3, s"false positive: true Jaccard $trueJ")
+    }
+  }
 }
