@@ -286,6 +286,106 @@ object FunctionLib {
       |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- f_interval
+  /** INTERVAL arithmetic (reference sqllogictest interval.slt; arrow
+    * interval kernels): timestamp ± minute/day/month/year intervals — month
+    * addition exercises end-of-month clamping, which both engines apply —
+    * plus a timestampdiff. Same operator text runs in DuckDB. */
+  def fInterval(spark: SparkSession, dir: String): DataFrame = {
+    val ts = col("o_orderdate").cast("timestamp")
+    t("orders")(spark, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        (ts + expr("INTERVAL 90 MINUTE")).as("plus90m"),
+        (ts - expr("INTERVAL 1 DAY")).as("minus1d"),
+        (ts + expr("INTERVAL 2 MONTH")).as("plus2mo"),
+        (ts + expr("INTERVAL 1 YEAR")).as("plus1y"),
+        expr("""timestampdiff(HOUR, TIMESTAMP '1995-01-01 00:00:00',
+                CAST(o_orderdate AS TIMESTAMP))""").as("hrs_since"))
+      .orderBy("o_orderkey")
+  }
+
+  val fIntervalSql: String =
+    """SELECT o_orderkey,
+      |  o_orderdate + INTERVAL 90 MINUTE AS plus90m,
+      |  o_orderdate - INTERVAL 1 DAY AS minus1d,
+      |  o_orderdate + INTERVAL 2 MONTH AS plus2mo,
+      |  o_orderdate + INTERVAL 1 YEAR AS plus1y,
+      |  date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS hrs_since
+      |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- f_decimal
+  /** DECIMAL exact arithmetic (reference decimal.slt; Decimal128 kernels):
+    * the TPC-H money discipline done in decimals — cast the double columns
+    * to DECIMAL(12,2) and run sum(price), sum(price·(1−disc)),
+    * sum(price·(1−disc)·(1+tax)) with the standard scale-addition rules
+    * (2→4→6 digits), so every intermediate is EXACT; only the final result
+    * converts to DOUBLE (values ≤ 1e10 at 6dp sit well inside the 2^53
+    * integer range, so the conversion is the same nearest double in both
+    * engines). avg() is deliberately absent: decimal division scale rules
+    * are engine-specific (documented dialect gap). */
+  def fDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(12,2)")
+    val tax = col("l_tax").cast("decimal(12,2)")
+    t("lineitem")(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(price).cast("double").as("sum_base"),
+        sum(price * (lit(1) - disc)).cast("double").as("sum_disc"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"))
+      .orderBy("l_returnflag")
+  }
+
+  val fDecimalSql: String =
+    """WITH d AS (SELECT l_returnflag,
+      |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |  CAST(l_discount AS DECIMAL(12,2)) AS disc,
+      |  CAST(l_tax AS DECIMAL(12,2)) AS tax FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_base,
+      |  CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc,
+      |  CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge
+      |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------ f_cast
+  /** Cast matrix + TRY_CAST null-on-failure (reference cast.slt; ANSI
+    * failure semantics): int↔string, truncating double→int (spelled
+    * floor-then-cast because bare CAST truncates in Spark but ROUNDS in
+    * DuckDB — a dialect trap made explicit), int→boolean, string→date, and
+    * try_cast returning NULL for malformed input instead of the ANSI
+    * runtime error. */
+  def fCast(spark: SparkSession, dir: String): DataFrame =
+    t("orders")(spark, dir)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        (col("o_orderkey") % 2).cast("boolean").as("odd_key"),
+        expr("try_cast(o_orderstatus AS INT)").as("bad_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"),
+        lit("2024-02-29").cast("date").as("leap_day"),
+        // mixed success/NULL (an all-NULL date column round-trips as a
+        // typeless object column in the driver's pandas compare)
+        expr("""try_cast(CASE WHEN o_orderkey % 40 = 0 THEN '1999-01-01'
+                ELSE 'not a date' END AS DATE)""").as("bad_date"),
+        expr("try_cast('123.5' AS DOUBLE)").as("str_dbl"))
+      .orderBy("o_orderkey")
+
+  val fCastSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(o_orderkey % 2 AS BOOLEAN) AS odd_key,
+      |  TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+      |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+      |  DATE '2024-02-29' AS leap_day,
+      |  TRY_CAST(CASE WHEN o_orderkey % 40 = 0 THEN '1999-01-01'
+      |           ELSE 'not a date' END AS DATE) AS bad_date,
+      |  TRY_CAST('123.5' AS DOUBLE) AS str_dbl
+      |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------- f_regex
   /** Regex family over events.props (JSON strings — always contain digits). */
   def fRegex(spark: SparkSession, dir: String): DataFrame =
@@ -677,7 +777,9 @@ object FunctionLib {
     "a_hll_rollup" -> (aHllRollup _),
     "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
     "f_trig" -> (fTrig _), "f_bitwise" -> (fBitwise _),
-    "f_datetime" -> (fDatetime _), "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
+    "f_datetime" -> (fDatetime _), "f_interval" -> (fInterval _),
+    "f_decimal" -> (fDecimal _), "f_cast" -> (fCast _),
+    "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _),
     "a_stats" -> (aStats _), "a_order_stats" -> (aOrderStats _),
@@ -689,7 +791,9 @@ object FunctionLib {
   val oracle: Map[String, String] = Map(
     "f_string" -> fStringSql, "f_unicode" -> fUnicodeSql, "f_math" -> fMathSql,
     "f_trig" -> fTrigSql, "f_bitwise" -> fBitwiseSql,
-    "f_datetime" -> fDatetimeSql, "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
+    "f_datetime" -> fDatetimeSql, "f_interval" -> fIntervalSql,
+    "f_decimal" -> fDecimalSql, "f_cast" -> fCastSql,
+    "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql,
     "a_stats" -> aStatsSql, "a_order_stats" -> aOrderStatsSql,
