@@ -3,19 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Standalone check that the production wiring
-  * (`spark.sql.extensions=graft.functions.GraftExtensions`) registers the
-  * native functions and the optimizer rule on a fresh session — the path a
-  * cluster deployment uses (specs can only exercise register(), since the
-  * shared test session exists before any extension conf could apply). */
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`, applied here
+  * through the public [[Graft.configure]] entry point) registers the native
+  * functions and the optimizer rule on a fresh session — the path a cluster
+  * deployment uses (specs can only exercise register(), since the shared
+  * test session exists before any extension conf could apply). */
 object ExtensionsCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-extensions-check")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    val spark = Graft.configure(SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-extensions-check")
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true" &&
+      spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Graft.configure defaults missing on a fresh session")
 
     val g = spark.sql("SELECT gcd(12L, 8L) AS g, lcm(4L, 6L) AS l, " +
       "hamming_distance(5L, 3L) AS h, " +

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+/** Error-behavior coverage (reference sqllogictest errors.slt): a complete
+  * engine fails PREDICTABLY — analysis errors at plan time with the
+  * offending name, runtime errors under ANSI semantics, and try_* escape
+  * hatches that degrade to NULL instead. These are the behaviors a user
+  * migrating error-handling code depends on. */
+class ErrorSurfaceSpec extends SparkSpec {
+
+  private def orders = Tables.t(spark, sf, "orders")
+
+  test("unknown column fails at ANALYSIS time naming the column") {
+    val e = intercept[AnalysisException] { orders.select("no_such_col") }
+    assert(e.getMessage.contains("no_such_col"))
+  }
+
+  test("unknown table fails at analysis time naming the table") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM graft_definitely_missing")
+    }
+    assert(e.getMessage.contains("graft_definitely_missing"))
+  }
+
+  test("type mismatch in a function call is an analysis error, not a runtime one") {
+    val e = intercept[AnalysisException] {
+      orders.select(expr("array_contains(o_totalprice, 1)")).collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("ANSI mode: integer overflow and bad casts THROW; try_* returns NULL") {
+    // ANSI is on in Spark 4 — silent wraparound would corrupt 100 TB results
+    val overflow = intercept[Exception] {
+      spark.sql(s"SELECT ${Long.MaxValue}L + 1L").collect()
+    }
+    assert(overflow.getMessage.contains("ARITHMETIC_OVERFLOW"))
+    val badCast = intercept[Exception] {
+      spark.sql("SELECT CAST('nope' AS INT)").collect()
+    }
+    assert(badCast.getMessage.contains("CAST_INVALID_INPUT"))
+    // the sanctioned escape hatches
+    val r = spark.sql(
+      s"""SELECT try_add(${Long.MaxValue}L, 1L) AS a,
+         |       try_cast('nope' AS INT) AS b,
+         |       try_divide(1, 0) AS c""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("ANSI mode: division by zero and bad array index throw with error class") {
+    val div = intercept[Exception] { spark.sql("SELECT 1 / 0").collect() }
+    assert(div.getMessage.contains("DIVIDE_BY_ZERO"))
+    val idx = intercept[Exception] {
+      spark.sql("SELECT array(1, 2)[5]").collect()
+    }
+    assert(idx.getMessage.contains("INVALID_ARRAY_INDEX"))
+  }
+
+  test("graft native expressions validate their inputs at analysis time") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT cosine_similarity(1, 2)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type") ||
+      e.getMessage.toLowerCase.contains("array"))
+  }
+}

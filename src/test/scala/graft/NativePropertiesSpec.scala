@@ -84,4 +84,32 @@ class NativePropertiesSpec extends SparkSpec {
       assert(Math.floorMod(r.getLong(2), r.getLong(3)) == 0L, "not origin-aligned")
     }
   }
+
+  test("PPM codec: encode∘decode is the identity over random images") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val w = 1 + rnd.nextInt(24); val h = 1 + rnd.nextInt(24)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val img = Multimodal.decodePpm(Multimodal.encodePpm(w, h,
+        (x, y) => { val i = (y * w + x) * 3; (px(i), px(i + 1), px(i + 2)) }))
+      assert(img.width == w && img.height == h)
+      assert(img.rgb.map(_ & 0xFF).toSeq == px.toSeq)
+      // resize to the same dims is the identity (nearest-neighbor property)
+      assert(Multimodal.resizePpmNearest(img, w, h).rgb.toSeq == img.rgb.toSeq)
+    }
+  }
+
+  test("WAV codec: encode∘decode is the identity over random sample buffers") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(500)
+      val rate = 8000 + rnd.nextInt(40000)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val audio = Multimodal.decodeWav(Multimodal.encodeWav(rate, samples))
+      assert(audio.sampleRate == rate)
+      assert(audio.samples.toSeq == samples.toSeq)
+    }
+  }
 }

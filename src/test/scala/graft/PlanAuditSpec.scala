@@ -266,6 +266,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*("), s"no codegen stage in:\n$p")
   }
 
+  test("p_token_budget: one window shuffle on source, nothing else") {
+    val df = graft.operators.Pipeline.pTokenBudget(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // cumulative sum = exactly one hash exchange (the source partition) plus
+    // the presentation sort; a second hash exchange would mean the filter or
+    // projection fell out of the window stage
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("x_boilerplate: count-distinct is partial-aggregated before the shuffle") {
+    val df = graft.operators.TextAnalysis.xBoilerplate(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // two-phase distinct aggregation: partial_ nodes below the exchange mean
+    // each partition collapses to its distinct (sentence, doc) pairs before
+    // anything moves — the property that keeps the shuffle ∝ distinct
+    // sentences, not corpus size
+    assert(p.contains("partial_count"), s"no partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
