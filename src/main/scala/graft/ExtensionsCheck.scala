@@ -17,9 +17,15 @@ object ExtensionsCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true" &&
-      spark.conf.get("spark.sql.session.timeZone") == "UTC",
-      "Graft.configure defaults missing on a fresh session")
+    // assert configs whose DEFAULTS differ (AQE already defaults to true,
+    // so checking it could never catch configure() dropping a line):
+    // spark.sql.extensions has no default, and the JVM timezone is only
+    // coincidentally UTC in some environments
+    assert(spark.conf.get("spark.sql.extensions", "") ==
+      "graft.functions.GraftExtensions",
+      "Graft.configure did not set spark.sql.extensions")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Graft.configure did not set the UTC session timezone")
 
     val g = spark.sql("SELECT gcd(12L, 8L) AS g, lcm(4L, 6L) AS l, " +
       "hamming_distance(5L, 3L) AS h, " +

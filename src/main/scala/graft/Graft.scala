@@ -36,13 +36,23 @@ object Graft {
     .config("spark.sql.session.timeZone", "UTC")
 
   /** A ready local session: extensions + functions registered, shuffle
-    * width sized to the machine. */
+    * width sized to the machine.
+    *
+    * getOrCreate IGNORES builder configs when a session already exists in
+    * the JVM, so the defaults are re-applied to the returned session's
+    * runtime conf (timezone/AQE/shuffle width are all runtime-settable) and
+    * `register` patches in the functions + optimizer rule the static
+    * `spark.sql.extensions` conf could no longer inject — the promised
+    * semantics hold either way. */
   def session(master: String = "local[*]", appName: String = "graft"): SparkSession = {
     val cores = Runtime.getRuntime.availableProcessors()
     val s = configure(SparkSession.builder().master(master).appName(appName))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .getOrCreate()
-    // idempotent; covers sessions created before the extensions conf
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.shuffle.partitions", cores.toString)
     functions.GraftFunctions.register(s)
     s
   }

@@ -355,12 +355,23 @@ object Dedup {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // a localCheckpoint's blocks are freed only when its RDD is GC'd —
+    // without explicit release a 10-round run holds 10 materialized edge
+    // sets concurrently; drop each superseded round as soon as the next one
+    // is materialized (round 0 stays: `nodes` still reads it at the end)
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ =>
+      }
     var sig = checksum(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSig = checksum(next)
+      if (iter > 0) releaseCheckpoint(edges)
       converged = nextSig == sig
       sig = nextSig
       edges = next

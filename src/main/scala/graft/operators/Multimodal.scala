@@ -208,9 +208,13 @@ object Multimodal {
     def token(): Int = {
       skipSpace()
       var v = 0
+      var digits = 0
       while (i < bytes.length && !bytes(i).toChar.isWhitespace) {
-        v = v * 10 + (bytes(i) - '0'); i += 1
+        require(bytes(i) >= '0' && bytes(i) <= '9',
+          s"non-digit byte in PPM header token: '${bytes(i).toChar}'")
+        v = v * 10 + (bytes(i) - '0'); i += 1; digits += 1
       }
+      require(digits > 0, "missing PPM header token")
       v
     }
     val w = token(); val h = token(); val maxval = token()
@@ -352,8 +356,14 @@ object Multimodal {
     var samples: Array[Short] = null
     while (bb.remaining() >= 8) {
       val id = fourcc(); val len = bb.getInt
+      // validate the declared length up front: a corrupt/truncated file must
+      // fail the decoder's IllegalArgumentException contract, not surface a
+      // raw BufferUnderflow/NegativeArraySize from deeper in
+      require(len >= 0 && len <= bb.remaining(),
+        s"chunk '$id' declares $len bytes but ${bb.remaining()} remain")
       id match {
         case "fmt " =>
+          require(len >= 16, s"fmt chunk too short: $len")
           val fmt = bb.getShort; val ch = bb.getShort
           sampleRate = bb.getInt
           bb.getInt; bb.getShort
@@ -364,7 +374,7 @@ object Multimodal {
         case "data" =>
           samples = Array.fill(len / 2)(bb.getShort)
         case _ => // unknown chunk: skip (+ pad byte for odd lengths)
-          bb.position(bb.position() + len + (len & 1))
+          bb.position(bb.position() + math.min(len + (len & 1), bb.remaining()))
       }
     }
     require(sampleRate > 0 && samples != null, "missing fmt or data chunk")

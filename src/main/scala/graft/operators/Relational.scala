@@ -589,10 +589,11 @@ object Relational {
     * lacks GROUPS mode ("not implemented yet"), so the oracle is an
     * INDEPENDENT formulation — a dense_rank self-join over peer-group sums
     * (|rank_a − rank_b| ≤ 1) — not a copy of the Spark desugaring; matching
-    * hashes check the semantics, not the construction. */
-  /** The general desugaring: GROUPS BETWEEN nPrec PRECEDING AND nFoll
-    * FOLLOWING over any (partition, order) pair maps to a ROWS(−nPrec,
-    * +nFoll) frame on the per-peer-group partials. */
+    * hashes check the semantics, not the construction.
+    *
+    * This is the general desugaring: GROUPS BETWEEN nPrec PRECEDING AND
+    * nFoll FOLLOWING over any (partition, order) pair maps to a
+    * ROWS(−nPrec, +nFoll) frame on the per-peer-group partials. */
   def wGroupsFrame(spark: SparkSession, dir: String,
       nPrec: Int, nFoll: Int): DataFrame = {
     val e = ev(spark, dir).withColumn("m", date_trunc("minute", col("ts")))

@@ -117,9 +117,19 @@ object Similarity {
   private def sig(c: Column, bits: Int): Column =
     call_function("hyperplane_sign_bits", c, lit(bits))
 
-  /** All bit-masks with popcount ≤ maxHamming (multi-probe offsets). */
-  private def probeMasks(bits: Int, maxHamming: Int): Seq[Int] =
-    (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= maxHamming)
+  /** All bit-masks with popcount ≤ maxHamming (multi-probe offsets),
+    * enumerated as position combinations — C(bits, ≤r) masks, a few hundred
+    * even at the 20–30 bits a large corpus wants. (Scanning all 2^bits
+    * masks would cost a billion driver iterations at 30 bits and silently
+    * produce an EMPTY range at 31 via int overflow.) */
+  private def probeMasks(bits: Int, maxHamming: Int): Seq[Int] = {
+    require(bits >= 1 && bits <= 30, s"LSH bits must be in [1, 30], got $bits")
+    require(maxHamming >= 0, s"probe radius must be >= 0, got $maxHamming")
+    def combos(start: Int, k: Int): Seq[Int] =
+      if (k == 0) Seq(0)
+      else (start until bits).flatMap(p => combos(p + 1, k - 1).map(_ | (1 << p)))
+    (0 to math.min(maxHamming, bits)).flatMap(k => combos(0, k))
+  }
 
   private[graft] def lshCandidates(spark: SparkSession, dir: String,
       bits: Int = LshBits, maxHamming: Int = LshMaxHamming): DataFrame = {

@@ -168,7 +168,16 @@ object Streaming {
     * the standard streaming trade (±1/√128 ≈ 0.09 estimate error), spec'd
     * against exact Jaccard in StreamingSpec. A production deployment adds
     * an event-time timeout to TTL cold buckets; with no timestamp on the
-    * documents stream this slot stays NoTimeout here. */
+    * documents stream this slot stays NoTimeout here.
+    *
+    * Emission contract: AT-LEAST-ONCE per match — a near-dup pair collides
+    * in several of the 16 bands and each bucket emits independently (bands
+    * cannot see each other's output inside one stateful operator), so a
+    * doc may appear with up to 16 match rows, and with different `dup_of`
+    * reps if different buckets were seeded by different documents. Any
+    * emitted row is a valid "this doc is a near-duplicate" verdict; a
+    * consumer needing one row per doc takes min(dup_of) per doc_id (or
+    * Append-mode dropDuplicates) downstream, exactly as the spec does. */
   def minhashDedupStream(docs: DataFrame,
       minSigSim: Double = 0.5): Dataset[DocMatch] = {
     import docs.sparkSession.implicits._

@@ -102,6 +102,18 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWav("not riff data....".getBytes("US-ASCII"))
     }
+    // a data chunk declaring more bytes than remain must fail the decoder's
+    // IllegalArgumentException contract, not a raw BufferUnderflow
+    val truncated = Multimodal.encodeWav(8000, Array[Short](1, 2, 3, 4))
+      .dropRight(4)
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(truncated) }
+  }
+
+  test("PPM decoder rejects non-digit header tokens") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n12a 8\n255\n".getBytes("US-ASCII") ++
+        new Array[Byte](169 * 8 * 3))
+    }
   }
 
   test("m_image_decode/resize/audio: real parses, exact dims, deterministic") {
