@@ -231,6 +231,56 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ------------------------------------------------------------ d_incremental
+  /** Incremental ingest dedup — the daily-batch shape of d_exact: a new
+    * batch is admitted only where its content hash is (a) not already in
+    * the corpus and (b) unique within the batch (min doc_id survives).
+    * Planted batch: every 10th corpus doc re-sent verbatim (must be
+    * rejected), every 7th with " fresh" appended (genuinely new), and the
+    * %14 subset of those sent TWICE under two ids (within-batch dup; the
+    * smaller id wins).
+    *
+    * 100 TB shape: the corpus side reduces to its 32-byte sha256 per doc —
+    * in production a pre-materialized hash table bucketed on the hash, so
+    * the LEFT ANTI join co-locates without shuffling the corpus; the daily
+    * batch (≪ corpus) is the only side that moves. Within-batch dedup is
+    * the same one-shuffle hash groupBy as d_exact. */
+  def dIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(spark, dir).select(col("doc_id"), col("text"))
+    val resent = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val fresh = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+    val freshDup = corpus.filter(col("doc_id") % 14 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+    val batch = resent.union(fresh).union(freshDup)
+    val corpusHashes = corpus
+      .select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+    batch
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dIncrementalSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents),
+      |batch AS (
+      |  SELECT doc_id + 3000000 AS doc_id, text FROM corpus WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, text || ' fresh' FROM corpus WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 5000000, text || ' fresh' FROM corpus WHERE doc_id % 14 = 0),
+      |known AS (SELECT DISTINCT sha256(text) AS h FROM corpus)
+      |SELECT min(doc_id) AS doc_id
+      |FROM (SELECT doc_id, sha256(text) AS h FROM batch) b
+      |WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.h = b.h)
+      |GROUP BY h
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- x_fingerprint
   /** 64-bit rolling fingerprint: a seeded-hash chain
     * fp_i = xxh64(w_i, seed = fp_{i-1}) — order-sensitive (unlike the shingle
@@ -405,7 +455,9 @@ object Dedup {
     "d_contam" -> (dContam _), "d_cluster" -> (dCluster _),
     "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
-    "d_embed_dup" -> (dEmbedDup _), "x_fingerprint" -> (xFingerprint _))
+    "d_embed_dup" -> (dEmbedDup _), "x_fingerprint" -> (xFingerprint _),
+    "d_incremental" -> (dIncremental _))
 
-  val oracle: Map[String, String] = Map("d_exact" -> dExactSql)
+  val oracle: Map[String, String] = Map("d_exact" -> dExactSql,
+    "d_incremental" -> dIncrementalSql)
 }

@@ -119,6 +119,23 @@ class DedupSpec extends SparkSpec {
     assert(cc.values.toSet == Set(10L), s"labels must be the component min: $cc")
   }
 
+  test("d_incremental admits only genuinely new content, min id per batch dup") {
+    val admitted = Dedup.dIncremental(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val corpusIds = Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // resent corpus docs (3000000 range) must all be rejected
+    assert(admitted.forall(_ >= 4000000L),
+      s"resent corpus content admitted: ${admitted.filter(_ < 4000000L)}")
+    // every %7 doc's fresh variant admitted exactly once, as the SMALLER id
+    corpusIds.filter(_ % 7 == 0).foreach { d =>
+      assert(admitted.contains(d + 4000000L), s"fresh doc $d missing")
+      assert(!admitted.contains(d + 5000000L),
+        s"within-batch dup of $d not collapsed to the min id")
+    }
+    assert(admitted.size == corpusIds.count(_ % 7 == 0))
+  }
+
   test("connectedComponents labels a 200-node chain in O(log n) rounds") {
     import spark.implicits._
     // a path graph is the worst case for label propagation (diameter = n);
