@@ -35,6 +35,7 @@ object GraftFunctions {
     "quantize_int8" -> (c => QuantizeInt8(c(0))),
     "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
     "cosine_similarity_int" -> (c => CosineSimilarityInt(c(0), c(1))),
+    "pq_score" -> (c => PqScore(c(0), c(1))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
@@ -86,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "quantize_int8" -> (c => QuantizeInt8(c(0))),
       "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
       "cosine_similarity_int" -> (c => CosineSimilarityInt(c(0), c(1))),
+      "pq_score" -> (c => PqScore(c(0), c(1))),
       "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
     ).foreach { case (name, builder) =>
       ext.injectFunction((

@@ -689,3 +689,44 @@ object CosineSimilarityInt {
     else dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
   }
 }
+
+/** `pq_score(codes, table)` — asymmetric-distance (ADC) scoring for product
+  * quantization [Jégou et al. 2011]: a corpus vector is M small codebook
+  * codes (here 8 × 4-bit), a query is a precomputed M×K table of partial
+  * dot products, and the score is Σ_m table[m·K + codes[m]] — M array
+  * loads per vector instead of a full float dot product. The hot scoring
+  * loop of n_pq_topk; codebook TRAINING runs on a tiny sample off the hot
+  * path. K is implied by the array shapes (table.length / codes.length). */
+case class PqScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_score(array<int> codes, array<double> table) got $l, $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_score"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqScore.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqScore.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqScore {
+  def compute(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = table.numElements() / m
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += table.getDouble(i * k + codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+}

@@ -294,6 +294,89 @@ object Similarity {
         round(expr("cosine_similarity_int(codes, qcodes)"), 6).as("cos")), K)
   }
 
+  // -------------------------------------------------------------- n_pq_topk
+  /** Product-quantization segments/codebook size: 64-dim vectors split into
+    * 8 subvectors of 8 dims, each quantized against 16 centroids → a
+    * corpus vector is 8 small codes (8 ints here; 4 bits of information
+    * each — 32× smaller than the 256-byte float32 vector). Sizing rule:
+    * distortion falls with K per segment and rises with segment width;
+    * 16–256 centroids per 4–16-dim segment is the standard band, trained
+    * on a corpus sample. */
+  val PqSegments = 8
+  val PqCodebook = 16
+
+  /** Explode a vector frame into (id, seg, sub: array<double>) — one row
+    * per subvector. */
+  private def segmented(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(array((0 until PqSegments).map { m =>
+        transform(
+          slice(col(vecCol), m * (64 / PqSegments) + 1, 64 / PqSegments),
+          x => x.cast("double"))
+      }: _*)).as(Seq("seg", "sub")))
+
+  /** Squared-L2 between small double arrays — training-only (runs over the
+    * tiny sample × codebook cross; the interpreted HOF cost is off the hot
+    * path, which is the codegen'd `pq_score`). */
+  private val subDist: Column =
+    expr("aggregate(zip_with(sub, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+
+  /** Per-segment codebooks (seg, code, cv): the PqCodebook lowest-id
+    * vectors seed each segment's centroids, then one Lloyd refinement on
+    * the full corpus — same deterministic-sample + refine scheme as IVF. */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segmented(emb(spark, dir), "vec_id", "embedding")
+    val init = segs.filter(col("vec_id") < PqCodebook)
+      .select(col("seg"), col("vec_id").cast("int").as("code"), col("sub").as("cv"))
+    val assigned = segs.join(broadcast(init), "seg")
+      .withColumn("d", subDist)
+      .groupBy("vec_id", "seg")
+      .agg(min_by(col("code"), col("d")).as("code"), first("sub").as("sub"))
+    assigned
+      .select(col("seg"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy("seg", "code", "pos").agg(avg("v").as("m"))
+      .groupBy("seg", "code")
+      .agg(collect_list(struct(col("pos"), col("m"))).as("dims"))
+      .select(col("seg"), col("code"),
+        transform(array_sort(col("dims")), d => d.getField("m")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** n_pq_topk: ADC top-k. Corpus vectors are encoded ONCE to 8 codes
+    * (nearest centroid per segment); each query precomputes an 8×16 table
+    * of partial dot products against the codebooks; scoring is the native
+    * `pq_score` — 8 table loads per corpus vector instead of a 64-float
+    * dot product. At 100 TB this is the tier where the corpus's scored
+    * representation drops from 256 B to 8 codes per vector (32×): the scan
+    * becomes memory-bandwidth-cheap enough to brute-force, and IVF-style
+    * cell pruning composes on top unchanged. Rows-only + recall spec
+    * (random vectors are PQ's worst case — no cluster structure to
+    * quantize around). */
+  def nPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val books = pqCodebooks(spark, dir)
+    val codes = segmented(emb(spark, dir), "vec_id", "embedding")
+      .join(broadcast(books), "seg")
+      .withColumn("d", subDist)
+      .groupBy("vec_id", "seg").agg(min_by(col("code"), col("d")).as("code"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("seg"), col("code"))).as("cs"))
+      .select(col("vec_id"),
+        transform(array_sort(col("cs")), c => c.getField("code")).as("codes"))
+    val qTables = segmented(
+        queriesDf(spark, dir), "qid", "qv")
+      .join(broadcast(books), "seg")
+      .withColumn("dot",
+        expr("aggregate(zip_with(sub, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+      .groupBy("qid")
+      .agg(collect_list(struct(col("seg"), col("code"), col("dot"))).as("t"))
+      .select(col("qid"),
+        transform(array_sort(col("t")), e => e.getField("dot")).as("qtab"))
+    topK(codes.join(broadcast(qTables), codes("vec_id") =!= qTables("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
+  }
+
   // --------------------------------------------------------- n_range_search
   /** Cosine RANGE search: every (query, corpus) pair with similarity ≥ τ —
     * the "all neighbors within a radius" companion to top-k (dedup
@@ -323,6 +406,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_brute_topk" -> (nBruteTopk _), "n_lsh_topk" -> (nLshTopk _),
     "n_ivf_topk" -> (nIvfTopk _), "n_quant_topk" -> (nQuantTopk _),
+    "n_pq_topk" -> (nPqTopk _),
     "n_range_search" -> (nRangeSearch _),
     "e_normalize" -> (eNormalize _), "e_quantize" -> (eQuantize _))
 

@@ -75,6 +75,19 @@ class SimilaritySpec extends SparkSpec {
     assert(default._2 >= 0.25, s"default-bits recall ${default._2} < 0.25")
   }
 
+  test("n_pq_topk: 8-byte-code ADC scoring preserves a useful share of the exact top-k") {
+    val rows = Similarity.nPqTopk(spark, sf01).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.values.foreach(rs => assert(rs.length == Similarity.K))
+    val recall = recallOf(rows)
+    // random vectors are PQ's worst case (nothing to quantize around):
+    // 8 segments × 16 centroids measures ≈0.33 here; the floor guards the
+    // encode/table/scoring pipeline, not a clustered-corpus promise
+    assert(recall >= 0.2, s"PQ recall $recall < 0.2")
+    info(f"PQ recall@${Similarity.K} = $recall%.3f (8 codes vs 64 floats = 32x)")
+  }
+
   test("n_ivf_topk: recall floor and candidate-fraction ceiling") {
     val n = Tables.t(spark, sf01, "embeddings").count()
     val candPerQuery = Similarity.ivfCandidates(spark, sf01)
