@@ -289,6 +289,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("n_pq_topk: corpus never shuffle-joined; ADC scoring runs the native expression") {
+    val df = Similarity.nPqTopk(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // the scored cross is query-tables-broadcast against the 8-byte code
+    // frame; a SortMergeJoin would mean the corpus representation moved
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("pq_score"), s"native ADC scorer missing from plan:\n$p")
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
+      s"top-k sink lost partial aggregation:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
