@@ -229,4 +229,35 @@ class StreamingSpec extends SparkSpec {
       assert(trueJ >= 0.3, s"false positive: true Jaccard $trueJ")
     }
   }
+
+  test("st_minhash_dedup state survives the RocksDB provider too") {
+    // the bucket-state map must serialize through the 100 TB-grade store,
+    // not just the in-memory HDFS-backed default (stream_docs was laid out
+    // by the cross-batch test above; suites run tests in definition order)
+    val dir = Paths.get("target/stream_docs")
+    assert(Files.exists(dir.resolve("0-originals.parquet")),
+      "cross-batch test (defined earlier) must have laid out stream_docs")
+    locally {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+        runToMemory(Streaming.minhashDedupStream(stream).toDF(),
+          "stream_dedup_rocks", "append")
+        assert(spark.table("stream_dedup_rocks").count() > 0,
+          "no matches emitted under RocksDB state store")
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+  }
+
 }
