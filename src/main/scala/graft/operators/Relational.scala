@@ -60,6 +60,28 @@ object Relational {
       |                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
       |ORDER BY c_custkey""".stripMargin
 
+  /** RIGHT OUTER join (reference join.slt JoinType::Right): big-ticket
+    * orders right-joined to customer — every customer appears, with NULL
+    * order columns where no qualifying order exists. Spark plans the
+    * preserved (customer) side as the stream side of the hash join, so at
+    * 100 TB the filtered fact side builds/broadcasts and the dimension is
+    * never dropped — the same plan LEFT join would give with sides
+    * swapped, covered here because the reference exposes Right as its own
+    * join type. */
+  def jRight(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders").filter(col("o_totalprice") > 350000)
+    o.join(cust(spark, dir), col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  val jRightSql: String =
+    """SELECT c_custkey, c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 350000) o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
   /** FULL OUTER join of two pre-aggregated sides (customer/supplier counts
     * per nation). Aggregate-then-join: at 100 TB the join input is 25 rows
     * per side, not the fact tables. */
@@ -1090,6 +1112,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j_semi" -> (jSemi _), "j_anti" -> (jAnti _), "j_full" -> (jFull _),
+    "j_right" -> (jRight _),
     "j_cross" -> (jCross _), "j_asof" -> (jAsof _), "j_range" -> (jRange _),
     "g_rollup" -> (gRollup _), "g_cube" -> (gCube _), "g_sets" -> viaSql(gSetsSql),
     "g_pivot" -> (gPivot _), "u_unpivot" -> (uUnpivot _),
@@ -1117,6 +1140,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "j_semi" -> jSemiSql, "j_anti" -> jAntiSql, "j_full" -> jFullSql,
+    "j_right" -> jRightSql,
     "j_cross" -> jCrossSql, "j_asof" -> jAsofSql, "j_range" -> jRangeSql,
     "g_rollup" -> gRollupSql, "g_cube" -> gCubeSql, "g_sets" -> gSetsSql,
     "g_pivot" -> gPivotSql, "u_unpivot" -> uUnpivotSql,
