@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions.expr
   */
 object GraftFunctions {
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (c => CosineSimilarity(c(0), c(1))),
     "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
     "gcd" -> (c => Gcd(c(0), c(1))),
@@ -36,6 +36,8 @@ object GraftFunctions {
     "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
     "cosine_similarity_int" -> (c => CosineSimilarityInt(c(0), c(1))),
     "pq_score" -> (c => PqScore(c(0), c(1))),
+    "pq_encode" -> (c => PqEncode(c(0), c(1), c(2))),
+    "pq_table" -> (c => PqTable(c(0), c(1), c(2))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
@@ -71,25 +73,9 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HammingZeroAsEquality)
-    Seq[(String, Seq[Expression] => Expression)](
-      "cosine_similarity" -> (c => CosineSimilarity(c(0), c(1))),
-      "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
-      "gcd" -> (c => Gcd(c(0), c(1))),
-      "lcm" -> (c => Lcm(c(0), c(1))),
-      "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))),
-      "rolling_fingerprint" -> (c => RollingFingerprint(c(0))),
-      "word_shingles" -> (c => WordShingles(c(0), c(1))),
-      "char_shingles" -> (c => CharShingles(c(0), c(1))),
-      "minhash_sig" -> (c => MinHashSig(c(0), c(1))),
-      "hyperplane_sign_bits" -> (c => HyperplaneSignBits(c(0), c(1))),
-      "sorted_overlap_count" -> (c => SortedOverlapCount(c(0), c(1))),
-      "l2_normalize" -> (c => L2Normalize(c(0))),
-      "quantize_int8" -> (c => QuantizeInt8(c(0))),
-      "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
-      "cosine_similarity_int" -> (c => CosineSimilarityInt(c(0), c(1))),
-      "pq_score" -> (c => PqScore(c(0), c(1))),
-      "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression())
-    ).foreach { case (name, builder) =>
+    // same builder list as GraftFunctions.register — one source of truth, so
+    // a kernel added there is automatically available through the extension
+    GraftFunctions.fns.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name),

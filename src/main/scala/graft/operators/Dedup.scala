@@ -391,14 +391,16 @@ object Dedup {
     // LAZY localCheckpoint everywhere: the per-round checksum (the
     // convergence test, which must run anyway) is the action that
     // materializes each checkpoint — one Spark job per round, not two
-    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v"))
+    val raw = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint(eager = false)
-    // all nodes, captured from the initial edge list before contraction
-    // rewires it (plain derived plan — reads the checkpointed edges once,
-    // at the final labeling join)
-    val nodes = edges.select(col("u")).union(edges.select(col("v").as("u")))
+    // all nodes, captured from the RAW pair list BEFORE the self-pair
+    // filter: a document whose only pair is (d, d) still gets a label
+    // (itself) instead of silently vanishing from the output (ADVICE r4);
+    // contraction itself never needs self-loops. Plain derived plan — reads
+    // the checkpointed pairs once, at the final labeling join.
+    val nodes = raw.select(col("u")).union(raw.select(col("v").as("u")))
       .distinct().withColumnRenamed("u", "id")
+    var edges = raw.filter(col("u") =!= col("v"))
     // bit_xor: order-insensitive and overflow-free (ANSI sum of full-range
     // hashes would throw); edge sets are distinct so xor-cancellation is moot
     def checksum(e: DataFrame): (Long, Long) = {
@@ -408,7 +410,8 @@ object Dedup {
     // a localCheckpoint's blocks are freed only when its RDD is GC'd —
     // without explicit release a 10-round run holds 10 materialized edge
     // sets concurrently; drop each superseded round as soon as the next one
-    // is materialized (round 0 stays: `nodes` still reads it at the end)
+    // is materialized (`raw` stays: `nodes` still reads it at the end, and
+    // round-0 `edges` is a derived view of it, hence the iter > 0 guard)
     def releaseCheckpoint(df: DataFrame): Unit =
       df.queryExecution.analyzed.collectLeaves().foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>

@@ -163,8 +163,10 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L),
-      s"got $cc")
+    // 30 appears only in a self-pair: it is its own singleton component and
+    // must still be labeled (with itself), not dropped (ADVICE r4)
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L), s"got $cc")
   }
 
   test("d_cluster groups each planted near-dup with its source, labeled by min id") {

@@ -67,4 +67,29 @@ class ErrorSurfaceSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("type") ||
       e.getMessage.toLowerCase.contains("array"))
   }
+
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("pq kernels validate shapes at RUNTIME instead of reading raw memory") {
+    // pq_score/pq_encode are user-callable SQL functions; on UnsafeArrayData
+    // an unchecked out-of-range index is a raw-memory read returning garbage
+    // (ADVICE r4) — they must throw a clear error instead
+    graft.functions.GraftFunctions.register(spark)
+    val badCode = intercept[Exception] {
+      spark.sql(
+        "SELECT pq_score(array(0, 9), array(1D, 2D, 3D, 4D, 5D, 6D, 7D, 8D))")
+        .collect()
+    }
+    assert(messageChain(badCode).contains("out of range"), messageChain(badCode))
+    val badShape = intercept[Exception] {
+      spark.sql("SELECT pq_score(array(0, 1), array(1D, 2D, 3D))").collect()
+    }
+    assert(messageChain(badShape).contains("not a multiple"), messageChain(badShape))
+    val badVec = intercept[Exception] {
+      spark.sql("SELECT pq_encode(array(1D, 2D, 3D), array(1D, 2D), 2)").collect()
+    }
+    assert(messageChain(badVec).contains("multiple of m"), messageChain(badVec))
+  }
 }

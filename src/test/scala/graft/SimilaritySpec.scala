@@ -98,6 +98,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall < 0.6")
   }
 
+  test("Lloyd iterations (QuantIters knob): recall non-decreasing on a clustered corpus") {
+    // Random vectors cannot show quantizer quality (nothing to converge to),
+    // so this runs on a synthetic CLUSTERED corpus: 16 well-separated
+    // centers (64-d gaussians are near-orthogonal), members = center +
+    // noise. Seeds are deliberately BAD — the 16 lowest-id vectors come
+    // from only 4 of the 16 clusters — so raw sample centroids (iters=0)
+    // underfit and Lloyd rounds must spread them toward true cluster means.
+    // Everything is seeded/deterministic: the measured recalls are stable,
+    // and the assertion is the knob's contract — recall(0) ≤ recall(1) ≤
+    // recall(2), with training strictly helping at least one tier.
+    import spark.implicits._
+    val dir = "target/quant_iters_corpus"
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0L until 512L).map { id =>
+      val cl = if (id < 16) (id % 4).toInt else (id % 16).toInt
+      val c = centers(cl)
+      (id, (0 until 64).map(j => (c(j) + 0.35 * rnd.nextGaussian()).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val truth = Similarity.nBruteTopk(spark, dir).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+    def rec(got: Array[org.apache.spark.sql.Row]): Double = {
+      val bySets = got.groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+      val hits = truth.map { case (q, t) =>
+        bySets.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val ivf = Seq(0, 1, 2).map(i => rec(Similarity.nIvfTopkWith(spark, dir, i).collect()))
+    val pq = Seq(0, 1, 2).map(i => rec(Similarity.nPqTopkWith(spark, dir, i).collect()))
+    info(f"IVF recall over 0/1/2 Lloyd iters: ${ivf.map(r => f"$r%.3f").mkString(" → ")}")
+    info(f"PQ  recall over 0/1/2 Lloyd iters: ${pq.map(r => f"$r%.3f").mkString(" → ")}")
+    Seq("IVF" -> ivf, "PQ" -> pq).foreach { case (name, curve) =>
+      curve.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a, s"$name recall fell with more Lloyd iterations: $curve")
+      }
+    }
+    assert(ivf.last > ivf.head || pq.last > pq.head,
+      s"training never helped: IVF $ivf, PQ $pq")
+  }
+
   test("n_range_search agrees with brute-force top-k above the threshold") {
     val range = Similarity.nRangeSearch(spark, sf01).collect()
     assert(range.nonEmpty)
