@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -177,14 +178,157 @@ object ClickBench {
       |       count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------ cb_h2o_join
+  /** h2o-ai join suite shapes (reference benchmarks/queries/h2o/join.sql,
+    * driver benchmarks/src/h2o.rs): the fact table joined to a SMALL dim
+    * (broadcast — h2o's `x ⋈ small ON id1`), a MEDIUM dim on the
+    * high-cardinality user key (`x ⋈ medium ON id2`), and a LARGE
+    * same-cardinality table on the unique row key (`x ⋈ large ON id3`) —
+    * all three tiers in one plan, reduced to per-nation totals so the
+    * output is oracle-hashable.
+    *
+    * 100 TB shape: nation broadcasts (25 rows); customer is hash-shuffled
+    * on the join key once; the large-large leg joins two fact-sized inputs
+    * on a unique key — the one join that MUST shuffle both sides
+    * (SMJ/shuffled-hash) and the reason h2o grades it separately. AQE picks
+    * broadcast for the small tiers at this sf; at scale the same plan
+    * degrades gracefully tier by tier. PlanAuditSpec pins the dim
+    * broadcast + no cartesian. */
+  def cbH2oJoin(spark: SparkSession, dir: String): DataFrame = {
+    val x = ev(spark, dir).select("event_id", "user_id", "value")
+    val y = ev(spark, dir).select(col("event_id"), col("value").as("v2"))
+    val cust = Tables.t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = Tables.t(spark, dir, "nation").select("n_nationkey", "n_name")
+    x.join(y, "event_id")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_v1"),
+        round(sum("v2"), 2).as("sum_v2"))
+      .orderBy("n_name")
+  }
+
+  val cbH2oJoinSql: String =
+    """SELECT n_name, count(*) AS n,
+      |  round(sum(x.value), 2) AS sum_v1, round(sum(y.v2), 2) AS sum_v2
+      |FROM events x
+      |JOIN (SELECT event_id, value AS v2 FROM events) y USING (event_id)
+      |JOIN customer ON x.user_id = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------- cb_h2o_win
+  /** h2o-ai window suite shapes (reference benchmarks/queries/h2o/
+    * window.sql) over events-as-`large`: whole-table sum, per-key partition
+    * sums, first_value, the first_value-ROWS-BETWEEN lag idiom, a 100-row
+    * moving average, the running sum, and a value-RANGE frame — one output
+    * row per input row, every column hash-checked.
+    *
+    * Spark-first translation notes (same desugaring policy as w_qualify):
+    * `sum(v2) OVER ()` is computed as a broadcast scalar cross join — an
+    * unpartitioned window plans as Exchange SinglePartition, which is the
+    * one window shape that cannot scale, while the broadcast form is two
+    * narrow stages with identical semantics (the oracle keeps the
+    * subquery-scalar spelling). h2o's global-ORDER-BY variants
+    * (row_number() OVER (ORDER BY id3)) are covered by srt_lineitem's
+    * range-partitioned global sort + w_rank's partitioned ranks; a global
+    * per-row numbering is inherently a serial total order, so the suite's
+    * PARTITION BY forms are the 100 TB-relevant ones graded here. All
+    * per-user windows share ONE shuffle on user_id (same sort within
+    * partitions). The aggregated measure is an INTEGER value bin mirroring
+    * h2o's v2 (a small int in the real benchmark): integer sums are
+    * order-exact in FP, so every windowed sum/avg is bit-identical across
+    * engines — the SURVEY §4 determinism policy (a double measure summed in
+    * different orders flips round() at frame boundaries; measured on
+    * mov_avg before this). */
+  def cbH2oWin(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select("event_id", "user_id", "event_type", "value")
+      .withColumn("v2", floor(col("value")).cast("long"))
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val total = ev(spark, dir)
+      .agg(sum(floor(col("value")).cast("long")).as("sum_all"))
+    // window order matters for shuffle reuse: the event_type window runs
+    // FIRST so every user_id-partitioned window (partition-only sum, the
+    // event_id-ordered frames, the v2-ordered RANGE frame) stacks on ONE
+    // hashpartitioning(user_id) exchange — interleaving them would pay the
+    // user_id shuffle twice (PlanAuditSpec pins this)
+    e.crossJoin(broadcast(total))
+      .withColumn("sum_by_type",
+        sum("v2").over(Window.partitionBy("event_type")))
+      .withColumn("sum_by_user",
+        sum("v2").over(Window.partitionBy("user_id")))
+      .withColumn("first_by_user", first("value").over(byUser))
+      .withColumn("lag_by_user",
+        first("value").over(byUser.rowsBetween(-1, -1)))
+      .withColumn("mov_avg",
+        round(avg("v2").over(byUser.rowsBetween(-100, 0)), 4))
+      .withColumn("roll_sum",
+        sum("v2").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("range_sum",
+        sum("v2").over(
+          Window.partitionBy("user_id").orderBy("v2").rangeBetween(-3, 0)))
+      .select("event_id", "user_id", "event_type", "value", "sum_all",
+        "sum_by_user", "sum_by_type", "first_by_user", "lag_by_user",
+        "mov_avg", "roll_sum", "range_sum")
+      .orderBy("event_id")
+  }
+
+  val cbH2oWinSql: String =
+    """WITH t AS (SELECT event_id, user_id, event_type, value,
+      |             CAST(floor(value) AS BIGINT) AS v2 FROM events)
+      |SELECT event_id, user_id, event_type, value,
+      |  (SELECT CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |   FROM events) AS sum_all,
+      |  CAST(sum(v2) OVER (PARTITION BY user_id) AS BIGINT) AS sum_by_user,
+      |  CAST(sum(v2) OVER (PARTITION BY event_type) AS BIGINT) AS sum_by_type,
+      |  first_value(value) OVER
+      |    (PARTITION BY user_id ORDER BY event_id) AS first_by_user,
+      |  first_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag_by_user,
+      |  round(avg(v2) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN 100 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+      |  CAST(sum(v2) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS roll_sum,
+      |  CAST(sum(v2) OVER (PARTITION BY user_id ORDER BY v2
+      |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_sum
+      |FROM t ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------------------- cb_multi_uniq
+  /** ClickBench "extended" multi-COUNT(DISTINCT) shape (reference
+    * benchmarks/queries/clickbench/extended/q0.sql: several distinct-count
+    * sketches of one table in one statement). Catalyst plans N distinct
+    * aggregates over one input as a single pass: one Expand (N rows per
+    * input row, one per distinct column), then partial de-dup aggregation
+    * BEFORE the shuffle — so what moves is ∝ Σ distinct values, not
+    * N × corpus. PlanAuditSpec pins the Expand + partial-agg plan. At
+    * 100 TB the same statement swaps count(DISTINCT …) for approx or HLL
+    * sketches (a_approx / a_hll_rollup) when exactness can be traded. */
+  def cbMultiUniq(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).agg(
+      countDistinct(col("user_id")).as("uniq_users"),
+      countDistinct(col("event_type")).as("uniq_types"),
+      countDistinct(to_date(col("ts"))).as("uniq_days"))
+
+  val cbMultiUniqSql: String =
+    """SELECT count(DISTINCT user_id) AS uniq_users,
+      |       count(DISTINCT event_type) AS uniq_types,
+      |       count(DISTINCT CAST(ts AS DATE)) AS uniq_days
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cb_h2o_gb" -> (cbH2oGb _), "cb_salted_uniq" -> (cbSaltedUniq _),
+    "cb_h2o_join" -> (cbH2oJoin _), "cb_h2o_win" -> (cbH2oWin _),
+    "cb_multi_uniq" -> (cbMultiUniq _),
     "cb_top_users" -> (cbTopUsers _), "cb_uniq_users" -> (cbUniqUsers _),
     "cb_quantiles" -> (cbQuantiles _), "cb_histogram" -> (cbHistogram _),
     "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
     "cb_h2o_gb" -> cbH2oGbSql, "cb_salted_uniq" -> cbSaltedUniqSql,
+    "cb_h2o_join" -> cbH2oJoinSql, "cb_h2o_win" -> cbH2oWinSql,
+    "cb_multi_uniq" -> cbMultiUniqSql,
     "cb_top_users" -> cbTopUsersSql, "cb_uniq_users" -> cbUniqUsersSql,
     "cb_quantiles" -> cbQuantilesSql, "cb_histogram" -> cbHistogramSql,
     "cb_top_by_uniq" -> cbTopByUniqSql, "job_like" -> jobLikeSql)

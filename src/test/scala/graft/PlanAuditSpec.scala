@@ -299,6 +299,63 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("pq_score"), s"native ADC scorer missing from plan:\n$p")
     assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
       s"top-k sink lost partial aggregation:\n$p")
+    // round-4 verdict: corpus ENCODE ran interpreted aggregate(zip_with(...))
+    // HOFs. The whole PQ path (encode, query tables, ADC scoring) must now
+    // be codegen — no scalar CodegenFallback expression anywhere in the
+    // plan. (TypedImperativeAggregates like topk_pairs nominally extend
+    // CodegenFallback but execute through ObjectHashAggregate with partial
+    // aggregation — that IS their codegen story, so aggregates are exempt.)
+    val fallbacks = df.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+          if !e.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction] =>
+          e.prettyName
+      })
+    }.flatten.distinct
+    assert(fallbacks.isEmpty, s"interpreted expressions in PQ plan: $fallbacks")
+  }
+
+  test("cb_h2o_join: small dim broadcasts; no cartesian anywhere in the 3-tier join") {
+    val df = graft.operators.ClickBench.cbH2oJoin(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"nation dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"h2o join degenerated to a cross product:\n$p")
+  }
+
+  test("cb_multi_uniq: N distincts plan as ONE pass — Expand + partial aggregation") {
+    val df = graft.operators.ClickBench.cbMultiUniq(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // one Expand node (one replica per distinct column) fed by a single
+    // scan; partial aggregation collapses each partition's replicas to its
+    // distinct values BEFORE the shuffle
+    assert(p.contains("Expand"), s"multi-distinct lost the Expand plan:\n$p")
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"multi-distinct re-scanned the table:\n$p")
+    assert(p.contains("partial_count"), s"no partial aggregation:\n$p")
+  }
+
+  test("cb_h2o_win: all per-user windows share one shuffle; global sum is broadcast not SinglePartition") {
+    val df = graft.operators.ClickBench.cbH2oWin(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // the four user_id-ordered window columns + the user_id partition sum
+    // must reuse one hashpartitioning(user_id) exchange; the whole-table
+    // sum must arrive via broadcast, never Exchange SinglePartition (the
+    // unscalable unpartitioned-window plan)
+    assert(countOccurrences(p, "Exchange hashpartitioning(user_id") <= 1,
+      s"per-user windows split into multiple shuffles:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"global sum not broadcast:\n$p")
+    // no unpartitioned Window operator anywhere (OVER () would show as a
+    // windowspecdefinition with no partition columns and put the whole
+    // table on one partition; the scalar aggregate's Exchange
+    // SinglePartition is fine — it moves one row per partition)
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+      s"unpartitioned window materialized on one partition:\n$p")
   }
 
   test("whole-stage codegen spans cover the hot paths") {
