@@ -166,9 +166,10 @@ object Streaming {
     * against exact shingle sets; a stream cannot hold shingle sets for
     * every document ever seen, so the signature estimate IS the verify —
     * the standard streaming trade (±1/√128 ≈ 0.09 estimate error), spec'd
-    * against exact Jaccard in StreamingSpec. A production deployment adds
-    * an event-time timeout to TTL cold buckets; with no timestamp on the
-    * documents stream this slot stays NoTimeout here.
+    * against exact Jaccard in StreamingSpec. This variant is for feeds
+    * with NO event-time column, so its bucket state never expires
+    * (NoTimeout); a long-lived deployment should use
+    * [[minhashDedupStreamTtl]], which TTLs cold buckets off the watermark.
     *
     * Emission contract: AT-LEAST-ONCE per match — a near-dup pair collides
     * in several of the 16 bands and each bucket emits independently (bands
@@ -216,6 +217,110 @@ object Streaming {
           }
           rep.foreach(state.update)
           out.result().iterator
+      }
+  }
+
+  /** Per-LSH-bucket state with activity time, for the TTL'd variant. */
+  case class BucketRepTs(rep_id: Long, sig: Seq[Long], last_seen_ms: Long)
+
+  /** [[minhashDedupStream]] with an EVENT-TIME TTL on bucket state — the
+    * production form for a timestamped document feed (docs must carry a
+    * `ts` column). Matching semantics are identical; additionally every
+    * bucket records its last event-time activity and registers an
+    * EventTimeTimeout at `last_seen + horizonMs`: once the watermark passes
+    * that point the bucket's representative is REMOVED from the state
+    * store. State is therefore bounded by the bucket space touched within
+    * one horizon of the watermark — on a years-long 100 TB feed it is
+    * arrival-rate × horizon, not monotone growth (the round-4 NoTimeout
+    * trade, now closed). The trade is explicit: a duplicate arriving more
+    * than `horizonMs` of event time after its bucket went cold re-seeds
+    * the bucket instead of matching — exactly the within-horizon dedup
+    * contract every watermarked streaming dedup (incl. dropDuplicates)
+    * makes. StreamingSpec proves cold buckets are evicted (state row count
+    * drops) while in-horizon recall holds, under RocksDB. */
+  def minhashDedupStreamTtl(docs: DataFrame, minSigSim: Double = 0.5,
+      horizonMs: Long = 3600L * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[DocMatch] = {
+    import docs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.operators.Dedup
+    val banded = docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), expr("word_shingles(text, 3)").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("ts"),
+        expr(s"minhash_sig(sh, ${Dedup.NumPerms})").as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(Dedup.bandHashes(col("sig"))).as(Seq("band_id", "band_hash")))
+      .as[(Long, Timestamp, Seq[Long], Int, Long)]
+    banded
+      .groupByKey { case (_, _, _, bandId, bandHash) => (bandId, bandHash) }
+      .flatMapGroupsWithState[BucketRepTs, DocMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Timestamp, Seq[Long], Int, Long)],
+         state: GroupState[BucketRepTs]) =>
+          if (state.hasTimedOut) {
+            // bucket cold past the horizon: evict its representative
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rows.map { case (id, ts, sig, _, _) =>
+              (id, sig, ts.getTime) }.toSeq.sortBy(_._1)
+            val out = Seq.newBuilder[DocMatch]
+            var rep = if (state.exists) Some(state.get) else None
+            arrivals.foreach { case (id, sig, tsMs) =>
+              rep match {
+                case None => rep = Some(BucketRepTs(id, sig, tsMs))
+                case Some(r) =>
+                  if (r.rep_id != id) {
+                    val eq = r.sig.iterator.zip(sig.iterator)
+                      .count { case (a, b) => a == b }
+                    val est = eq.toDouble / r.sig.length
+                    if (est >= minSigSim)
+                      out += DocMatch(id, r.rep_id,
+                        math.round(est * 10000) / 10000.0)
+                  }
+                  // any arrival keeps the bucket warm, matched or not
+                  rep = Some(r.copy(last_seen_ms = math.max(r.last_seen_ms, tsMs)))
+              }
+            }
+            rep.foreach { r =>
+              state.update(r)
+              // expire when the WATERMARK passes last activity + horizon
+              // (must stay above the current watermark or Spark rejects it)
+              state.setTimeoutTimestamp(math.max(r.last_seen_ms + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Exactly-once projection over [[minhashDedupStream]]'s at-least-once
+    * match stream: the documented min(dup_of)-per-doc recipe composed INTO
+    * the streaming query as a second stateful stage. Per doc_id, the first
+    * micro-batch that produces any match emits ONE verdict row — the
+    * smallest dup_of among that batch's matches (deterministic: band
+    * emission order inside a batch is not) — and a seen-flag in state
+    * suppresses every later re-emission, including whole-batch replays.
+    * Consumers get at most one row per document, ever. State is one
+    * boolean per MATCHED doc (duplicates only, not the corpus); a
+    * TTL'd deployment would bound it with the same event-time timeout as
+    * [[minhashDedupStreamTtl]]. */
+  def minhashDedupVerdicts(docs: DataFrame,
+      minSigSim: Double = 0.5): Dataset[DocMatch] = {
+    val matches = minhashDedupStream(docs, minSigSim)
+    import matches.sparkSession.implicits._
+    matches
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, DocMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, ms: Iterator[DocMatch], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(ms.minBy(m => (m.dup_of, -m.est_jaccard)))
+          }
       }
   }
 

@@ -177,31 +177,48 @@ class StreamingSpec extends SparkSpec {
       col("s.session_end") =!= col("b.session_end")).count() == 0)
   }
 
+  /** Collapse a single-file parquet write into one named file in `dir`. */
+  private def moveInto(dir: java.nio.file.Path, sub: String, out: String): Unit = {
+    val part = Files.list(Paths.get(s"$dir/$sub")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part), dir.resolve(out),
+      StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(s"$dir/$sub").toFile)
+  }
+
+  /** Lays out target/stream_docs — originals then planted near-dup copies
+    * as two files, so maxFilesPerTrigger=1 makes them separate
+    * micro-batches. Shared by every minhash-dedup streaming test so each
+    * runs standalone (ADVICE r4: the RocksDB test used to depend on suite
+    * definition order). Content is deterministic → reuse when present. */
+  private def ensureStreamDocs(): java.nio.file.Path = {
+    val dir = Paths.get("target/stream_docs")
+    if (!Files.exists(dir.resolve("0-originals.parquet")) ||
+        !Files.exists(dir.resolve("1-copies.parquet"))) {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      Files.createDirectories(dir)
+      val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+      graft.operators.Dedup.withPlantedNear(docs)
+        .filter(col("doc_id") >= 1000000L)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
+      moveInto(dir, "b1", "0-originals.parquet")
+      moveInto(dir, "b2", "1-copies.parquet")
+    }
+    dir
+  }
+
+  private val docStreamSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
   test("st_minhash_dedup matches planted near-dups across micro-batch state") {
     import graft.operators.Dedup
     // two files → with maxFilesPerTrigger=1, originals seed bucket state in
     // micro-batch 1 and the planted near-dup copies arriving in batch 2 must
     // match against STATE, not within-batch pairs
-    val dir = Paths.get("target/stream_docs")
-    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
-    Files.createDirectories(dir)
+    val dir = ensureStreamDocs()
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
-    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
-    Dedup.withPlantedNear(docs).filter(col("doc_id") >= 1000000L)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
-    def move(sub: String, out: String): Unit = {
-      val part = Files.list(Paths.get(s"$dir/$sub")).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      Files.move(Paths.get(part), dir.resolve(out),
-        StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(s"$dir/$sub").toFile)
-    }
-    move("b1", "0-originals.parquet")
-    move("b2", "1-copies.parquet")
-
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(docStreamSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
     runToMemory(Streaming.minhashDedupStream(stream).toDF(), "stream_dedup", "append")
     val matches = spark.table("stream_dedup")
@@ -230,34 +247,136 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("st_minhash_dedup state survives the RocksDB provider too") {
     // the bucket-state map must serialize through the 100 TB-grade store,
-    // not just the in-memory HDFS-backed default (stream_docs was laid out
-    // by the cross-batch test above; suites run tests in definition order)
-    val dir = Paths.get("target/stream_docs")
-    assert(Files.exists(dir.resolve("0-originals.parquet")),
-      "cross-batch test (defined earlier) must have laid out stream_docs")
-    locally {
-      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType)))
-        val stream = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
-        runToMemory(Streaming.minhashDedupStream(stream).toDF(),
-          "stream_dedup_rocks", "append")
-        assert(spark.table("stream_dedup_rocks").count() > 0,
-          "no matches emitted under RocksDB state store")
-      } finally {
-        prev match {
-          case Some(p) => spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", p)
-          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
-      }
+    // not just the in-memory HDFS-backed default
+    val dir = ensureStreamDocs()
+    withRocksDb {
+      val stream = spark.readStream.schema(docStreamSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+      runToMemory(Streaming.minhashDedupStream(stream).toDF(),
+        "stream_dedup_rocks", "append")
+      assert(spark.table("stream_dedup_rocks").count() > 0,
+        "no matches emitted under RocksDB state store")
     }
+  }
+
+  test("st_minhash_dedup_ttl: cold buckets evicted, in-horizon dups still match (RocksDB)") {
+    import java.sql.Timestamp
+    import graft.operators.Dedup
+    // timeline (horizon = 1h of event time, watermark delay 10 min):
+    //   b1 T0        originals seed bucket state
+    //   b2 T0+30m    planted copies — IN horizon, must match via state
+    //   b3 T0+10h    fresh docs; after this batch the watermark jumps to
+    //                ~T0+9h50m, far past every original bucket's TTL
+    //   b4 T0+11h    fresh docs; DURING this batch the due timeouts fire
+    //                and the cold buckets are removed from the store
+    val dir = Paths.get("target/stream_docs_ttl")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(minutes: Long) = new Timestamp(t0.getTime + minutes * 60000L)
+    docs.withColumn("ts", lit(t0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    Dedup.withPlantedNear(docs).filter(col("doc_id") >= 1000000L)
+      .withColumn("ts", lit(at(30)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
+    import spark.implicits._
+    (0 until 5).map(i => (5000000L + i,
+        s"entirely fresh unrelated content block number $i with plenty of distinct filler words",
+        at(600))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b3")
+    (0 until 5).map(i => (6000000L + i,
+        s"another run of totally different payload text index $i sharing nothing at all",
+        at(660))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b4")
+    moveInto(dir, "b1", "0-originals.parquet")
+    moveInto(dir, "b2", "1-copies.parquet")
+    moveInto(dir, "b3", "2-late.parquet")
+    moveInto(dir, "b4", "3-later.parquet")
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    withRocksDb {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+      val q = Streaming.minhashDedupStreamTtl(stream).toDF()
+        .writeStream.format("memory").queryName("ttl_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      val stateRows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal)
+      q.stop()
+
+      // in-horizon recall: every planted copy arrives 30 min after its
+      // source — well inside the 1h TTL — and must match via bucket state
+      val matches = spark.table("ttl_dedup")
+        .select("doc_id", "dup_of").distinct().collect()
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val hits = matches.filter(r => r.getLong(0) >= 1000000L &&
+        r.getLong(0) < 5000000L &&
+        r.getLong(1) == r.getLong(0) - 1000000L).map(_.getLong(0) - 1000000L).toSet
+      val recall = hits.intersect(planted).size.toDouble / planted.size
+      assert(recall >= 0.8, s"in-horizon recall $recall < 0.8")
+
+      // eviction: after the final batch the store holds only the fresh
+      // docs' buckets — a fraction of the peak (originals + copies)
+      assert(stateRows.nonEmpty, "no state-operator progress recorded")
+      val peak = stateRows.max
+      val fin = stateRows.last
+      assert(fin < peak / 2,
+        s"cold buckets were not evicted: state rows over batches = $stateRows")
+    }
+  }
+
+  test("st_minhash_verdicts: exactly one row per duplicate across whole-batch replay") {
+    // at-least-once matches (≤16 band rows per dup, re-emitted on replay)
+    // must collapse to EXACTLY one verdict row per doc_id: batch 1 seeds,
+    // batch 2 delivers the copies (verdict emitted), batch 3 REPLAYS the
+    // copies byte-identically — the seen-state must suppress re-emission
+    val src = ensureStreamDocs()
+    val dir = Paths.get("target/stream_docs_replay")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    Files.copy(src.resolve("0-originals.parquet"), dir.resolve("0-originals.parquet"))
+    Files.copy(src.resolve("1-copies.parquet"), dir.resolve("1-copies.parquet"))
+    Files.copy(src.resolve("1-copies.parquet"), dir.resolve("2-copies-replay.parquet"))
+
+    val stream = spark.readStream.schema(docStreamSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+    runToMemory(Streaming.minhashDedupVerdicts(stream).toDF(),
+      "stream_verdicts", "append")
+    val rows = spark.table("stream_verdicts")
+      .select("doc_id", "dup_of").collect()
+    assert(rows.nonEmpty, "no verdicts emitted")
+    val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ == 1),
+      s"duplicate verdicts: ${perDoc.filter(_._2 > 1).toMap}")
+    // recall still holds through the projection: every planted copy gets
+    // its one verdict, pointing at the true source
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .collect().map(_.getLong(0)).toSet
+    val hits = rows.filter(r => r.getLong(0) >= 1000000L &&
+      r.getLong(1) == r.getLong(0) - 1000000L).map(_.getLong(0) - 1000000L).toSet
+    val recall = hits.intersect(planted).size.toDouble / planted.size
+    assert(recall >= 0.8, s"verdict recall $recall < 0.8")
   }
 
 }
