@@ -15,13 +15,15 @@ object Bench {
   /** SURVEY §6 headline set: scan-heavy, join-heavy, subquery-heavy TPC-H
     * plus one of each LLM-pipeline family, plus the round-3 pipeline layer
     * (iterative clustering, n-gram dedup, text-quality kernels, h2o-style
-    * groupby, fused end-to-end pipeline) so the newest code is perf-tracked
-    * round-over-round. */
+    * groupby, fused end-to-end pipeline), plus — round 5 — the whole ANN
+    * tier (LSH / IVF / int8 / PQ) so every approximate-search kernel has a
+    * regression net, not just the brute-force baseline. */
   val Headline: Seq[String] = Seq(
     "q1", "q3", "q5", "q6", "q9", "q18",
     "d_exact", "d_minhash", "n_brute_topk", "x_quality",
     "d_cluster", "d_ngram_jaccard", "x_gopher", "x_repetition",
-    "cb_h2o_gb", "p_e2e")
+    "cb_h2o_gb", "p_e2e",
+    "n_lsh_topk", "n_ivf_topk", "n_quant_topk", "n_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
