@@ -317,7 +317,72 @@ object ClickBench {
       |       count(DISTINCT CAST(ts AS DATE)) AS uniq_days
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------- cb_multi_uniq_grp
+  /** ClickBench extended q2 shape (reference benchmarks/queries/clickbench/
+    * extended/q2.sql): several COUNT(DISTINCT) PER GROUP, ordered by one of
+    * the distinct counts, top-N — the grouped companion of cb_multi_uniq.
+    * Same single-pass Expand plan, but the partial de-dup now keys on
+    * (group, distinct-value), so the shuffle is ∝ Σ per-group distinct
+    * sets — the quantity that decides whether a 100 TB version needs the
+    * cb_salted_uniq hot-key treatment. */
+  def cbMultiUniqGrp(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        countDistinct(to_date(col("ts"))).as("uniq_days"),
+        countDistinct(col("props")).as("uniq_props"),
+        countDistinct(floor(col("value") / 10.0)).as("uniq_value_bands"))
+      .orderBy(desc("uniq_users"), asc("event_type"))
+      .limit(10)
+
+  val cbMultiUniqGrpSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS uniq_users,
+      |  count(DISTINCT CAST(ts AS DATE)) AS uniq_days,
+      |  count(DISTINCT props) AS uniq_props,
+      |  count(DISTINCT floor(value / 10.0)) AS uniq_value_bands
+      |FROM events GROUP BY event_type
+      |ORDER BY uniq_users DESC, event_type LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------- cb_filter_stack
+  /** ClickBench extended q6 shape (reference benchmarks/queries/clickbench/
+    * extended/q6.sql): a deep CONJUNCTIVE predicate stack — LIKE, IN,
+    * BETWEEN, a regexp match, a split_part/split_part/CAST extraction
+    * guarded by a digits-only regexp, and a levenshtein distance — reduced
+    * to one COUNT(*). The plan story is what q6 benchmarks: every
+    * predicate is codegen'd into ONE scan stage (simple comparisons reach
+    * the parquet reader as pushed filters; the string kernels run fused in
+    * whole-stage codegen), so cost is one pass over the filtered columns
+    * regardless of how many clauses stack. */
+  def cbFilterStack(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .filter(col("event_type").like("p%") &&
+        expr("user_id % 16 IN (5, 12)") &&
+        col("value").between(5.0, 250.0) &&
+        expr("""props rlike '"k": [0-9]+'""") &&
+        expr("""CASE WHEN split_part(split_part(props, ': ', 2), '}', 1)
+                       rlike '^[0-9]+$'
+                THEN CAST(split_part(split_part(props, ': ', 2), '}', 1) AS INT)
+                ELSE 0 END > 40""") &&
+        expr("levenshtein(event_type, 'purchase') < 3"))
+      .agg(count(lit(1)).as("share_count"))
+
+  val cbFilterStackSql: String =
+    """SELECT count(*) AS share_count FROM events
+      |WHERE event_type LIKE 'p%'
+      |  AND user_id % 16 IN (5, 12)
+      |  AND value BETWEEN 5.0 AND 250.0
+      |  AND regexp_matches(props, '"k": [0-9]+')
+      |  AND CASE WHEN split_part(split_part(props, ': ', 2), '}', 1)
+      |             ~ '^[0-9]+$'
+      |      THEN CAST(split_part(split_part(props, ': ', 2), '}', 1) AS INT)
+      |      ELSE 0 END > 40
+      |  AND levenshtein(event_type, 'purchase') < 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cb_multi_uniq_grp" -> (cbMultiUniqGrp _),
+    "cb_filter_stack" -> (cbFilterStack _),
     "cb_h2o_gb" -> (cbH2oGb _), "cb_salted_uniq" -> (cbSaltedUniq _),
     "cb_h2o_join" -> (cbH2oJoin _), "cb_h2o_win" -> (cbH2oWin _),
     "cb_multi_uniq" -> (cbMultiUniq _),
@@ -326,6 +391,8 @@ object ClickBench {
     "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
+    "cb_multi_uniq_grp" -> cbMultiUniqGrpSql,
+    "cb_filter_stack" -> cbFilterStackSql,
     "cb_h2o_gb" -> cbH2oGbSql, "cb_salted_uniq" -> cbSaltedUniqSql,
     "cb_h2o_join" -> cbH2oJoinSql, "cb_h2o_win" -> cbH2oWinSql,
     "cb_multi_uniq" -> cbMultiUniqSql,
