@@ -317,6 +317,60 @@ object ClickBench {
       |       count(DISTINCT CAST(ts AS DATE)) AS uniq_days
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------------ cb_h2o_topn
+  /** h2o groupby q8 shape (reference benchmarks/queries/h2o/groupby.sql:
+    * "largest two v3 by id6"): top-2 values per high-cardinality key.
+    * h2o's own spelling is a ROW_NUMBER window — which shuffles every row
+    * into its key's partition and sorts ALL of them to keep 2. This
+    * implementation uses the native `topk_pairs` bounded-heap aggregate
+    * instead (same operator the ANN sink uses): partial aggregation keeps
+    * ≤2 rows per key per input partition map-side, so the shuffle carries
+    * O(keys × 2) rows instead of the corpus — at 100 TB the difference
+    * between a top-N and a global re-sort. Output is (key, value, rank):
+    * under a tie at the cut both engines keep the same value multiset, so
+    * the oracle (spelled with h2o's ROW_NUMBER) hash-matches. */
+  def cbH2oTopn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    ev(spark, dir)
+      .groupBy("user_id")
+      .agg(expr("topk_pairs(value, event_id, 2)").as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("user_id"), col("p.score").as("largest_v"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("user_id", "rnk")
+  }
+
+  val cbH2oTopnSql: String =
+    """SELECT user_id, largest_v, CAST(order_v AS INTEGER) AS rnk
+      |FROM (SELECT user_id, value AS largest_v,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC)
+      |          AS order_v
+      |      FROM events WHERE value IS NOT NULL) sub_query
+      |WHERE order_v <= 2 ORDER BY user_id, rnk""".stripMargin
+
+  // -------------------------------------------------------------- cb_h2o_r2
+  /** h2o groupby q9 shape (reference benchmarks/queries/h2o/groupby.sql:
+    * "POWER(CORR(v1, v2), 2) by id2, id4"): grouped regression statistic
+    * over a two-key group. Correlates the measure against hour-of-event
+    * (an exact small integer, so the cross-moment sums stay numerically
+    * tame — correlating against raw epoch seconds would put ~1e9-magnitude
+    * cancellation inside corr and make the 4-dp oracle flappy). One
+    * partial-aggregated shuffle: corr's sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx², Σy²) merge associatively, so this scales like any sum. */
+  def cbH2oR2(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(4)).as("user_band"))
+      .agg(round(pow(corr(col("value"), hour(col("ts"))), 2), 4).as("r2"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "user_band")
+
+  val cbH2oR2Sql: String =
+    """SELECT event_type, user_id % 4 AS user_band,
+      |  round(power(corr(value, hour(ts)), 2), 4) AS r2,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type, user_band
+      |ORDER BY event_type, user_band""".stripMargin
+
   // ------------------------------------------------------- cb_multi_uniq_grp
   /** ClickBench extended q2 shape (reference benchmarks/queries/clickbench/
     * extended/q2.sql): several COUNT(DISTINCT) PER GROUP, ordered by one of
@@ -383,6 +437,7 @@ object ClickBench {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cb_multi_uniq_grp" -> (cbMultiUniqGrp _),
     "cb_filter_stack" -> (cbFilterStack _),
+    "cb_h2o_topn" -> (cbH2oTopn _), "cb_h2o_r2" -> (cbH2oR2 _),
     "cb_h2o_gb" -> (cbH2oGb _), "cb_salted_uniq" -> (cbSaltedUniq _),
     "cb_h2o_join" -> (cbH2oJoin _), "cb_h2o_win" -> (cbH2oWin _),
     "cb_multi_uniq" -> (cbMultiUniq _),
@@ -393,6 +448,7 @@ object ClickBench {
   val oracle: Map[String, String] = Map(
     "cb_multi_uniq_grp" -> cbMultiUniqGrpSql,
     "cb_filter_stack" -> cbFilterStackSql,
+    "cb_h2o_topn" -> cbH2oTopnSql, "cb_h2o_r2" -> cbH2oR2Sql,
     "cb_h2o_gb" -> cbH2oGbSql, "cb_salted_uniq" -> cbSaltedUniqSql,
     "cb_h2o_join" -> cbH2oJoinSql, "cb_h2o_win" -> cbH2oWinSql,
     "cb_multi_uniq" -> cbMultiUniqSql,

@@ -358,6 +358,17 @@ class PlanAuditSpec extends SparkSpec {
       s"unpartitioned window materialized on one partition:\n$p")
   }
 
+  test("cb_h2o_topn: top-2 per key runs as a partial-aggregated bounded heap, not a window sort") {
+    val df = graft.operators.ClickBench.cbH2oTopn(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // h2o's ROW_NUMBER spelling would shuffle + sort every row; the
+    // topk_pairs form must keep <=2 rows per key per partition map-side
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
+      s"top-n lost partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"top-n degenerated to a window sort:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
