@@ -753,6 +753,29 @@ object FunctionLib {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  // ----------------------------------------------------------------- a_filter
+  /** SQL-standard aggregate FILTER clause (reference: DataFusion parses and
+    * executes `agg(x) FILTER (WHERE p)` — aggregates with different
+    * predicates in one grouped pass, no CASE gymnastics). The same text
+    * runs in Spark and DuckDB, so the clause itself is what's verified;
+    * Catalyst compiles each filtered aggregate to the same partial-agg
+    * two-phase plan as its CASE-desugared form — still ONE shuffle for the
+    * whole SELECT. */
+  val aFilterSql: String =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+      |    AS disc_rev,
+      |  round(avg(l_quantity) FILTER (WHERE l_tax < 0.04), 4)
+      |    AS avg_lowtax_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def aFilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(aFilterSql)
+  }
+
   // ------------------------------------------------------------- a_hll_rollup
   /** Re-aggregatable distinct-count sketches (Spark 4's DataSketches HLL
     * surface; reference approx_distinct is the one-shot form): per-day HLL
@@ -785,6 +808,7 @@ object FunctionLib {
     "a_stats" -> (aStats _), "a_order_stats" -> (aOrderStats _),
     "a_collect" -> (aCollect _), "a_firstlast" -> (aFirstLast _),
     "a_bitbool" -> (aBitBool _), "a_weighted" -> (aWeighted _),
+    "a_filter" -> (aFilter _),
     "a_approx" -> (aApprox _))
 
   /** a_approx intentionally absent (rows-only). */
@@ -798,5 +822,6 @@ object FunctionLib {
     "f_struct" -> fStructSql, "f_map" -> fMapSql,
     "a_stats" -> aStatsSql, "a_order_stats" -> aOrderStatsSql,
     "a_collect" -> aCollectSql, "a_firstlast" -> aFirstLastSql,
-    "a_bitbool" -> aBitBoolSql, "a_weighted" -> aWeightedSql)
+    "a_bitbool" -> aBitBoolSql, "a_weighted" -> aWeightedSql,
+    "a_filter" -> aFilterSql)
 }

@@ -383,6 +383,27 @@ object Relational {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** w_named — the SQL-standard named WINDOW clause (reference: DataFusion
+    * parses `WINDOW w AS (...)` via sqlparser and resolves window
+    * references; window.slt): three named specs shared by several window
+    * functions in one SELECT. Same text runs in Spark and DuckDB (viaSql),
+    * so the clause itself is what's being verified; Catalyst merges the
+    * two user_id-partitioned ordered specs into one shuffle exactly as
+    * with inline windows. Integer measure for cross-engine FP determinism
+    * (SURVEY §4). */
+  val wNamedSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(sum(v2) OVER w_user AS BIGINT) AS sum_by_user,
+      |  rank() OVER w_ord AS rnk,
+      |  round(avg(v2) OVER w_mov, 4) AS mov5
+      |FROM (SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS v2
+      |      FROM events) t
+      |WINDOW w_user AS (PARTITION BY user_id),
+      |       w_ord AS (PARTITION BY user_id ORDER BY event_id),
+      |       w_mov AS (PARTITION BY user_id ORDER BY event_id
+      |                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------- unnest / table functions
   /** UNNEST with ordinality (posexplode) of the embedding array. Generates
     * rows per element without any shuffle — pure narrow transform. */
@@ -1121,7 +1142,8 @@ object Relational {
     "s_except_all" -> (sExceptAll _), "s_intersect_all" -> (sIntersectAll _),
     "s_distinct_on" -> (sDistinctOn _), "srt_lineitem" -> (srtLineitem _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
-    "w_range" -> viaSql(wRangeSql), "w_qualify" -> (wQualify _),
+    "w_range" -> viaSql(wRangeSql), "w_named" -> viaSql(wNamedSql),
+    "w_qualify" -> (wQualify _),
     "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
     "e_session_fn" -> (eSessionFn _), "w_groups" -> (wGroups _),
     "w_groups_asym" -> (wGroupsAsym _),
@@ -1149,7 +1171,8 @@ object Relational {
     "s_except_all" -> sExceptAllSql, "s_intersect_all" -> sIntersectAllSql,
     "s_distinct_on" -> sDistinctOnSql, "srt_lineitem" -> srtLineitemSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
-    "w_range" -> wRangeSql, "w_qualify" -> wQualifySql,
+    "w_range" -> wRangeSql, "w_named" -> wNamedSql,
+    "w_qualify" -> wQualifySql,
     "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,
     "e_session_fn" -> eSessionFnSql, "w_groups" -> wGroupsSql,
     "w_groups_asym" -> wGroupsAsymSql,
