@@ -383,6 +383,42 @@ object Relational {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** j_natural — NATURAL JOIN (reference: DataFusion's planner expands
+    * NATURAL to an equi-join over the shared column names; sqlparser
+    * natural flag). The TPC-H schema prefixes every column, so the shared
+    * key is exposed via renaming subqueries — which is exactly the
+    * realistic use: NATURAL JOIN is resolved at ANALYSIS time from the
+    * schemas, and the plan is the same broadcastable equi-join as an
+    * explicit ON. Same text both engines. */
+  val jNaturalSql: String =
+    """SELECT n_name, count(*) AS n_cust,
+      |       round(sum(acctbal), 2) AS total_acctbal
+      |FROM (SELECT c_nationkey AS nationkey, c_acctbal AS acctbal
+      |      FROM customer) c
+      |NATURAL JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** srt_nulls — explicit NULLS FIRST / NULLS LAST ordering (reference
+    * window_frame/sort handle null_ordering; sort.slt). This is a real
+    * dialect trap: Spark's default is NULLS FIRST for ASC, DuckDB's is
+    * NULLS LAST — identical queries silently disagree unless the null
+    * placement is spelled out. Both rank columns ENCODE their null
+    * ordering in values (the driver's compare re-sorts rows, so only
+    * value-encoded orderings are actually verified); planted NULLs via a
+    * deterministic CASE. */
+  val srtNullsSql: String =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus,
+      |             CASE WHEN o_custkey % 7 = 0 THEN NULL
+      |                  ELSE o_totalprice END AS p
+      |           FROM orders)
+      |SELECT o_orderkey, o_orderstatus, round(p, 2) AS p,
+      |  rank() OVER (PARTITION BY o_orderstatus
+      |               ORDER BY p DESC NULLS LAST, o_orderkey) AS rnk_nl,
+      |  rank() OVER (PARTITION BY o_orderstatus
+      |               ORDER BY p ASC NULLS FIRST, o_orderkey) AS rnk_nf
+      |FROM t
+      |ORDER BY o_orderkey""".stripMargin
+
   /** w_named — the SQL-standard named WINDOW clause (reference: DataFusion
     * parses `WINDOW w AS (...)` via sqlparser and resolves window
     * references; window.slt): three named specs shared by several window
@@ -1143,6 +1179,7 @@ object Relational {
     "s_distinct_on" -> (sDistinctOn _), "srt_lineitem" -> (srtLineitem _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_named" -> viaSql(wNamedSql),
+    "j_natural" -> viaSql(jNaturalSql), "srt_nulls" -> viaSql(srtNullsSql),
     "w_qualify" -> (wQualify _),
     "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
     "e_session_fn" -> (eSessionFn _), "w_groups" -> (wGroups _),
@@ -1172,6 +1209,7 @@ object Relational {
     "s_distinct_on" -> sDistinctOnSql, "srt_lineitem" -> srtLineitemSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_named" -> wNamedSql,
+    "j_natural" -> jNaturalSql, "srt_nulls" -> srtNullsSql,
     "w_qualify" -> wQualifySql,
     "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,
     "e_session_fn" -> eSessionFnSql, "w_groups" -> wGroupsSql,
