@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -64,6 +65,66 @@ object Dedup {
       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
       |SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM all_docs GROUP BY sha256(text) ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- d_lines
+  /** Corpus-wide exact LINE-level dedup — the C4/RefinedWeb stage that
+    * removes repeated lines/sentences ACROSS documents while keeping each
+    * document's unique content intact (Raffel et al. 2020 §2.2 dedup
+    * Lee et al. 2021 motivate; the sub-document companion of d_exact).
+    * Every document is split into sentences (same `[.!?] ` convention as
+    * x_sentences), the corpus-wide FIRST occurrence of each line (by
+    * doc_id, then position) is kept, and documents are reassembled in
+    * original order. A boilerplate footer planted on every 5th doc
+    * survives in exactly one document.
+    *
+    * 100 TB shape: two shuffles — the first-occurrence window keys on
+    * sha2(line) (the 32-byte fingerprint moves the dedup decision, exactly
+    * d_exact's trick at line grain; partitions are per-distinct-line, so
+    * even a footer on billions of docs lands as one bounded group — and a
+    * truly hot line would salt like cb_salted_uniq), then one groupBy
+    * doc_id to reassemble. The final array_sort/transform assembly runs
+    * once per output doc on ≤ doc-length arrays — presentation, not the
+    * per-line hot path. */
+  def dLines(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(". Subscribe to our newsletter today.")))
+        .otherwise(col("text")).as("text"))
+    val lines = planted
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "[.!?] ")).as(Seq("pos0", "line")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("line"))
+    val w = Window.partitionBy(sha2(col("line").cast("binary"), 256))
+      .orderBy("doc_id", "pos")
+    lines.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(". ",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            e => e.getField("line"))).as("dedup_text"),
+        count(lit(1)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  val dLinesSql: String =
+    """WITH b AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN text || '. Subscribe to our newsletter today.'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |a AS (SELECT doc_id, regexp_split_to_array(text, '[.!?] ') AS ls FROM b),
+      |l AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM a),
+      |e AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+      |        ls[CAST(i AS INTEGER)] AS line FROM l),
+      |k AS (SELECT doc_id, pos, line,
+      |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |      FROM e)
+      |SELECT doc_id,
+      |  string_agg(line, '. ' ORDER BY pos) AS dedup_text,
+      |  count(*) AS n_kept
+      |FROM k WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------- minhash machinery
   val NumPerms = 128
@@ -456,11 +517,12 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_contam" -> (dContam _), "d_cluster" -> (dCluster _),
+    "d_lines" -> (dLines _),
     "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
     "d_embed_dup" -> (dEmbedDup _), "x_fingerprint" -> (xFingerprint _),
     "d_incremental" -> (dIncremental _))
 
   val oracle: Map[String, String] = Map("d_exact" -> dExactSql,
-    "d_incremental" -> dIncrementalSql)
+    "d_incremental" -> dIncrementalSql, "d_lines" -> dLinesSql)
 }

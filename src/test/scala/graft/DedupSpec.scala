@@ -169,6 +169,22 @@ class DedupSpec extends SparkSpec {
       30L -> 30L), s"got $cc")
   }
 
+  test("d_lines keeps the planted cross-doc boilerplate line in exactly one document") {
+    val res = Dedup.dLines(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(res.length == docs, "every document must survive line dedup")
+    val footer = "Subscribe to our newsletter today"
+    val carriers = res.filter(_.getAs[String]("dedup_text").contains(footer))
+    assert(carriers.length == 1,
+      s"boilerplate footer survived in ${carriers.length} docs, want 1")
+    // the keeper is the corpus-wide FIRST occurrence (lowest planted doc_id)
+    assert(carriers.head.getAs[Long]("doc_id") ==
+      Tables.t(spark, sf, "documents").filter(col("doc_id") % 5 === 0)
+        .agg(min("doc_id")).head().getLong(0))
+    // docs that lost only the footer keep all their own sentences
+    res.foreach(r => assert(r.getAs[Long]("n_kept") >= 1))
+  }
+
   test("d_cluster groups each planted near-dup with its source, labeled by min id") {
     val res = Dedup.dCluster(spark, sf)
     val byId = res.collect()
