@@ -776,6 +776,33 @@ object FunctionLib {
     spark.sql(aFilterSql)
   }
 
+  // ---------------------------------------------------------------- a_listagg
+  /** SQL-standard LISTAGG ... WITHIN GROUP (ORDER BY ...) — the
+    * order-sensitive, duplicate-eliminating string aggregation (reference:
+    * DataFusion's string_agg takes an ORDER BY and DISTINCT). Spark 4
+    * spells it LISTAGG/WITHIN GROUP; DuckDB spells it
+    * string_agg(DISTINCT ... ORDER BY ...) — the oracle uses its dialect,
+    * the values must agree exactly. Deterministic because the order key is
+    * total within each group's distinct set. */
+  val aListaggSql: String =
+    """SELECT o_orderstatus,
+      |  listagg(DISTINCT o_orderpriority, '|')
+      |    WITHIN GROUP (ORDER BY o_orderpriority) AS pris,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  def aListagg(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(aListaggSql)
+  }
+
+  val aListaggOracleSql: String =
+    """SELECT o_orderstatus,
+      |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+      |    AS pris,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------- a_hll_rollup
   /** Re-aggregatable distinct-count sketches (Spark 4's DataSketches HLL
     * surface; reference approx_distinct is the one-shot form): per-day HLL
@@ -808,7 +835,7 @@ object FunctionLib {
     "a_stats" -> (aStats _), "a_order_stats" -> (aOrderStats _),
     "a_collect" -> (aCollect _), "a_firstlast" -> (aFirstLast _),
     "a_bitbool" -> (aBitBool _), "a_weighted" -> (aWeighted _),
-    "a_filter" -> (aFilter _),
+    "a_filter" -> (aFilter _), "a_listagg" -> (aListagg _),
     "a_approx" -> (aApprox _))
 
   /** a_approx intentionally absent (rows-only). */
@@ -823,5 +850,5 @@ object FunctionLib {
     "a_stats" -> aStatsSql, "a_order_stats" -> aOrderStatsSql,
     "a_collect" -> aCollectSql, "a_firstlast" -> aFirstLastSql,
     "a_bitbool" -> aBitBoolSql, "a_weighted" -> aWeightedSql,
-    "a_filter" -> aFilterSql)
+    "a_filter" -> aFilterSql, "a_listagg" -> aListaggOracleSql)
 }
