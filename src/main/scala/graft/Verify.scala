@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query-name filter for fast local
-    // iteration (the driver always runs the full set)
+    // iteration (the driver always runs the full set). A typo'd name must
+    // fail loudly — silently running zero queries would let an empty
+    // check.py pass read as "verified".
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -733,11 +733,18 @@ object PqScore {
     var s = 0.0
     var i = 0
     while (i < m) {
+      if (codes.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pq_score: NULL code at segment $i")
       val c = codes.getInt(i)
       if (c < 0 || c >= k)
         throw new IllegalArgumentException(
           s"pq_score: code $c at segment $i out of range [0, $k)")
-      s += table.getDouble(i * k + c)
+      val slot = i * k + c
+      if (table.isNullAt(slot))
+        throw new IllegalArgumentException(
+          s"pq_score: NULL table entry at (segment $i, code $c)")
+      s += table.getDouble(slot)
       i += 1
     }
     s
@@ -759,6 +766,16 @@ private[functions] object PqShapes {
         s"$fn: codebook length $booksLen must be a positive multiple of " +
           s"m*d=${m * d} (flattened seg-major m x k x d)")
     (d, booksLen / (m * d))
+  }
+
+  /** NULL array elements would silently read as 0.0 through
+    * ArrayData.getDouble (the garbage-not-error class the strict error
+    * surface forbids); both kernels touch every element anyway, so the
+    * per-access branch is noise against the FMA loop. */
+  def checkedDouble(fn: String, what: String, a: ArrayData, i: Int): Double = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(s"$fn: NULL $what element at index $i")
+    a.getDouble(i)
   }
 }
 
@@ -819,7 +836,8 @@ object PqEncode {
         var dist = 0.0
         var j = 0
         while (j < d) {
-          val diff = vec.getDouble(vBase + j) - books.getDouble(bBase + j)
+          val diff = PqShapes.checkedDouble("pq_encode", "vec", vec, vBase + j) -
+            PqShapes.checkedDouble("pq_encode", "books", books, bBase + j)
           dist += diff * diff
           j += 1
         }
@@ -883,7 +901,8 @@ object PqTable {
         var dot = 0.0
         var j = 0
         while (j < d) {
-          dot += vec.getDouble(vBase + j) * books.getDouble(bBase + j)
+          dot += PqShapes.checkedDouble("pq_table", "vec", vec, vBase + j) *
+            PqShapes.checkedDouble("pq_table", "books", books, bBase + j)
           j += 1
         }
         table(seg * k + code) = dot

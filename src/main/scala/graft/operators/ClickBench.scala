@@ -193,10 +193,14 @@ object ClickBench {
     * (SMJ/shuffled-hash) and the reason h2o grades it separately. AQE picks
     * broadcast for the small tiers at this sf; at scale the same plan
     * degrades gracefully tier by tier. PlanAuditSpec pins the dim
-    * broadcast + no cartesian. */
+    * broadcast + no cartesian. Integer v1/v2 measures (h2o's are ints)
+    * keep the per-nation sums order-exact across engines — same SURVEY §4
+    * determinism policy as cb_h2o_win. */
   def cbH2oJoin(spark: SparkSession, dir: String): DataFrame = {
-    val x = ev(spark, dir).select("event_id", "user_id", "value")
-    val y = ev(spark, dir).select(col("event_id"), col("value").as("v2"))
+    val x = ev(spark, dir).select(col("event_id"), col("user_id"),
+      floor(col("value")).cast("long").as("v1"))
+    val y = ev(spark, dir).select(col("event_id"),
+      floor(col("value") * 2).cast("long").as("v2"))
     val cust = Tables.t(spark, dir, "customer").select("c_custkey", "c_nationkey")
     val nat = Tables.t(spark, dir, "nation").select("n_nationkey", "n_name")
     x.join(y, "event_id")
@@ -204,16 +208,20 @@ object ClickBench {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).as("sum_v1"),
-        round(sum("v2"), 2).as("sum_v2"))
+        sum("v1").as("sum_v1"),
+        sum("v2").as("sum_v2"))
       .orderBy("n_name")
   }
 
   val cbH2oJoinSql: String =
     """SELECT n_name, count(*) AS n,
-      |  round(sum(x.value), 2) AS sum_v1, round(sum(y.v2), 2) AS sum_v2
-      |FROM events x
-      |JOIN (SELECT event_id, value AS v2 FROM events) y USING (event_id)
+      |  CAST(sum(x.v1) AS BIGINT) AS sum_v1,
+      |  CAST(sum(y.v2) AS BIGINT) AS sum_v2
+      |FROM (SELECT event_id, user_id,
+      |        CAST(floor(value) AS BIGINT) AS v1 FROM events) x
+      |JOIN (SELECT event_id,
+      |        CAST(floor(value * 2) AS BIGINT) AS v2 FROM events) y
+      |  USING (event_id)
       |JOIN customer ON x.user_id = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin

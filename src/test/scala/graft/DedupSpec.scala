@@ -181,8 +181,20 @@ class DedupSpec extends SparkSpec {
     assert(carriers.head.getAs[Long]("doc_id") ==
       Tables.t(spark, sf, "documents").filter(col("doc_id") % 5 === 0)
         .agg(min("doc_id")).head().getLong(0))
-    // docs that lost only the footer keep all their own sentences
-    res.foreach(r => assert(r.getAs[Long]("n_kept") >= 1))
+    // conservation: every distinct line in the planted corpus is kept
+    // exactly once, so Σ n_kept == COUNT(DISTINCT line) — a broken window
+    // key that merged distinct lines (or dropped unique content) breaks
+    // this even though each doc still has some rows
+    val planted = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(". Subscribe to our newsletter today.")))
+          .otherwise(col("text")).as("text"))
+    val distinctLines = planted
+      .select(explode(split(col("text"), "[.!?] ")).as("line"))
+      .distinct().count()
+    assert(res.map(_.getAs[Long]("n_kept")).sum == distinctLines,
+      "kept-line total must equal the corpus's distinct-line count")
   }
 
   test("d_cluster groups each planted near-dup with its source, labeled by min id") {

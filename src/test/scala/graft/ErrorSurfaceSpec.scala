@@ -91,5 +91,19 @@ class ErrorSurfaceSpec extends SparkSpec {
       spark.sql("SELECT pq_encode(array(1D, 2D, 3D), array(1D, 2D), 2)").collect()
     }
     assert(messageChain(badVec).contains("multiple of m"), messageChain(badVec))
+    // a NULL array ELEMENT would read as 0 through ArrayData — same
+    // garbage-not-error class as an out-of-range index; must throw
+    val nullCode = intercept[Exception] {
+      spark.sql(
+        "SELECT pq_score(array(0, CAST(NULL AS INT)), " +
+          "array(1D, 2D, 3D, 4D, 5D, 6D, 7D, 8D))").collect()
+    }
+    assert(messageChain(nullCode).contains("NULL code"), messageChain(nullCode))
+    val nullVec = intercept[Exception] {
+      spark.sql(
+        "SELECT pq_encode(array(1D, CAST(NULL AS DOUBLE)), array(1D, 2D), 1)")
+        .collect()
+    }
+    assert(messageChain(nullVec).contains("NULL vec"), messageChain(nullVec))
   }
 }

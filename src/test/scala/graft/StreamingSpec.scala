@@ -190,23 +190,24 @@ class StreamingSpec extends SparkSpec {
     * as two files, so maxFilesPerTrigger=1 makes them separate
     * micro-batches. Shared by every minhash-dedup streaming test so each
     * runs standalone (ADVICE r4: the RocksDB test used to depend on suite
-    * definition order). Content is deterministic → reuse when present. */
-  private def ensureStreamDocs(): java.nio.file.Path = {
+    * definition order). `lazy val`: rebuilt from scratch once per JVM run —
+    * never reused across sbt runs, so a change to `withPlantedNear` or the
+    * testdata can't leave the suite streaming a stale fixture. */
+  private lazy val streamDocsDir: java.nio.file.Path = {
     val dir = Paths.get("target/stream_docs")
-    if (!Files.exists(dir.resolve("0-originals.parquet")) ||
-        !Files.exists(dir.resolve("1-copies.parquet"))) {
-      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
-      Files.createDirectories(dir)
-      val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
-      docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
-      graft.operators.Dedup.withPlantedNear(docs)
-        .filter(col("doc_id") >= 1000000L)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
-      moveInto(dir, "b1", "0-originals.parquet")
-      moveInto(dir, "b2", "1-copies.parquet")
-    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    graft.operators.Dedup.withPlantedNear(docs)
+      .filter(col("doc_id") >= 1000000L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
+    moveInto(dir, "b1", "0-originals.parquet")
+    moveInto(dir, "b2", "1-copies.parquet")
     dir
   }
+
+  private def ensureStreamDocs(): java.nio.file.Path = streamDocsDir
 
   private val docStreamSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
