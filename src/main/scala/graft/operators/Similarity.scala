@@ -7,9 +7,11 @@ import graft.Tables
 import graft.functions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over `embeddings` (SURVEY.md §2.6).
-  * Three tiers: exact brute force (baseline + oracle), random-hyperplane LSH
-  * (Charikar 2002) and IVF coarse quantization (Jégou et al., IVFADC family)
-  * — the two standard scale paths.
+  * Five tiers: exact brute force (baseline + oracle), random-hyperplane LSH
+  * (Charikar 2002), IVF coarse quantization, int8-quantized scoring (the
+  * 4× scan cut), and product quantization with native ADC scoring (Jégou
+  * et al. 2011 — the 32× tier); LSH/IVF prune candidates, int8/PQ shrink
+  * what scoring touches, and the two axes compose.
   *
   * 100 TB design notes:
   *  - The query set is always the broadcast side; the corpus is never
