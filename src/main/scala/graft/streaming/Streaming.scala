@@ -223,6 +223,13 @@ object Streaming {
   /** Per-LSH-bucket state with activity time, for the TTL'd variant. */
   case class BucketRepTs(rep_id: Long, sig: Seq[Long], last_seen_ms: Long)
 
+  /** A near-dup match carrying the matched document's event time — the
+    * TTL'd pipeline keeps event time flowing so DOWNSTREAM stateful stages
+    * (the exactly-once projection) can watermark and expire their own
+    * state too. */
+  case class DocMatchTs(doc_id: Long, dup_of: Long, est_jaccard: Double,
+      ts: Timestamp)
+
   /** [[minhashDedupStream]] with an EVENT-TIME TTL on bucket state — the
     * production form for a timestamped document feed (docs must carry a
     * `ts` column). Matching semantics are identical; additionally every
@@ -237,10 +244,14 @@ object Streaming {
     * the bucket instead of matching — exactly the within-horizon dedup
     * contract every watermarked streaming dedup (incl. dropDuplicates)
     * makes. StreamingSpec proves cold buckets are evicted (state row count
-    * drops) while in-horizon recall holds, under RocksDB. */
+    * drops) while in-horizon recall holds, under RocksDB.
+    *
+    * Emission carries the MATCHED doc's event time ([[DocMatchTs]]) so a
+    * downstream stateful stage — [[minhashDedupVerdictsTtl]] — can
+    * re-watermark and TTL its own state off the same clock. */
   def minhashDedupStreamTtl(docs: DataFrame, minSigSim: Double = 0.5,
       horizonMs: Long = 3600L * 1000L,
-      watermarkDelay: String = "10 minutes"): Dataset[DocMatch] = {
+      watermarkDelay: String = "10 minutes"): Dataset[DocMatchTs] = {
     import docs.sparkSession.implicits._
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import graft.operators.Dedup
@@ -255,7 +266,7 @@ object Streaming {
       .as[(Long, Timestamp, Seq[Long], Int, Long)]
     banded
       .groupByKey { case (_, _, _, bandId, bandHash) => (bandId, bandHash) }
-      .flatMapGroupsWithState[BucketRepTs, DocMatch](
+      .flatMapGroupsWithState[BucketRepTs, DocMatchTs](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: (Int, Long), rows: Iterator[(Long, Timestamp, Seq[Long], Int, Long)],
          state: GroupState[BucketRepTs]) =>
@@ -265,10 +276,11 @@ object Streaming {
             Iterator.empty
           } else {
             val arrivals = rows.map { case (id, ts, sig, _, _) =>
-              (id, sig, ts.getTime) }.toSeq.sortBy(_._1)
-            val out = Seq.newBuilder[DocMatch]
+              (id, sig, ts) }.toSeq.sortBy(_._1)
+            val out = Seq.newBuilder[DocMatchTs]
             var rep = if (state.exists) Some(state.get) else None
-            arrivals.foreach { case (id, sig, tsMs) =>
+            arrivals.foreach { case (id, sig, ts) =>
+              val tsMs = ts.getTime
               rep match {
                 case None => rep = Some(BucketRepTs(id, sig, tsMs))
                 case Some(r) =>
@@ -277,8 +289,8 @@ object Streaming {
                       .count { case (a, b) => a == b }
                     val est = eq.toDouble / r.sig.length
                     if (est >= minSigSim)
-                      out += DocMatch(id, r.rep_id,
-                        math.round(est * 10000) / 10000.0)
+                      out += DocMatchTs(id, r.rep_id,
+                        math.round(est * 10000) / 10000.0, ts)
                   }
                   // any arrival keeps the bucket warm, matched or not
                   rep = Some(r.copy(last_seen_ms = math.max(r.last_seen_ms, tsMs)))
@@ -320,6 +332,54 @@ object Streaming {
           else {
             state.update(true)
             Iterator(ms.minBy(m => (m.dup_of, -m.est_jaccard)))
+          }
+      }
+  }
+
+  /** The full production composition for a timestamped feed: TTL'd bucket
+    * matching ([[minhashDedupStreamTtl]]) followed by an exactly-once
+    * verdict projection whose seen-state ALSO expires on event time — both
+    * stateful stages bounded by arrival-rate × horizon. The verdict stage
+    * re-watermarks the match stream on the matched doc's event time and
+    * registers an EventTimeTimeout per doc at `ts + horizonMs`: within the
+    * horizon a document gets exactly one verdict row no matter how many
+    * band matches or whole-batch replays occur; past it the flag expires
+    * together with the buckets that produced it (a re-arrival then
+    * re-seeds both, consistently). Chained Append-mode
+    * flatMapGroupsWithState stages — Spark 4 plans both state stores in
+    * one query.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false` (set by the CALLER; this method never mutates session
+    * conf): Spark's global-watermark check rejects any chain whose first
+    * stateful stage can emit rows older than watermark + delay. Here that
+    * happens only for a document that itself arrived later than the
+    * watermark delay; if stage 2 then discards its late match, the outcome
+    * is identical to a standard watermarked streaming dedup dropping the
+    * same late document — the late-data contract this pipeline already
+    * makes, not a new correctness hole. The spec runs the composition
+    * under exactly this setting. */
+  def minhashDedupVerdictsTtl(docs: DataFrame, minSigSim: Double = 0.5,
+      horizonMs: Long = 3600L * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[DocMatch] = {
+    val matches = minhashDedupStreamTtl(docs, minSigSim, horizonMs, watermarkDelay)
+    import matches.sparkSession.implicits._
+    matches
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, DocMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, ms: Iterator[DocMatchTs], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) { ms.foreach(_ => ()); Iterator.empty }
+          else {
+            val all = ms.toSeq
+            val best = all.minBy(m => (m.dup_of, -m.est_jaccard))
+            state.update(true)
+            state.setTimeoutTimestamp(math.max(
+              all.map(_.ts.getTime).max + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator(DocMatch(best.doc_id, best.dup_of, best.est_jaccard))
           }
       }
   }

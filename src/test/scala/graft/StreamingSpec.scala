@@ -346,6 +346,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st_minhash_verdicts_ttl: one verdict per dup within the horizon, both state stores TTL'd (RocksDB)") {
+    import java.sql.Timestamp
+    import graft.operators.Dedup
+    // the full production composition: TTL'd bucket matching + TTL'd
+    // exactly-once projection chained in ONE query (two state stores).
+    //   b1 T0        originals seed buckets
+    //   b2 T0+30m    copies — verdicts emitted (one per doc)
+    //   b3 T0+40m    the SAME copies replayed with a later ts — matches
+    //                re-fire in stage 1, the seen-flags suppress stage 2
+    //   b4 T0+10h    fresh docs; watermark jumps past every horizon
+    //   b5 T0+11h    fresh docs; due timeouts fire in BOTH stores
+    val dir = Paths.get("target/stream_docs_vttl")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(minutes: Long) = new Timestamp(t0.getTime + minutes * 60000L)
+    val copies = Dedup.withPlantedNear(docs).filter(col("doc_id") >= 1000000L)
+    docs.withColumn("ts", lit(t0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    copies.withColumn("ts", lit(at(30)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
+    copies.withColumn("ts", lit(at(40)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b3")
+    import spark.implicits._
+    (0 until 5).map(i => (5000000L + i,
+        s"entirely fresh unrelated content block number $i with plenty of distinct filler words",
+        at(600))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b4")
+    (0 until 5).map(i => (6000000L + i,
+        s"another run of totally different payload text index $i sharing nothing at all",
+        at(660))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b5")
+    Seq("b1" -> "0-originals.parquet", "b2" -> "1-copies.parquet",
+      "b3" -> "2-replay.parquet", "b4" -> "3-late.parquet",
+      "b5" -> "4-later.parquet").foreach { case (s, o) => moveInto(dir, s, o) }
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    // the chained-stateful composition is exactly the "understood risk"
+    // case Spark's global-watermark check points at (see the
+    // minhashDedupVerdictsTtl Scaladoc for why the late-row semantics are
+    // the standard watermarked-dedup contract here)
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "false")
+    try withRocksDb {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+      val q = Streaming.minhashDedupVerdictsTtl(stream).toDF()
+        .writeStream.format("memory").queryName("vttl_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(240000)
+      val stateRows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      q.stop()
+
+      val rows = spark.table("vttl_dedup").select("doc_id", "dup_of").collect()
+      assert(rows.nonEmpty, "no verdicts emitted")
+      // exactly one verdict per doc despite 16-band fan-out AND the replay
+      val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+      assert(perDoc.values.forall(_ == 1),
+        s"duplicate verdicts: ${perDoc.filter(_._2 > 1).toMap}")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val hits = rows.filter(r => r.getLong(0) >= 1000000L &&
+        r.getLong(0) < 5000000L &&
+        r.getLong(1) == r.getLong(0) - 1000000L).map(_.getLong(0) - 1000000L).toSet
+      val recall = hits.intersect(planted).size.toDouble / planted.size
+      assert(recall >= 0.8, s"verdict recall $recall < 0.8")
+      // both stores drained after the horizon passed
+      assert(stateRows.nonEmpty && stateRows.last < stateRows.max / 2,
+        s"state not TTL'd across both operators: $stateRows")
+    } finally ccPrev match {
+      case Some(p) => spark.conf.set(ccKey, p)
+      case None => spark.conf.unset(ccKey)
+    }
+  }
+
   test("st_minhash_verdicts: exactly one row per duplicate across whole-batch replay") {
     // at-least-once matches (≤16 band rows per dup, re-emitted on replay)
     // must collapse to EXACTLY one verdict row per doc_id: batch 1 seeds,
