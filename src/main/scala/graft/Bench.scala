@@ -17,13 +17,15 @@ object Bench {
     * (iterative clustering, n-gram dedup, text-quality kernels, h2o-style
     * groupby, fused end-to-end pipeline), plus — round 5 — the whole ANN
     * tier (LSH / IVF / int8 / PQ) so every approximate-search kernel has a
-    * regression net, not just the brute-force baseline. */
+    * regression net, not just the brute-force baseline; round 6 adds the
+    * composed IVFADC tier. */
   val Headline: Seq[String] = Seq(
     "q1", "q3", "q5", "q6", "q9", "q18",
     "d_exact", "d_minhash", "n_brute_topk", "x_quality",
     "d_cluster", "d_ngram_jaccard", "x_gopher", "x_repetition",
     "cb_h2o_gb", "p_e2e",
-    "n_lsh_topk", "n_ivf_topk", "n_quant_topk", "n_pq_topk")
+    "n_lsh_topk", "n_ivf_topk", "n_quant_topk", "n_pq_topk",
+    "n_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,9 +83,81 @@ object Bench {
         n -> (sorted.head, if (sorted.head > 0) (sorted(1) - sorted.head) / sorted.head else 0.0)
       }
     }
+
+    // ---- build vs serve split for the trained-index ANN tiers ----
+    // The e2e n_ivf/n_pq/n_ivfpq numbers above are dominated by quantizer
+    // TRAINING (Lloyd corpus passes); a production user asks "what does a
+    // query cost against a BUILT index" — so each tier is also timed as
+    // BUILD (train + materialize the stored index, persist + noop-write)
+    // and SERVE (the probe/score/top-k query against that materialized
+    // index), the same setup-vs-measured-iterations separation the
+    // reference bench makes (benchmarks/src/util/run.rs). Same min-of-3 /
+    // spread protocol; serve runs against the LAST build's index (cache
+    // kept warm across serve runs — that IS the serve scenario).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Similarity
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] build/serve failed: ${e.getMessage}"); return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // each tier: build() materializes the index and returns the serve thunk
+    val tiers: Seq[(String, String => (Seq[DataFrame], () => Unit))] = Seq(
+      "n_ivf" -> { dir: String =>
+        val (c, a0) = Similarity.ivfBuild(spark, dir)
+        val a = a0.persist(StorageLevel.MEMORY_AND_DISK)
+        noop(a)
+        (Seq(a), () => noop(Similarity.ivfServe(spark, dir, c, a)))
+      },
+      "n_pq" -> { dir: String =>
+        val (books, codes0) = Similarity.pqBuild(spark, dir)
+        val codes = codes0.persist(StorageLevel.MEMORY_AND_DISK)
+        noop(codes)
+        (Seq(codes), () => noop(Similarity.pqServe(spark, dir, books, codes)))
+      },
+      "n_ivfpq" -> { dir: String =>
+        val (c, books, idx0) = Similarity.ivfpqBuild(spark, dir)
+        val idx = idx0.persist(StorageLevel.MEMORY_AND_DISK)
+        noop(idx)
+        (Seq(idx), () => noop(Similarity.ivfpqServe(spark, dir, c, books, idx)))
+      })
+    val buildServe: Seq[(String, (Double, Double))] = tiers.flatMap {
+      case (tier, mk) =>
+        // warm codegen for this tier's plan shapes on the tiny SF
+        val (wCached, wServe) = mk(warmDir)
+        wServe(); wCached.foreach(_.unpersist(blocking = true))
+        var cached: Seq[DataFrame] = Seq.empty
+        var serve: () => Unit = () => ()
+        def buildCold(): Double = {
+          cached.foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache(); System.gc()
+          timed { val r = mk(sfDir); cached = r._1; serve = r._2 }
+        }
+        val bRuns = Seq(buildCold(), buildCold(), buildCold())
+        // serve runs against the warm index — no clearCache between them
+        val sRuns = Seq(timed(serve()), timed(serve()), timed(serve()))
+        cached.foreach(_.unpersist(blocking = true))
+        def minSpread(runs: Seq[Double]): (Double, Double) =
+          if (runs.exists(_ < 0)) (-1.0, -1.0)
+          else {
+            val s = runs.sorted
+            (s.head, if (s.head > 0) (s(1) - s.head) / s.head else 0.0)
+          }
+        Seq(s"${tier}_build" -> minSpread(bRuns),
+          s"${tier}_serve" -> minSpread(sRuns))
+    }
+
+    val all = results ++ buildServe
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
+    val qs = all.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val spreads = all.map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
+    // total stays the HEADLINE sum: the build/serve rows decompose e2e
+    // numbers already counted there — adding them would double-count
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spreads,"runs":3,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] noise when run via `sbt runMain`, so

@@ -724,7 +724,16 @@ object PqScore {
     * (ErrorSurfaceSpec). */
   def compute(codes: ArrayData, table: ArrayData): Double = {
     val m = codes.numElements()
-    if (m == 0) return 0.0
+    if (m == 0) {
+      // empty codes against a non-empty table is a shape mismatch, not a
+      // zero score — same garbage-not-error strictness as every other
+      // malformed shape here (ADVICE r5); both-empty is the vacuous sum
+      if (table.numElements() != 0)
+        throw new IllegalArgumentException(
+          s"pq_score: empty codes with non-empty table " +
+            s"(${table.numElements()} entries)")
+      return 0.0
+    }
     if (table.numElements() % m != 0)
       throw new IllegalArgumentException(
         s"pq_score: table length ${table.numElements()} is not a multiple " +

@@ -423,8 +423,13 @@ object ClickBench {
         expr("user_id % 16 IN (5, 12)") &&
         col("value").between(5.0, 250.0) &&
         expr("""props rlike '"k": [0-9]+'""") &&
+        // digit run bounded to 9 so the guarded CAST can never overflow INT:
+        // under ANSI mode (Spark 4 default, and DuckDB) an unbounded '[0-9]+'
+        // guard admits e.g. a 12-digit run and the CAST aborts the whole
+        // query — a data-dependent crash BOTH engines share, which the
+        // oracle therefore cannot catch (ADVICE r5)
         expr("""CASE WHEN split_part(split_part(props, ': ', 2), '}', 1)
-                       rlike '^[0-9]+$'
+                       rlike '^[0-9]{1,9}$'
                 THEN CAST(split_part(split_part(props, ': ', 2), '}', 1) AS INT)
                 ELSE 0 END > 40""") &&
         expr("levenshtein(event_type, 'purchase') < 3"))
@@ -437,12 +442,80 @@ object ClickBench {
       |  AND value BETWEEN 5.0 AND 250.0
       |  AND regexp_matches(props, '"k": [0-9]+')
       |  AND CASE WHEN split_part(split_part(props, ': ', 2), '}', 1)
-      |             ~ '^[0-9]+$'
+      |             ~ '^[0-9]{1,9}$'
       |      THEN CAST(split_part(split_part(props, ': ', 2), '}', 1) AS INT)
       |      ELSE 0 END > 40
       |  AND levenshtein(event_type, 'purchase') < 3""".stripMargin
 
+  // ---------------------------------------------------------- cb_stddev_topn
+  /** ClickBench extended q3 shape (reference benchmarks/queries/clickbench/
+    * extended/q3.sql): grouped dispersion statistics — COUNT / AVG / STDDEV
+    * / VAR per two-key group — then HAVING on the statistic, ORDER BY it
+    * DESC, LIMIT. The composite the suite covers in pieces (cb_h2o_gb has
+    * grouped stddev, cb_top_users has order-by-aggregate) but not as one
+    * statement: the HAVING prunes groups too small for a sample stddev
+    * (n < 2 → NULL), and the ORDER BY keys on the ROUNDED statistic with
+    * the group keys as tiebreak so the cut is FP-deterministic across
+    * engines (SURVEY §4). One partial-aggregated shuffle — stddev/var
+    * merge as (n, Σx, Σx²) sufficient statistics — then
+    * TakeOrderedAndProject for the top-10 (no global sort). */
+  def cbStddevTopn(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("user_band"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 4).as("avg_value"),
+        round(stddev_samp(col("value")), 4).as("s"),
+        round(var_samp(col("value")), 4).as("v"))
+      .filter(col("s").isNotNull)
+      .orderBy(desc("s"), asc("event_type"), asc("user_band"))
+      .limit(10)
+
+  val cbStddevTopnSql: String =
+    """SELECT event_type, user_id % 16 AS user_band, count(*) AS n,
+      |  round(avg(value), 4) AS avg_value,
+      |  round(stddev_samp(value), 4) AS s,
+      |  round(var_samp(value), 4) AS v
+      |FROM events GROUP BY event_type, user_band
+      |HAVING s IS NOT NULL
+      |ORDER BY s DESC, event_type, user_band LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------ cb_approx_pctl_grp
+  /** ClickBench extended q5 shape (reference benchmarks/queries/clickbench/
+    * extended/q5.sql): per-HIGH-CARDINALITY-two-key-group order statistics —
+    * COUNT c, MIN, 0.95 percentile, MAX — with a WHERE pre-filter, HAVING
+    * c > 1 (most (user, day) groups are singletons, so the HAVING does real
+    * pruning, like q5's (ClientIP, WatchID)), ORDER BY the percentile DESC
+    * LIMIT 10. The oracled entry scores with EXACT `percentile` — q5's
+    * APPROX_PERCENTILE_CONT is engine-specific sketch state that can never
+    * hash-match across engines; ClickBenchSpec instead bounds Spark's
+    * `approx_percentile` against this exact result on the same groups, so
+    * the approx variant is still pinned. NULL values are pre-filtered on
+    * both sides: a group of all-NULL measures would order its NULL tp95 by
+    * engine-specific NULLS placement (SURVEY §4 dialect-trap class). */
+  def cbApproxPctlGrp(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .filter(col("user_id") % 2 === 0 && col("value").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"),
+        round(min("value"), 4).as("tmin"),
+        round(percentile(col("value"), lit(0.95)), 4).as("tp95"),
+        round(max("value"), 4).as("tmax"))
+      .filter(col("c") > 1)
+      .orderBy(desc("tp95"), asc("user_id"), asc("day"))
+      .limit(10)
+
+  val cbApproxPctlGrpSql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c,
+      |  round(min(value), 4) AS tmin,
+      |  round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS tp95,
+      |  round(max(value), 4) AS tmax
+      |FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL
+      |GROUP BY user_id, day HAVING c > 1
+      |ORDER BY tp95 DESC, user_id, day LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cb_stddev_topn" -> (cbStddevTopn _),
+    "cb_approx_pctl_grp" -> (cbApproxPctlGrp _),
     "cb_multi_uniq_grp" -> (cbMultiUniqGrp _),
     "cb_filter_stack" -> (cbFilterStack _),
     "cb_h2o_topn" -> (cbH2oTopn _), "cb_h2o_r2" -> (cbH2oR2 _),
@@ -454,6 +527,8 @@ object ClickBench {
     "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
+    "cb_stddev_topn" -> cbStddevTopnSql,
+    "cb_approx_pctl_grp" -> cbApproxPctlGrpSql,
     "cb_multi_uniq_grp" -> cbMultiUniqGrpSql,
     "cb_filter_stack" -> cbFilterStackSql,
     "cb_h2o_topn" -> cbH2oTopnSql, "cb_h2o_r2" -> cbH2oR2Sql,

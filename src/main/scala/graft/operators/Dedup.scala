@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -77,14 +76,23 @@ object Dedup {
     * original order. A boilerplate footer planted on every 5th doc
     * survives in exactly one document.
     *
-    * 100 TB shape: two shuffles — the first-occurrence window keys on
-    * sha2(line) (the 32-byte fingerprint moves the dedup decision, exactly
-    * d_exact's trick at line grain; partitions are per-distinct-line, so
-    * even a footer on billions of docs lands as one bounded group — and a
-    * truly hot line would salt like cb_salted_uniq), then one groupBy
-    * doc_id to reassemble. The final array_sort/transform assembly runs
-    * once per output doc on ≤ doc-length arrays — presentation, not the
-    * per-line hot path. */
+    * 100 TB shape: two shuffles, both hot-key immune. The first-occurrence
+    * decision is an ASSOCIATIVE aggregate — min(struct(doc_id, pos)) per
+    * line — so Catalyst partial-aggregates it map-side: a boilerplate
+    * footer on billions of documents (exactly the line this operator
+    * exists to remove) collapses to ONE row per map partition before the
+    * shuffle, and the reducer merges ≤ #partitions candidates instead of
+    * receiving every copy. (Round 5 spelled this as a row_number() window
+    * partitioned on sha2(line), which shipped every duplicate of a hot
+    * line into one reducer — the one straggler shape in the repo; struct
+    * min gives the identical lexicographic first occurrence with no Window
+    * node at all — PlanAuditSpec pins it.) The group key is the raw line
+    * value, matching the oracle's PARTITION BY line exactly — Spark
+    * already hashes the key for the shuffle, so a separate 32-byte
+    * fingerprint would only add an engine/oracle collision asymmetry
+    * (ADVICE r5). Then one groupBy doc_id reassembles; the final
+    * array_sort/transform runs once per output doc on ≤ doc-length
+    * arrays — presentation, not the per-line hot path. */
   def dLines(spark: SparkSession, dir: String): DataFrame = {
     val planted = docs(spark, dir).select(col("doc_id"),
       when(col("doc_id") % 5 === 0,
@@ -94,10 +102,10 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(split(col("text"), "[.!?] ")).as(Seq("pos0", "line")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("line"))
-    val w = Window.partitionBy(sha2(col("line").cast("binary"), 256))
-      .orderBy("doc_id", "pos")
-    lines.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("first.pos").as("pos"),
+        col("line"))
       .groupBy("doc_id")
       .agg(
         concat_ws(". ",

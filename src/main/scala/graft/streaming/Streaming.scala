@@ -297,11 +297,20 @@ object Streaming {
               }
             }
             rep.foreach { r =>
-              state.update(r)
-              // expire when the WATERMARK passes last activity + horizon
-              // (must stay above the current watermark or Spark rejects it)
-              state.setTimeoutTimestamp(math.max(r.last_seen_ms + horizonMs,
-                state.getCurrentWatermarkMs() + 1))
+              // a bucket whose last activity is already a full horizon
+              // behind the watermark is expired BY CONTRACT — late data
+              // re-seeding a cold bucket must not keep a clamped timeout
+              // alive one extra trigger and match one more batch than the
+              // within-horizon promise allows (ADVICE r5): drop it now
+              if (r.last_seen_ms + horizonMs <= state.getCurrentWatermarkMs()) {
+                if (state.exists) state.remove()
+              } else {
+                state.update(r)
+                // expire when the WATERMARK passes last activity + horizon
+                // (must stay above the current watermark or Spark rejects it)
+                state.setTimeoutTimestamp(math.max(r.last_seen_ms + horizonMs,
+                  state.getCurrentWatermarkMs() + 1))
+              }
             }
             out.result().iterator
           }
@@ -316,9 +325,14 @@ object Streaming {
     * emission order inside a batch is not) — and a seen-flag in state
     * suppresses every later re-emission, including whole-batch replays.
     * Consumers get at most one row per document, ever. State is one
-    * boolean per MATCHED doc (duplicates only, not the corpus); a
-    * TTL'd deployment would bound it with the same event-time timeout as
-    * [[minhashDedupStreamTtl]]. */
+    * boolean per MATCHED doc (duplicates only, not the corpus) and — like
+    * [[minhashDedupStream]]'s bucket state — never expires (NoTimeout):
+    * it grows monotonically with the number of distinct duplicates seen.
+    * That bounds this variant's use to feeds with NO event-time column
+    * (where no watermark can exist) and to finite backfills/tests; the
+    * PRODUCTION form for any timestamped feed is
+    * [[minhashDedupVerdictsTtl]], where both stages' state is bounded by
+    * arrival-rate × horizon. */
   def minhashDedupVerdicts(docs: DataFrame,
       minSigSim: Double = 0.5): Dataset[DocMatch] = {
     val matches = minhashDedupStream(docs, minSigSim)
@@ -341,11 +355,15 @@ object Streaming {
     * verdict projection whose seen-state ALSO expires on event time — both
     * stateful stages bounded by arrival-rate × horizon. The verdict stage
     * re-watermarks the match stream on the matched doc's event time and
-    * registers an EventTimeTimeout per doc at `ts + horizonMs`: within the
+    * registers an EventTimeTimeout per doc at horizonMs past its LATEST
+    * match activity — refreshed even when later matches are suppressed,
+    * mirroring stage 1's any-activity-keeps-warm rule (ADVICE r5: without
+    * the refresh a continuously-matching doc's flag could expire
+    * horizonMs after the first verdict and leak a second row). Within the
     * horizon a document gets exactly one verdict row no matter how many
-    * band matches or whole-batch replays occur; past it the flag expires
-    * together with the buckets that produced it (a re-arrival then
-    * re-seeds both, consistently). Chained Append-mode
+    * band matches or whole-batch replays occur; once its matches go cold
+    * the flag expires together with the buckets that produced them (a
+    * re-arrival then re-seeds both, consistently). Chained Append-mode
     * flatMapGroupsWithState stages — Spark 4 plans both state stores in
     * one query.
     *
@@ -371,7 +389,20 @@ object Streaming {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: Long, ms: Iterator[DocMatchTs], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) { ms.foreach(_ => ()); Iterator.empty }
+          else if (state.exists) {
+            // suppressed re-matches still KEEP THE FLAG WARM: stage-1
+            // buckets refresh on any arrival, so a doc matching at
+            // intervals shorter than the horizon keeps producing matches —
+            // without this refresh its flag would expire horizonMs after
+            // the FIRST verdict and a second verdict row would slip out
+            // mid-stream (ADVICE r5). Mirror stage 1's
+            // any-activity-keeps-warm rule off this batch's max match ts.
+            val tss = ms.map(_.ts.getTime)
+            if (tss.nonEmpty)
+              state.setTimeoutTimestamp(math.max(tss.max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
           else {
             val all = ms.toSeq
             val best = all.minBy(m => (m.dup_of, -m.est_jaccard))

@@ -105,5 +105,19 @@ class ErrorSurfaceSpec extends SparkSpec {
         .collect()
     }
     assert(messageChain(nullVec).contains("NULL vec"), messageChain(nullVec))
+    // empty codes against a NON-empty table is a shape mismatch, not a zero
+    // score (ADVICE r5) — the pre-check early-return must not skip it
+    val emptyCodes = intercept[Exception] {
+      spark.sql(
+        "SELECT pq_score(CAST(array() AS ARRAY<INT>), array(1D, 2D, 3D, 4D))")
+        .collect()
+    }
+    assert(messageChain(emptyCodes).contains("empty codes"),
+      messageChain(emptyCodes))
+    // both empty stays the vacuous zero-segment sum
+    val bothEmpty = spark.sql(
+      "SELECT pq_score(CAST(array() AS ARRAY<INT>), " +
+        "CAST(array() AS ARRAY<DOUBLE>))").collect()
+    assert(bothEmpty.head.getDouble(0) == 0.0)
   }
 }

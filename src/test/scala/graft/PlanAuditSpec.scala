@@ -316,6 +316,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(fallbacks.isEmpty, s"interpreted expressions in PQ plan: $fallbacks")
   }
 
+  test("d_lines: first-occurrence decision is partial-aggregated — no Window, hot-line immune") {
+    val df = Dedup.dLines(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // the round-5 spelling was row_number() OVER (PARTITION BY sha2(line)):
+    // every copy of a boilerplate line shipped to ONE reducer — the exact
+    // straggler shape line-dedup exists to remove (VERDICT r5). The
+    // min(struct(doc_id, pos)) aggregate must show a map-side partial pair
+    // so a hot line collapses per input partition BEFORE the shuffle.
+    assert(!p.contains("Window"),
+      s"d_lines regressed to a window-based first-occurrence:\n$p")
+    assert(p.contains("partial_min"),
+      s"first-occurrence min is not partial-aggregated:\n$p")
+  }
+
+  test("n_ivfpq_topk: probes broadcast against the code index; whole path codegen'd") {
+    val df = Similarity.nIvfpqTopk(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // the serve join is (cell, qtab) probes — queries × nprobe rows —
+    // broadcast against the stored (cell, vec_id, codes) index; a
+    // SortMergeJoin would mean the index moved for the query
+    assert(p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"index shuffled for the probe join:\n$p")
+    assert(p.contains("pq_score"), s"native ADC scorer missing from plan:\n$p")
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
+      s"top-k sink lost partial aggregation:\n$p")
+    // same no-interpreted-scalar bar as n_pq_topk (aggregates exempt — see
+    // that audit for why TypedImperativeAggregate is nominal fallback)
+    val fallbacks = df.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+          if !e.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction] =>
+          e.prettyName
+      })
+    }.flatten.distinct
+    assert(fallbacks.isEmpty, s"interpreted expressions in IVFADC plan: $fallbacks")
+  }
+
+  test("cb_stddev_topn: dispersion stats partial-aggregated; top-10 is TakeOrdered, not a global sort") {
+    val df = graft.operators.ClickBench.cbStddevTopn(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // stddev/var merge as (n, Σx, Σx²) sufficient statistics — the map-side
+    // partial pair is what keeps the shuffle ∝ groups, not rows
+    assert(p.contains("partial_stddev") || p.contains("partial_var"),
+      s"dispersion aggregate lost map-side partials:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY s DESC LIMIT 10 degenerated to a global sort:\n$p")
+  }
+
   test("cb_h2o_join: small dim broadcasts; no cartesian anywhere in the 3-tier join") {
     val df = graft.operators.ClickBench.cbH2oJoin(spark, sf)
     df.collect()

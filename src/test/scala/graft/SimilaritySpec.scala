@@ -98,6 +98,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall < 0.6")
   }
 
+  test("n_ivfpq_topk (IVFADC): cell pruning and ADC scoring compose; recall floor holds") {
+    val n = Tables.t(spark, sf01, "embeddings").count()
+    // candidate fraction is the IVF tier's — PQ changes what scoring READS
+    // (8 codes vs 64 floats), not which vectors are read
+    val candPerQuery = Similarity.ivfCandidates(spark, sf01)
+      .groupBy("qid").count().collect().map(_.getAs[Long]("count"))
+    val candFrac = candPerQuery.sum.toDouble / (candPerQuery.length * n)
+    assert(candFrac < 0.40, s"IVFADC scans too much: $candFrac of corpus")
+    val rows = Similarity.nIvfpqTopk(spark, sf01).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.values.foreach(rs => assert(rs.length == Similarity.K))
+    val recall = recallOf(rows)
+    val ivfRecall = recallOf(Similarity.nIvfTopk(spark, sf01).collect())
+    info(f"IVFADC recall@${Similarity.K} = $recall%.3f " +
+      f"(IVF exact-scored bound $ivfRecall%.3f, scanned $candFrac%.3f)")
+    // random vectors are PQ's worst case; the floor guards the composed
+    // pipeline (probe → broadcast tables → ADC), not a clustered promise
+    assert(recall >= 0.1, s"IVFADC recall $recall < 0.1")
+    // the composition can only lose vs exact-scoring the same candidates
+    // (slack for round-6 score ties at the cut)
+    assert(recall <= ivfRecall + 0.05,
+      s"IVFADC recall $recall exceeds its IVF candidate bound $ivfRecall")
+  }
+
   test("Lloyd iterations (QuantIters knob): recall non-decreasing on a clustered corpus") {
     // Random vectors cannot show quantizer quality (nothing to converge to),
     // so this runs on a synthetic CLUSTERED corpus: 16 well-separated
@@ -134,6 +159,14 @@ class SimilaritySpec extends SparkSpec {
     val pq = Seq(0, 1, 2).map(i => rec(Similarity.nPqTopkWith(spark, dir, i).collect()))
     info(f"IVF recall over 0/1/2 Lloyd iters: ${ivf.map(r => f"$r%.3f").mkString(" → ")}")
     info(f"PQ  recall over 0/1/2 Lloyd iters: ${pq.map(r => f"$r%.3f").mkString(" → ")}")
+    // the composed tier on the corpus PQ is BUILT for (clustered): trained
+    // IVFADC must clear a recall floor no random-corpus tier is held to —
+    // this is the clustered-corpus promise behind the n_ivfpq_topk entry
+    val ivfpq2 = rec(Similarity.nIvfpqTopkWith(spark, dir, 2).collect())
+    info(f"IVFADC recall at 2 Lloyd iters on clustered corpus: $ivfpq2%.3f")
+    // measured 0.500 on the seeded corpus; floor set below it so the
+    // assertion tests the tier, not the exact seed
+    assert(ivfpq2 >= 0.45, s"trained IVFADC recall $ivfpq2 < 0.45 on clustered corpus")
     Seq("IVF" -> ivf, "PQ" -> pq).foreach { case (name, curve) =>
       curve.sliding(2).foreach { case Seq(a, b) =>
         assert(b >= a, s"$name recall fell with more Lloyd iterations: $curve")

@@ -461,4 +461,73 @@ class StreamingSpec extends SparkSpec {
     assert(recall >= 0.8, s"verdict recall $recall < 0.8")
   }
 
+  test("e2e file sink: tumbling agg → partitioned parquet with checkpoint; kill-and-restart resumes without duplicates (RocksDB)") {
+    // the last mile of the production streaming story (VERDICT r5 #7): the
+    // other specs stop at memory sinks; this drives the watermarked agg
+    // through the transactional FILE sink — partitioned parquet + the file
+    // sink's commit log — kills the query after PARTIAL input, restarts it
+    // from the same checkpoint on the grown directory, and proves the resumed
+    // query appends only the NEW windows (a restart that re-planned from
+    // scratch would re-emit every closed window and the per-window
+    // uniqueness assertion below would fail).
+    val base = Paths.get("target/e2e_sink")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val inDir = Files.createDirectories(base.resolve("in"))
+    val outDir = base.resolve("out").toAbsolutePath.toString
+    val ckpt = base.resolve("ckpt").toAbsolutePath.toString
+
+    // four TIME-ORDERED chunks (ntile over ts): each micro-batch advances
+    // the watermark monotonically and no row ever arrives late, so the
+    // sink's content must equal the batch aggregate on every closed window
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val chunked = ev.withColumn("chunk", ntile(4).over(w))
+    def writeChunk(i: Int): Unit = {
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("overwrite").parquet(s"$inDir/c$i")
+      moveInto(inDir, s"c$i", f"$i%02d-chunk.parquet")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def runPass(): Unit = {
+      val q = Streaming.tumblingAgg(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(inDir.toAbsolutePath.toString))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .partitionBy("event_type")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    withRocksDb {
+      writeChunk(1); writeChunk(2)
+      runPass() // pass 1: half the stream, then the query is gone
+      val afterKill = spark.read.parquet(outDir).count()
+      assert(afterKill > 0, "no windows closed before the kill")
+      writeChunk(3); writeChunk(4)
+      runPass() // pass 2: SAME checkpoint — must resume, not reprocess
+      val sink = spark.read.parquet(outDir)
+      assert(sink.count() > afterKill, "restart emitted nothing new")
+      // exactly-once across the restart: every (hour, type) window at most once
+      val dups = sink.groupBy("hour", "event_type").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0, s"$dups windows duplicated across the restart")
+      // and every emitted window carries the exact batch values
+      val batch = Relational.eTumbling(spark, sf)
+      val joined = sink.as("s").join(batch.as("b"),
+        col("s.hour") === col("b.hour") &&
+          col("s.event_type") === col("b.event_type"), "left")
+      assert(joined.filter(col("b.n").isNull || col("s.n") =!= col("b.n") ||
+        col("s.sum_value") =!= col("b.sum_value")).count() == 0,
+        "file-sink windows diverge from the batch aggregate")
+      val emitted = sink.count()
+      val total = batch.count()
+      assert(emitted >= total - 10, s"only $emitted of $total windows closed")
+    }
+  }
+
 }
