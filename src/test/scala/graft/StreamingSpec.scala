@@ -427,6 +427,114 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st_minhash_verdicts_ttl: a continuously-matching doc keeps its flag warm — still one verdict (RocksDB)") {
+    import java.sql.Timestamp
+    import graft.operators.Dedup
+    // ADVICE r5 (medium): the seen-flag's timeout used to be registered only
+    // when the FIRST verdict was emitted; a doc that keeps matching at
+    // intervals shorter than the horizon (stage-1 buckets stay warm, since
+    // any arrival refreshes them) could in principle have its flag expire
+    // mid-stream — once other matches advance stage 2's watermark past
+    // first-verdict + horizon while the doc sits out a batch — and then
+    // leak a SECOND verdict. The fix refreshes the timeout off every
+    // suppressed batch's max match ts (any-activity-keeps-warm, mirroring
+    // stage 1), which makes the invariant hold BY CONSTRUCTION. (Measured
+    // while building this spec: Spark's downstream-operator watermark
+    // propagation through the chained stateful stages is itself very
+    // conservative — extra delay, several batches of lag, and timer scans
+    // only on non-empty input batches — so the unfixed expiry is hard to
+    // even provoke here; this spec is the regression net pinning the
+    // END-TO-END contract under a long warm-matching timeline, not a
+    // differential repro of the unfixed code.)
+    // Timeline (horizon 60m, delay 10m; B = copy of doc A, re-sent):
+    //   b1 T0      originals seed buckets
+    //   b2 +30m    B arrives → verdict
+    //   b3 +55m    B again → suppressed; refresh pushes the flag deadline
+    //   b4 +101m   OTHER docs' copies (c2) match → watermark advances
+    //   b5 +103m   more other copies (c3)
+    //   b6 +112m   B again (bucket warm) → suppressed
+    //   b7 +116m   unrelated filler
+    //   then alternating cycles out to +360m: B re-arrives every 50m
+    //   (bucket gaps ≤ 50m < horizon — warm the whole way) interleaved
+    //   with c2 re-arrivals 4m later, so stage 2 keeps receiving input —
+    //   and scanning its timers — in B-absent batches while six hours of
+    //   event time pass. B must end the stream with EXACTLY one verdict,
+    //   and every other doc with at most one.
+    val dir = Paths.get("target/stream_docs_vwarm")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(minutes: Long) = new Timestamp(t0.getTime + minutes * 60000L)
+    val copies = Dedup.withPlantedNear(docs).filter(col("doc_id") >= 1000000L)
+    val bId = copies.agg(min("doc_id")).collect().head.getLong(0)
+    val b = copies.filter(col("doc_id") === bId)
+    val others = copies.filter(col("doc_id") =!= bId)
+    val c2 = others.filter(col("doc_id") % 20 === 10)
+    val c3 = others.filter(col("doc_id") % 20 =!= 10)
+    docs.withColumn("ts", lit(t0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    b.withColumn("ts", lit(at(30)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
+    b.withColumn("ts", lit(at(55)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b3")
+    c2.withColumn("ts", lit(at(101)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b4")
+    c3.withColumn("ts", lit(at(103)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b5")
+    b.withColumn("ts", lit(at(112)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b6")
+    import spark.implicits._
+    (0 until 5).map(i => (7000000L + i,
+        s"completely separate interstitial filler narrative segment $i with nothing shared",
+        at(116))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b7")
+    val cycles: Seq[(String, Long)] =
+      (0 to 4).flatMap { i =>
+        val bBatch = Seq(s"cb$i" -> (160L + 50L * i))
+        val cBatch = if (i < 4) Seq(s"cc$i" -> (164L + 50L * i)) else Seq.empty
+        bBatch ++ cBatch
+      }
+    cycles.foreach { case (nm, m) =>
+      val src = if (nm.startsWith("cb")) b else c2
+      src.withColumn("ts", lit(at(m)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$nm")
+    }
+    (Seq("b1" -> "0-orig.parquet", "b2" -> "1-b.parquet", "b3" -> "2-b.parquet",
+      "b4" -> "3-c2.parquet", "b5" -> "4-c3.parquet", "b6" -> "5-b.parquet",
+      "b7" -> "6-filler.parquet") ++
+      cycles.zipWithIndex.map { case ((nm, m), i) =>
+        nm -> f"${7 + i}%02d-$nm-$m.parquet" })
+      .foreach { case (s, o) => moveInto(dir, s, o) }
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "false")
+    try withRocksDb {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+      val q = Streaming.minhashDedupVerdictsTtl(stream).toDF()
+        .writeStream.format("memory").queryName("vwarm_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(240000)
+      q.stop()
+      val rows = spark.table("vwarm_dedup").select("doc_id").collect()
+      assert(rows.nonEmpty, "no verdicts emitted")
+      val bRows = rows.count(_.getLong(0) == bId)
+      assert(bRows == 1,
+        s"continuously-matching doc $bId got $bRows verdicts (flag expired mid-stream)")
+      val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+      assert(perDoc.values.forall(_ == 1),
+        s"duplicate verdicts: ${perDoc.filter(_._2 > 1).toMap}")
+    } finally ccPrev match {
+      case Some(p) => spark.conf.set(ccKey, p)
+      case None => spark.conf.unset(ccKey)
+    }
+  }
+
   test("st_minhash_verdicts: exactly one row per duplicate across whole-batch replay") {
     // at-least-once matches (≤16 band rows per dup, re-emitted on replay)
     // must collapse to EXACTLY one verdict row per doc_id: batch 1 seeds,
