@@ -124,10 +124,74 @@ object Pipeline {
       |                       THEN 800 ELSE 400 END
       |ORDER BY source, cum_toks""".stripMargin
 
+  // ---------------------------------------------------------------- p_pack
+  /** Sequence packing — the pretraining step that lays documents out as one
+    * continuous token stream and cuts it into fixed context windows
+    * (GPT-style packing: a doc belongs to the window its first token lands
+    * in; windows hold multiple short docs, long docs straddle). Output is
+    * the per-window manifest (window_id, docs, token count) a loader needs.
+    *
+    * The naive spelling is a GLOBAL running token total — one window over
+    * the full doc_id order = Exchange SinglePartition of the corpus, the
+    * unscalable plan shape cb_h2o_win exists to avoid. This implementation
+    * is a TWO-LEVEL PREFIX SCAN instead: (1) within-bucket cumulative sums
+    * (window partitioned by bucket = doc_id / B — B-bounded partitions,
+    * fully parallel), (2) per-bucket totals cumulated in a second window
+    * over the BUCKET SUMMARY (n/B rows — the only single-partition step,
+    * and it never touches the corpus), broadcast-joined back as offsets.
+    * start(doc) = bucket_offset + within_bucket_cum − toks; window_id =
+    * floor(start / L). Sizing rule: B ≈ √n balances the two levels (both
+    * 10^5 at 10^10 docs); a deeper corpus recurses the summary level the
+    * same way. PlanAuditSpec pins: corpus window hash-partitioned by
+    * bucket, offsets broadcast, exactly one single-partition window (the
+    * summary). The DuckDB oracle is the naive global cumsum — same
+    * result, which is the point: the two-level scan is a pure plan
+    * transformation. */
+  val PackWindow = 2048
+  val PackBucket = 100L
+
+  def pPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val d = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), floor(col("doc_id") / PackBucket).as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val withCum = d.withColumn("cum", sum("toks").over(w))
+    val bucketTotals = d.groupBy("bucket").agg(sum("toks").as("btoks"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Long.MinValue, -1)
+    val offsets = bucketTotals
+      .withColumn("boff", coalesce(sum("btoks").over(wb), lit(0L)))
+      .select("bucket", "boff")
+    withCum.join(broadcast(offsets), "bucket")
+      .withColumn("start", col("boff") + col("cum") - col("toks"))
+      .withColumn("window_id", floor(col("start") / PackWindow))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("doc_lo"), max("doc_id").as("doc_hi"),
+        sum("toks").as("win_toks"))
+      .orderBy("window_id")
+  }
+
+  val pPackSql: String =
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS toks
+       |           FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |        sum(toks) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+       |          AS start
+       |      FROM d)
+       |SELECT CAST(floor(start / $PackWindow) AS BIGINT) AS window_id,
+       |       count(*) AS n_docs, min(doc_id) AS doc_lo, max(doc_id) AS doc_hi,
+       |       CAST(sum(toks) AS BIGINT) AS win_toks
+       |FROM c GROUP BY window_id ORDER BY window_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _),
-      "p_token_budget" -> (pTokenBudget _))
+      "p_token_budget" -> (pTokenBudget _), "p_pack" -> (pPack _))
 
   val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql,
-    "p_sample" -> pSampleSql, "p_token_budget" -> pTokenBudgetSql)
+    "p_sample" -> pSampleSql, "p_token_budget" -> pTokenBudgetSql,
+    "p_pack" -> pPackSql)
 }

@@ -522,7 +522,52 @@ object TextAnalysis {
       |FROM s GROUP BY sent HAVING count(DISTINCT doc_id) >= 5
       |ORDER BY n_docs DESC, sent""".stripMargin
 
+  // ---------------------------------------------------------------- x_chunk
+  /** Overlapping token-window chunking — the step that turns documents into
+    * fixed-size training/embedding windows (RAG chunking, long-doc
+    * pretraining examples): windows of [[ChunkWindow]] whitespace tokens at
+    * stride [[ChunkStride]] (16-token overlap carries context across the
+    * cut). A doc with n tokens yields 1 chunk if n ≤ W, else
+    * ceil((n−W)/S)+1, so the tail is always covered and no chunk starts
+    * past the text. Pure narrow plan — split, a per-row sequence explode,
+    * slice, join — zero shuffle before the presentation sort; at 100 TB
+    * this runs at scan speed and the output feeds e_normalize/n_* style
+    * embedding stages chunk-wise. */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  def xChunk(spark: SparkSession, dir: String): DataFrame = {
+    val (wW, sS) = (ChunkWindow, ChunkStride)
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .withColumn("n", size(col("tok")))
+      .withColumn("k",
+        greatest(lit(0), floor((col("n") - wW + sS - 1) / lit(sS)).cast("int")))
+      .select(col("doc_id"), col("tok"), col("n"),
+        explode(sequence(lit(0), col("k"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("tok"), col("chunk_id") * sS + 1, lit(wW)), " ")
+          .as("chunk_text"),
+        least(col("n") - col("chunk_id") * sS, lit(wW)).as("n_chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val xChunkSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |n AS (SELECT doc_id, tok, len(tok) AS n FROM d),
+       |k AS (SELECT doc_id, tok, n,
+       |        greatest(0, CAST(floor((n - $ChunkWindow + $ChunkStride - 1)
+       |          / ${ChunkStride}.0) AS INT)) AS k FROM n),
+       |e AS (SELECT doc_id, tok, n,
+       |        unnest(generate_series(0, k)) AS chunk_id FROM k)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  array_to_string(tok[chunk_id*$ChunkStride+1 :
+       |    least(chunk_id*$ChunkStride+$ChunkWindow, n)], ' ') AS chunk_text,
+       |  CAST(least(n - chunk_id*$ChunkStride, $ChunkWindow) AS INT) AS n_chunk
+       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_chunk" -> (xChunk _),
     "x_boilerplate" -> (xBoilerplate _),
     "x_vocab_encode" -> (xVocabEncode _),
     "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
@@ -533,6 +578,7 @@ object TextAnalysis {
     "x_tokcount" -> (xTokcount _), "x_docstats" -> (xDocstats _))
 
   val oracle: Map[String, String] = Map(
+    "x_chunk" -> xChunkSql,
     "x_boilerplate" -> xBoilerplateSql,
     "x_quality" -> xQualitySql, "x_tokcount" -> xTokcountSql,
     "x_docstats" -> xDocstatsSql,

@@ -58,4 +58,29 @@ class PipelineSpec extends SparkSpec {
       assert(keptSorted == prefix, s"$src kept a non-prefix of the priority order")
     }
   }
+
+  test("p_pack: two-level prefix scan equals the naive global cumsum exactly") {
+    // the scalable plan is a pure transformation of the naive global-window
+    // packing — verify window assignment agrees with a brute-force in-JVM
+    // stream layout, and token accounting is lossless
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var start = 0L
+    val expected = scala.collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    docs.foreach { case (id, toks) =>
+      val w = start / Pipeline.PackWindow
+      val (n, lo, hi, t) = expected.getOrElse(w, (0L, Long.MaxValue, Long.MinValue, 0L))
+      expected(w) = (n + 1, math.min(lo, id), math.max(hi, id), t + toks)
+      start += toks
+    }
+    val got = Pipeline.pPack(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got == expected.toMap,
+      s"two-level packing diverges from the naive layout: got ${got.size} " +
+        s"windows vs ${expected.size}")
+    // lossless: every token lands in exactly one window
+    assert(got.values.map(_._4).sum == docs.map(_._2).sum)
+  }
 }

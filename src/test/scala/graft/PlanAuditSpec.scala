@@ -368,6 +368,23 @@ class PlanAuditSpec extends SparkSpec {
       s"ORDER BY s DESC LIMIT 10 degenerated to a global sort:\n$p")
   }
 
+  test("p_pack: corpus prefix scan runs bucket-partitioned; only the summary window is single-partition") {
+    val df = graft.operators.Pipeline.pPack(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // the doc-level cumulative sum is a window PARTITIONED BY bucket — the
+    // corpus never collapses to one task (the naive global cumsum would)
+    assert(p.contains("hashpartitioning(bucket"),
+      s"corpus prefix scan lost its bucket partitioning:\n$p")
+    // exactly one SinglePartition exchange: the n/B-row bucket SUMMARY
+    // (model-sized), never the corpus
+    assert(countOccurrences(p, "Exchange SinglePartition") == 1,
+      s"expected exactly the summary window single-partition exchange:\n$p")
+    // bucket offsets come back via broadcast — no corpus reshuffle to join
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast back:\n$p")
+  }
+
   test("cb_h2o_join: small dim broadcasts; no cartesian anywhere in the 3-tier join") {
     val df = graft.operators.ClickBench.cbH2oJoin(spark, sf)
     df.collect()

@@ -149,4 +149,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.head.getLong(1) == planted,
       s"footer must be counted once per planted doc ($planted)")
   }
+
+  test("x_chunk: every doc fully covered; stitching chunks at the stride reproduces it exactly") {
+    val (w, s) = (TextAnalysis.ChunkWindow, TextAnalysis.ChunkStride)
+    val chunks = TextAnalysis.xChunk(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text").collect()
+    assert(docs.nonEmpty && chunks.size == docs.length)
+    docs.foreach { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val cs = chunks(r.getLong(0))
+      val expect = if (toks.length <= w) 1 else (toks.length - w + s - 1) / s + 1
+      assert(cs.length == expect,
+        s"doc ${r.getLong(0)}: ${cs.length} chunks, expected $expect for ${toks.length} tokens")
+      // all chunks are full W except possibly the last
+      cs.init.foreach(c => assert(c.getInt(3) == w))
+      // stitch: chunk i>0 re-contributes only its non-overlapped tail (the
+      // first W−S tokens repeat chunk i−1's end) — the rebuilt stream must
+      // equal the original token sequence exactly
+      val rebuilt = cs.zipWithIndex.flatMap { case (c, i) =>
+        val ct = c.getString(2).split(" ", -1)
+        if (i == 0) ct else ct.drop(w - s)
+      }
+      assert(rebuilt.toSeq == toks.toSeq,
+        s"doc ${r.getLong(0)}: chunk stitching diverges from the original text")
+    }
+  }
 }
