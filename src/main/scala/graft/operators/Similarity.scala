@@ -527,16 +527,47 @@ object Similarity {
     (c, books, index)
   }
 
+  /** The per-(query, cell) probe frame with precomputed ADC tables. */
+  private def ivfpqProbes(spark: SparkSession, dir: String,
+      c: DataFrame, books: Array[Double]): DataFrame = {
+    GraftFunctions.register(spark)
+    val flat = typedLit(books.toVector)
+    ivfProbes(spark, dir, c)
+      .select(col("qid"), col("cell"),
+        call_function("pq_table", col("qv").cast("array<double>"),
+          flat, lit(PqSegments)).as("qtab"))
+  }
+
   /** QUERY SERVE for IVFADC: probe cells, broadcast the per-(query, cell)
     * ADC tables, `pq_score` only the codes in probed cells. */
   private[graft] def ivfpqServe(spark: SparkSession, dir: String,
       c: DataFrame, books: Array[Double], index: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
-    val flat = typedLit(books.toVector)
-    val probes = ivfProbes(spark, dir, c)
-      .select(col("qid"), col("cell"),
-        call_function("pq_table", col("qv").cast("array<double>"),
-          flat, lit(PqSegments)).as("qtab"))
+    topK(index.join(broadcast(ivfpqProbes(spark, dir, c, books)), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
+  }
+
+  /** Persist an IVFADC index partitioned by cell — the storage layout a
+    * production deployment serves from: each coarse cell is its own
+    * parquet prefix, so a query touches only nprobe directories. */
+  private[graft] def ivfpqWriteIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Serve from the STORED index with partition pruning: the probed cell
+    * ids (≤ queries × nprobe ints — model-sized, like the quantizer
+    * itself) become a static IN-filter, so the parquet scan reads ONLY the
+    * probed cells' partitions — at 100 TB the difference between reading
+    * nprobe/cells of the index and all of it. PlanAuditSpec asserts the
+    * PartitionFilters actually reach the scan; SimilaritySpec asserts
+    * byte-identical results to the in-memory serve. */
+  private[graft] def ivfpqServeFromStore(spark: SparkSession, dir: String,
+      path: String, c: DataFrame, books: Array[Double]): DataFrame = {
+    val probes = ivfpqProbes(spark, dir, c, books)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
     topK(index.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),

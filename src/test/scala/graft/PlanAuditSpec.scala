@@ -356,6 +356,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(fallbacks.isEmpty, s"interpreted expressions in IVFADC plan: $fallbacks")
   }
 
+  test("ivfpq stored-index serve: scan prunes to the probed cells' partitions") {
+    val (c, books, idx) = Similarity.ivfpqBuild(spark, sf)
+    val path = "target/ivfpq_index_audit"
+    Similarity.ivfpqWriteIndex(idx, path)
+    val df = Similarity.ivfpqServeFromStore(spark, sf, path, c, books)
+    df.collect()
+    val p = finalPlan(df)
+    // the probed cell ids become a static IN-filter → partition pruning on
+    // the cell-partitioned index layout: the scan reads nprobe directories,
+    // not the whole index — the 100 TB serve story
+    assert(p.contains("PartitionFilters: [cell"),
+      s"probe cells did not prune index partitions:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"stored index shuffled for the probe join:\n$p")
+  }
+
   test("cb_stddev_topn: dispersion stats partial-aggregated; top-10 is TakeOrdered, not a global sort") {
     val df = graft.operators.ClickBench.cbStddevTopn(spark, sf)
     df.collect()

@@ -123,6 +123,27 @@ class SimilaritySpec extends SparkSpec {
       s"IVFADC recall $recall exceeds its IVF candidate bound $ivfRecall")
   }
 
+  test("build/serve split: serve against a built index returns exactly the e2e results") {
+    // the bench prices build and serve separately (VERDICT r5 #3); this
+    // pins that the split is a pure factoring — no tier's serve path can
+    // drift from its e2e query
+    val (c, a) = Similarity.ivfBuild(spark, sf01)
+    assert(Similarity.ivfServe(spark, sf01, c, a).collect().toSeq ==
+      Similarity.nIvfTopk(spark, sf01).collect().toSeq)
+    val (books, codes) = Similarity.pqBuild(spark, sf01)
+    assert(Similarity.pqServe(spark, sf01, books, codes).collect().toSeq ==
+      Similarity.nPqTopk(spark, sf01).collect().toSeq)
+    val (c2, books2, idx) = Similarity.ivfpqBuild(spark, sf01)
+    val mem = Similarity.ivfpqServe(spark, sf01, c2, books2, idx).collect().toSeq
+    assert(mem == Similarity.nIvfpqTopk(spark, sf01).collect().toSeq)
+    // the STORED form (cell-partitioned parquet, probed cells only) serves
+    // byte-identical rows
+    val path = "target/ivfpq_index"
+    Similarity.ivfpqWriteIndex(idx, path)
+    assert(Similarity.ivfpqServeFromStore(spark, sf01, path, c2, books2)
+      .collect().toSeq == mem)
+  }
+
   test("Lloyd iterations (QuantIters knob): recall non-decreasing on a clustered corpus") {
     // Random vectors cannot show quantizer quality (nothing to converge to),
     // so this runs on a synthetic CLUSTERED corpus: 16 well-separated
