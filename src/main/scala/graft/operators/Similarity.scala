@@ -24,8 +24,9 @@ import graft.functions.GraftFunctions
   *    triples — 16 bytes/row — not embeddings.
   *  - LSH: corpus signature is 8 sign bits (one pass, no shuffle); probing
   *    joins on the integer bucket → shuffle of candidate triples only.
-  *  - IVF: cell assignment via broadcast argmax over 16 centroids (no
-  *    shuffle); probe joins on cell id. Candidate fraction ~nprobe/cells.
+  *  - IVF: cell assignment is a per-row argmax over the literal centroid
+  *    model (genuinely zero shuffle — plan-audited); probe joins on cell
+  *    id. Candidate fraction ~nprobe/cells.
   *  - Measured on this corpus (random vectors — the hard case):
   *    LSH recall ≈ 0.27 probing 14% of corpus; IVF recall ≈ 0.89 probing
   *    18%. SimilaritySpec asserts recall floors and candidate-fraction
@@ -190,15 +191,32 @@ object Similarity {
     emb(spark, dir).filter(col("vec_id") < IvfCells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
 
-  /** Nearest-centroid assignment of the corpus to `cents` (cell, cv):
-    * broadcast argmax, no shuffle of the corpus embeddings. */
-  private def assignTo(corpus: DataFrame, cents: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        expr("cosine_similarity(embedding, cv)").as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), col("ccos")).as("cell"),
-        first(col("embedding")).as("embedding"))
+  /** Nearest-centroid assignment of the corpus to `cents` (cell, cv) as a
+    * PER-ROW argmax expression: the centroids are MODEL values (≤
+    * cells × dims floats, the same thing [[localizeModel]] already holds),
+    * so they inline as literals and the whole assignment is a codegen'd
+    * when-chain of `cosine_similarity` calls — narrow, ZERO shuffle. The
+    * round-5 crossJoin + groupBy(vec_id) + max_by form partial-aggregated
+    * map-side but still EXCHANGED every (vec_id, embedding) row for its
+    * final aggregate — a full-corpus embedding shuffle in the index-BUILD
+    * path, the single heaviest avoidable movement at 100 TB (plan audit
+    * now pins the no-Exchange shape). The argmax is one `greatest()` over
+    * (score, cell) structs — each child evaluated once, linear tree (a
+    * folded when-chain would reference its accumulator twice per level:
+    * 2^cells expression blowup). Ties take the HIGHEST cell
+    * (deterministic struct order; max_by's tie order was
+    * engine-internal). */
+  private def assignTo(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val model = cents.select(col("cell"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    require(model.length >= 2, s"centroid model too small: ${model.length}")
+    val best = greatest(model.map { case (cell, cv) =>
+      struct(call_function("cosine_similarity", col("embedding"),
+        typedLit(cv)).as("s"), lit(cell).as("c"))
+    }: _*)
+    corpus.select(col("vec_id"), col("embedding"), best.getField("c").as("cell"))
+  }
 
   /** One Lloyd refinement: each cell's centroid becomes the per-dimension
     * mean of its assigned vectors (classic IVF training). Tiny aggregate —

@@ -356,6 +356,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(fallbacks.isEmpty, s"interpreted expressions in IVFADC plan: $fallbacks")
   }
 
+  test("ivf corpus assignment is a narrow per-row argmax — zero shuffle in the index build") {
+    // the round-5 crossJoin + groupBy(vec_id) spelling exchanged every
+    // (vec_id, embedding) row for its final aggregate — a full-corpus
+    // embedding shuffle inside every index build and Lloyd iteration
+    val assigned = Similarity.ivfAssigned(spark, sf)
+    assigned.collect()
+    val p = finalPlan(assigned)
+    assert(!p.contains("Exchange"),
+      s"index-build assignment shuffles the corpus:\n$p")
+  }
+
   test("ivfpq stored-index serve: scan prunes to the probed cells' partitions") {
     val (c, books, idx) = Similarity.ivfpqBuild(spark, sf)
     val path = "target/ivfpq_index_audit"
