@@ -145,6 +145,33 @@ object Streaming {
         "click_id", "click_ts")
   }
 
+  /** Stream-STREAM LEFT OUTER join — the attribution shape: every purchase
+    * with its preceding-hour clicks, or NULL click columns when none
+    * exist. The outer side is the genuinely harder watermark case: a
+    * matched pair can emit as soon as both rows meet, but the NULL row for
+    * an unmatched purchase may only emit once the watermark PROVES no
+    * qualifying click can still arrive (purchase_ts' click window fully
+    * behind the click-side watermark) — which is exactly what the same
+    * watermark + event-time range pair that bounds the inner join's state
+    * provides. Same state bound: arrival-rate × window per side; the
+    * deferred-NULL emission is the standard outer-join completeness/
+    * latency trade every streaming engine makes. */
+  def streamStreamLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(c, expr(
+      """user_id = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin),
+      "left_outer")
+      .select("user_id", "purchase_id", "purchase_ts", "value",
+        "click_id", "click_ts")
+  }
+
   /** A streaming near-dup match: an arriving document matched against the
     * LSH bucket's stored representative. */
   case class DocMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)

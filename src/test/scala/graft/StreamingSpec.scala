@@ -101,6 +101,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.distinct().count() == nStream, "duplicate joined pairs")
   }
 
+  test("st_join_left stream-stream LEFT OUTER join: matched pairs exact, NULL rows only when provably unmatched") {
+    // outer stream-stream is the harder watermark case: a NULL row may
+    // emit only once the watermark PROVES no qualifying click can still
+    // arrive. Time-ordered chunks (maxFilesPerTrigger=1) advance the
+    // watermark mid-stream so early purchases' click windows provably
+    // close and their NULL rows flush before the stream ends.
+    val dir = Paths.get("target/ssleft_in")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val chunked = ev.withColumn("chunk", ntile(4).over(w))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/c$i")
+      moveInto(dir, s"c$i", f"$i%02d-chunk.parquet")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+    runToMemory(Streaming.streamStreamLeftJoin(
+        stream.filter(col("event_type") === "click"),
+        stream.filter(col("event_type") === "purchase"))
+      .select("purchase_id", "click_id"), "ssleft", "append")
+    val streamed = spark.table("ssleft")
+
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batchMatched = bp.join(bc, expr(
+      """user_id = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select("purchase_id", "click_id")
+    val matchedIds = batchMatched.select("purchase_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val sMatched = streamed.filter(col("click_id").isNotNull)
+    val sNull = streamed.filter(col("click_id").isNull)
+    // matched pairs are sound and near-complete, no duplicates
+    assert(sMatched.exceptAll(batchMatched).count() == 0,
+      "outer join emitted a matched pair the batch join doesn't have")
+    val (nS, nB) = (sMatched.count(), batchMatched.count())
+    assert(nB > 0 && nS >= (nB * 0.9).toLong,
+      s"outer join emitted only $nS of $nB matched pairs")
+    assert(streamed.distinct().count() == streamed.count(), "duplicate rows")
+    // NULL rows flushed for provably-unmatched purchases, and NEVER for a
+    // purchase that has a qualifying click
+    assert(sNull.count() > 0, "no unmatched purchases flushed — outer side inert")
+    val nullIds = sNull.select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(nullIds.intersect(matchedIds).isEmpty,
+      s"NULL rows for purchases with real clicks: ${nullIds.intersect(matchedIds).take(5)}")
+    // and no purchase appears both matched and NULL in the stream output
+    val sMatchedIds = sMatched.select("purchase_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(nullIds.intersect(sMatchedIds).isEmpty,
+      "a purchase emitted both a match and a NULL row")
+  }
+
   test("st_session_state sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     runToMemory(Streaming.sessionize(eventStream.as[Event]).toDF(),
