@@ -513,7 +513,36 @@ object ClickBench {
       |GROUP BY user_id, day HAVING c > 1
       |ORDER BY tp95 DESC, user_id, day LIMIT 10""".stripMargin
 
+  // ----------------------------------------------------------- cb_median_grp
+  /** ClickBench extended q4 shape (reference benchmarks/queries/clickbench/
+    * extended/q4.sql): COUNT c / MIN / MEDIAN / MAX per high-cardinality
+    * two-key group, HAVING c > 1, ORDER BY the median DESC LIMIT 10 — the
+    * exact-order-statistic sibling of cb_approx_pctl_grp (q5), same group
+    * keys and NULL/tie discipline; MEDIAN interpolates identically in both
+    * engines so the rounded value hashes. */
+  def cbMedianGrp(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .filter(col("user_id") % 2 === 0 && col("value").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"),
+        round(min("value"), 4).as("tmin"),
+        round(median(col("value")), 4).as("tmed"),
+        round(max("value"), 4).as("tmax"))
+      .filter(col("c") > 1)
+      .orderBy(desc("tmed"), asc("user_id"), asc("day"))
+      .limit(10)
+
+  val cbMedianGrpSql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c,
+      |  round(min(value), 4) AS tmin,
+      |  round(CAST(median(value) AS DOUBLE), 4) AS tmed,
+      |  round(max(value), 4) AS tmax
+      |FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL
+      |GROUP BY user_id, day HAVING c > 1
+      |ORDER BY tmed DESC, user_id, day LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cb_median_grp" -> (cbMedianGrp _),
     "cb_stddev_topn" -> (cbStddevTopn _),
     "cb_approx_pctl_grp" -> (cbApproxPctlGrp _),
     "cb_multi_uniq_grp" -> (cbMultiUniqGrp _),
@@ -527,6 +556,7 @@ object ClickBench {
     "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
+    "cb_median_grp" -> cbMedianGrpSql,
     "cb_stddev_topn" -> cbStddevTopnSql,
     "cb_approx_pctl_grp" -> cbApproxPctlGrpSql,
     "cb_multi_uniq_grp" -> cbMultiUniqGrpSql,
