@@ -266,15 +266,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*("), s"no codegen stage in:\n$p")
   }
 
-  test("p_token_budget: one window shuffle on source, nothing else") {
+  test("p_token_budget: priority prefix scan is range-bucketed — no per-source-unbounded corpus window") {
+    // the round-6 spelling was sum(toks) OVER (PARTITION BY source ORDER BY
+    // priority): an entire source in one reducer — the hot-source straggler
+    // (VERDICT r6 #1). The bucketing fragment must slice the (source,
+    // priority) order with a RANGE exchange (contiguity is what makes the
+    // two-level decomposition exact; doc_id/B would interleave)...
+    val parted = graft.operators.Pipeline.tokenBudgetParted(spark, sf)
+    parted.collect()
+    val pp = finalPlan(parted)
+    assert(pp.contains("Exchange rangepartitioning"),
+      s"bucketing lost its contiguous range slice:\n$pp")
+    assert(pp.contains("toks") && pp.contains("DESC"),
+      s"range slice not on the priority order:\n$pp")
+    // ...and the main plan must window the corpus only WITHIN (source,
+    // bucket); the sole source-partitioned window is over the bucket
+    // summary (an aggregate, ≤ TokenBudgetBuckets rows), with the offsets
+    // coming back via broadcast, never a corpus reshuffle
     val df = graft.operators.Pipeline.pTokenBudget(spark, sf)
     df.collect()
     val p = finalPlan(df)
-    // cumulative sum = exactly one hash exchange (the source partition) plus
-    // the presentation sort; a second hash exchange would mean the filter or
-    // projection fell out of the window stage
-    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p)
-    assert(p.contains("Window"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size == 2, s"expected corpus + summary windows:\n$p")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (keys.contains("bucket")) assert(keys.contains("source"))
+      else {
+        // the per-source window: legal only over the bucket summary
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"per-source window runs over corpus rows, not the summary:\n$p")
+      }
+    }
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast back:\n$p")
   }
 
   test("x_boilerplate: count-distinct is partial-aggregated before the shuffle") {
