@@ -615,6 +615,36 @@ object FunctionLib {
       |  regr_count(l_extendedprice, l_quantity) AS r_n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- a_regr_ss
+  /** The regression sum-of-squares forms — regr_sxx / regr_syy / regr_sxy —
+    * completing the nine-aggregate regr family (reference:
+    * /root/reference/datafusion/functions-aggregate/src/regr.rs:58-60; the
+    * other six are in a_stats). These are the RE-AGGREGATABLE sufficient
+    * statistics of a regression — (n, Σx, Σy, Σx², Σy², Σxy) merge
+    * associatively, so a 100 TB fit is one partial-aggregated pass.
+    * FP policy (SURVEY §4): x = hour-of-day (small exact int), y =
+    * floor(value) (int-valued, ≤ 490) — moment sums stay far from
+    * cancellation; rounded at 3 dp, ~10 orders above the noise floor. */
+  def aRegrSs(spark: SparkSession, dir: String): DataFrame =
+    t("events")(spark, dir)
+      .select(col("event_type"), hour(col("ts")).as("x"),
+        floor(col("value")).as("y"))
+      .groupBy("event_type")
+      .agg(
+        round(regr_sxx(col("y"), col("x")), 3).as("sxx"),
+        round(regr_syy(col("y"), col("x")), 3).as("syy"),
+        round(regr_sxy(col("y"), col("x")), 3).as("sxy"),
+        regr_count(col("y"), col("x")).cast("long").as("n"))
+      .orderBy("event_type")
+
+  val aRegrSsSql: String =
+    """SELECT event_type,
+      |  round(regr_sxx(floor(value), hour(ts)), 3) AS sxx,
+      |  round(regr_syy(floor(value), hour(ts)), 3) AS syy,
+      |  round(regr_sxy(floor(value), hour(ts)), 3) AS sxy,
+      |  CAST(regr_count(floor(value), hour(ts)) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------- a_order_stats
   /** Order statistics per returnflag: exact median / percentiles / mode.
     * l_linenumber's mode is unique (1 dominates) → portable. */
@@ -832,7 +862,8 @@ object FunctionLib {
     "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _),
-    "a_stats" -> (aStats _), "a_order_stats" -> (aOrderStats _),
+    "a_stats" -> (aStats _), "a_regr_ss" -> (aRegrSs _),
+    "a_order_stats" -> (aOrderStats _),
     "a_collect" -> (aCollect _), "a_firstlast" -> (aFirstLast _),
     "a_bitbool" -> (aBitBool _), "a_weighted" -> (aWeighted _),
     "a_filter" -> (aFilter _), "a_listagg" -> (aListagg _),
@@ -847,7 +878,8 @@ object FunctionLib {
     "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql,
-    "a_stats" -> aStatsSql, "a_order_stats" -> aOrderStatsSql,
+    "a_stats" -> aStatsSql, "a_regr_ss" -> aRegrSsSql,
+    "a_order_stats" -> aOrderStatsSql,
     "a_collect" -> aCollectSql, "a_firstlast" -> aFirstLastSql,
     "a_bitbool" -> aBitBoolSql, "a_weighted" -> aWeightedSql,
     "a_filter" -> aFilterSql, "a_listagg" -> aListaggOracleSql)

@@ -454,6 +454,50 @@ object Relational {
       |FROM embeddings
       |ORDER BY vec_id, pos""".stripMargin
 
+  /** UNNEST of STRUCT values into TOP-LEVEL columns (reference:
+    * /root/reference/datafusion/sqllogictest/test_files/unnest.slt:36-55 —
+    * structs and recursive struct/list combinations flatten to columns).
+    * Spark's `inline` is that operator: an array of structs becomes rows
+    * whose struct fields are top-level columns — here each customer expands
+    * to typed (kind, v) measure rows, the flatten step of reading nested
+    * lakehouse parquet. Narrow generate fused with the scan, no shuffle. */
+  def uUnnestStruct(spark: SparkSession, dir: String): DataFrame =
+    cust(spark, dir).select(col("c_custkey"), inline(array(
+      struct(lit("acct").as("kind"), round(col("c_acctbal"), 2).as("v")),
+      struct(lit("nation").as("kind"), col("c_nationkey").cast("double").as("v")))))
+      .orderBy("c_custkey", "kind")
+
+  val uUnnestStructSql: String =
+    """SELECT c_custkey, u.kind AS kind, u.v AS v
+      |FROM (SELECT c_custkey, unnest([
+      |        {'kind': 'acct',   'v': round(c_acctbal, 2)},
+      |        {'kind': 'nation', 'v': CAST(c_nationkey AS DOUBLE)}]) AS u
+      |      FROM customer) t
+      |ORDER BY c_custkey, kind""".stripMargin
+
+  /** UNNEST of a MAP into (key, value) rows (unnest.slt's map cases). The
+    * events `props` JSON parses to map<string,bigint> via from_json — a
+    * schema projection Catalyst codegens, not a UDF — merged with typed
+    * event measures through map_concat; explode emits one row per entry.
+    * Narrow generate, no shuffle. */
+  def uUnnestMap(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).select(col("event_id"), explode(map_concat(
+      from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType)),
+      map(lit("uid"), col("user_id"),
+        lit("val"), floor(col("value")).cast("long")))))
+      .orderBy("event_id", "key")
+
+  val uUnnestMapSql: String =
+    """WITH e AS (SELECT event_id, user_id, value AS ev_val, props FROM events)
+      |SELECT event_id, key, value FROM (
+      |  SELECT event_id, 'k' AS key,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS value FROM e
+      |  UNION ALL SELECT event_id, 'uid', user_id FROM e
+      |  UNION ALL SELECT event_id, 'val', CAST(floor(ev_val) AS BIGINT) FROM e) u
+      |ORDER BY event_id, key""".stripMargin
+
   /** generate_series table function = sequence() + explode. */
   def tGenerateSeries(spark: SparkSession, dir: String): DataFrame = {
     val _ = dir
@@ -1007,6 +1051,33 @@ object Relational {
       |GROUP BY o_custkey HAVING count(*) >= 2
       |ORDER BY o_custkey""".stripMargin
 
+  /** SQL-defined function DDL (reference:
+    * /root/reference/datafusion/sqllogictest/test_files/create_function.slt):
+    * `CREATE FUNCTION ... RETURNS ... RETURN expr` registers a catalog
+    * function whose body is a SQL expression; calls resolve through the
+    * catalog and INLINE into the calling plan at analysis time — inside the
+    * grouped aggregate below the function body fuses into the partial-agg
+    * projection exactly as if written in place, so the UDF costs nothing at
+    * 100 TB (no interpreted call boundary). Catalog resolution is
+    * spec-asserted via SHOW USER FUNCTIONS (RelationalSpec). */
+  def ddlFunction(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  round(sum(graft_disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val ddlFunctionSql: String =
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** INSERT INTO a managed catalog table (reference statement.rs
     * SqlToRel::insert_to_plan): CTAS the base, INSERT an additional derived
     * batch, query the union back through the catalog. */
@@ -1185,7 +1256,8 @@ object Relational {
     "e_session_fn" -> (eSessionFn _), "w_groups" -> (wGroups _),
     "w_groups_asym" -> (wGroupsAsym _),
     "sql_params" -> (sqlParams _), "s_union_by_name" -> (sUnionByName _),
-    "u_unnest" -> (uUnnest _), "t_generate_series" -> (tGenerateSeries _),
+    "u_unnest" -> (uUnnest _), "u_unnest_struct" -> (uUnnestStruct _),
+    "u_unnest_map" -> (uUnnestMap _), "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
     "sub_scalar" -> (subScalar _),
     "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
@@ -1194,6 +1266,7 @@ object Relational {
     "explain_plan" -> (explainPlan _), "explain_analyze" -> (explainAnalyze _),
     "ddl_table" -> (ddlTable _), "ddl_bucketed" -> (ddlBucketed _),
     "ddl_view" -> (ddlView _), "ddl_insert" -> (ddlInsert _),
+    "ddl_function" -> (ddlFunction _),
     "ddl_info_schema" -> (ddlInfoSchema _),
     "s_limit_offset" -> (sLimitOffset _))
 
@@ -1215,7 +1288,8 @@ object Relational {
     "e_session_fn" -> eSessionFnSql, "w_groups" -> wGroupsSql,
     "w_groups_asym" -> wGroupsAsymSql,
     "sql_params" -> sqlParamsSql, "s_union_by_name" -> sUnionByNameSql,
-    "u_unnest" -> uUnnestSql, "t_generate_series" -> tGenerateSeriesSql,
+    "u_unnest" -> uUnnestSql, "u_unnest_struct" -> uUnnestStructSql,
+    "u_unnest_map" -> uUnnestMapSql, "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,
     "sub_scalar" -> subScalarSql,
     "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
@@ -1223,5 +1297,6 @@ object Relational {
     "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql,
     "ddl_bucketed" -> ddlBucketedSql,
     "ddl_view" -> ddlViewSql, "ddl_insert" -> ddlInsertSql,
+    "ddl_function" -> ddlFunctionSql,
     "s_limit_offset" -> sLimitOffsetSql)
 }

@@ -165,6 +165,45 @@ object Sources {
       |SELECT n_nationkey, n_name, n_regionkey, 2 AS batch FROM nation
       |ORDER BY batch, n_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- src_gzip
+  /** Compressed text-source round trip (reference: `COMPRESSION TYPE gzip`
+    * on CSV/JSON external tables —
+    * /root/reference/datafusion/sqllogictest/test_files/create_external_table.slt):
+    * NDJSON written with the gzip codec, read back transparently by file
+    * extension — no reader option needed, matching the reference's
+    * by-extension behavior. 100 TB note: .gz text is NOT splittable (one
+    * file = one read task), so the writer's sharding sets the read
+    * parallelism — keep compressed shards bounded and land hot data into
+    * parquet on first touch; this entry exists for the ingest edge of the
+    * lake, not the resident format. Oracle hash-checks every round-tripped
+    * row against the uncompressed table. */
+  def srcGzip(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("customer_json_gz")
+    Tables.t(spark, dir, "customer")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .json(out)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))))
+      .json(out)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val srcGzipSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+      |       c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Exposed for the compressed-layout spec (files must really be .gz). */
+  def gzipOutPath: String = ioDir("customer_json_gz")
+
   // ------------------------------------------------------- sink_partitioned
   /** Partitioned (by o_orderstatus) + per-file sorted (sortWithinPartitions
     * on o_orderdate) parquet sink, read back through partition discovery.
@@ -260,6 +299,7 @@ object Sources {
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
     "src_arrow" -> (srcArrow _), "src_evolve" -> (srcEvolve _),
+    "src_gzip" -> (srcGzip _),
     "sink_partitioned" -> (sinkPartitioned _),
     "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _))
 
@@ -267,6 +307,7 @@ object Sources {
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,
     "src_arrow" -> srcArrowSql, "src_evolve" -> srcEvolveSql,
+    "src_gzip" -> srcGzipSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "sink_csv" -> sinkCsvSql, "sink_json" -> sinkJsonSql)
 }

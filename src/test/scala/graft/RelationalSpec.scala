@@ -199,6 +199,26 @@ class RelationalSpec extends SparkSpec {
       .exists(_.getString(1) == "graft_nation"))
   }
 
+  test("ddl_function registers a catalog SQL UDF that SHOW USER FUNCTIONS resolves") {
+    Relational.ddlFunction(spark, sf).collect()
+    val fns = spark.sql("SHOW USER FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.exists(_.endsWith("graft_disc_price")), fns.mkString(","))
+    // the SQL body resolves through the catalog and evaluates as the expression
+    val v = spark.sql("SELECT graft_disc_price(100.0, 0.25) AS v")
+      .collect().head.getDouble(0)
+    assert(math.abs(v - 75.0) < 1e-9, s"body mis-evaluated: $v")
+  }
+
+  test("src_gzip writes real gzip shards (magic bytes) and reads them transparently") {
+    assert(graft.sources.Sources.srcGzip(spark, sf).count() > 0)
+    val files = new java.io.File(graft.sources.Sources.gzipOutPath)
+      .listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty, "no .json.gz shards on disk")
+    val in = new java.io.FileInputStream(files.head)
+    val magic = (in.read(), in.read()); in.close()
+    assert(magic == ((0x1f, 0x8b)), s"shard is not gzip-compressed: $magic")
+  }
+
   test("s_limit_offset returns exactly rows 101-120 of the global order") {
     val page = Relational.sLimitOffset(spark, sf).collect()
       .map(_.getLong(0)).toSeq
