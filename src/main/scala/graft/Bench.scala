@@ -106,50 +106,81 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // each tier: build() materializes the index and returns the serve thunk
-    val tiers: Seq[(String, String => (Seq[DataFrame], () => Unit))] = Seq(
+    // each tier: build() materializes the index and returns (cached frames,
+    // an untimed post-build setup — e.g. laying out the stored index — and
+    // the serve variants timed against the final build)
+    type TierParts = (Seq[DataFrame], () => Unit, Seq[(String, () => Unit)])
+    val ivfpqStore = "target/bench_ivfpq_store"
+    val tiers: Seq[(String, String => TierParts)] = Seq(
       "n_ivf" -> { dir: String =>
         val (c, a0) = Similarity.ivfBuild(spark, dir)
         val a = a0.persist(StorageLevel.MEMORY_AND_DISK)
         noop(a)
-        (Seq(a), () => noop(Similarity.ivfServe(spark, dir, c, a)))
+        (Seq(a), () => (),
+          Seq("serve" -> (() => noop(Similarity.ivfServe(spark, dir, c, a)))))
       },
       "n_pq" -> { dir: String =>
         val (books, codes0) = Similarity.pqBuild(spark, dir)
         val codes = codes0.persist(StorageLevel.MEMORY_AND_DISK)
         noop(codes)
-        (Seq(codes), () => noop(Similarity.pqServe(spark, dir, books, codes)))
+        (Seq(codes), () => (),
+          Seq("serve" -> (() => noop(Similarity.pqServe(spark, dir, books, codes)))))
       },
       "n_ivfpq" -> { dir: String =>
         val (c, books, idx0) = Similarity.ivfpqBuild(spark, dir)
         val idx = idx0.persist(StorageLevel.MEMORY_AND_DISK)
         noop(idx)
-        (Seq(idx), () => noop(Similarity.ivfpqServe(spark, dir, c, books, idx)))
+        (Seq(idx),
+          // the cell-partitioned store layout is written once per built
+          // index, OUTSIDE the build timing (it is a sink choice, not part
+          // of training) and before the serve variants run
+          () => Similarity.ivfpqWriteIndex(idx, ivfpqStore),
+          Seq(
+            "serve" -> (() => noop(Similarity.ivfpqServe(spark, dir, c, books, idx))),
+            // the partition-pruned stored-index serve — the per-query cost a
+            // production deployment actually pays (VERDICT r6 #8)
+            "serve_store" -> (() =>
+              noop(Similarity.ivfpqServeFromStore(spark, dir, ivfpqStore, c, books)))))
       })
     val buildServe: Seq[(String, (Double, Double))] = tiers.flatMap {
       case (tier, mk) =>
         // warm codegen for this tier's plan shapes on the tiny SF
-        val (wCached, wServe) = mk(warmDir)
-        wServe(); wCached.foreach(_.unpersist(blocking = true))
+        val (wCached, wSetup, wServes) = mk(warmDir)
+        wSetup(); wServes.foreach(_._2())
+        wCached.foreach(_.unpersist(blocking = true))
         var cached: Seq[DataFrame] = Seq.empty
-        var serve: () => Unit = () => ()
+        var setup: () => Unit = () => ()
+        var serves: Seq[(String, () => Unit)] = Seq.empty
         def buildCold(): Double = {
           cached.foreach(_.unpersist(blocking = true))
           spark.catalog.clearCache(); System.gc()
-          timed { val r = mk(sfDir); cached = r._1; serve = r._2 }
+          timed { val r = mk(sfDir); cached = r._1; setup = r._2; serves = r._3 }
         }
         val bRuns = Seq(buildCold(), buildCold(), buildCold())
-        // serve runs against the warm index — no clearCache between them
-        val sRuns = Seq(timed(serve()), timed(serve()), timed(serve()))
-        cached.foreach(_.unpersist(blocking = true))
         def minSpread(runs: Seq[Double]): (Double, Double) =
           if (runs.exists(_ < 0)) (-1.0, -1.0)
           else {
             val s = runs.sorted
             (s.head, if (s.head > 0) (s(1) - s.head) / s.head else 0.0)
           }
-        Seq(s"${tier}_build" -> minSpread(bRuns),
-          s"${tier}_serve" -> minSpread(sRuns))
+        // a failed build must fail its serve rows too: timing the fallback
+        // no-op (all builds failed) or a stale earlier index (only the last
+        // failed) would report a great serve number for a broken tier
+        // (ADVICE r6). Row names come from the warm build so the JSON keys
+        // are stable either way.
+        val serveRows: Seq[(String, (Double, Double))] =
+          if (bRuns.exists(_ < 0))
+            wServes.map { case (sn, _) => s"${tier}_$sn" -> ((-1.0, -1.0)) }
+          else {
+            setup()
+            // serve runs against the warm index — no clearCache between them
+            serves.map { case (sn, f) =>
+              val sRuns = Seq(timed(f()), timed(f()), timed(f()))
+              s"${tier}_$sn" -> minSpread(sRuns)
+            }
+          }
+        cached.foreach(_.unpersist(blocking = true))
+        Seq(s"${tier}_build" -> minSpread(bRuns)) ++ serveRows
     }
 
     val all = results ++ buildServe

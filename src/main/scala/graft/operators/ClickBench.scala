@@ -423,14 +423,16 @@ object ClickBench {
         expr("user_id % 16 IN (5, 12)") &&
         col("value").between(5.0, 250.0) &&
         expr("""props rlike '"k": [0-9]+'""") &&
-        // digit run bounded to 9 so the guarded CAST can never overflow INT:
-        // under ANSI mode (Spark 4 default, and DuckDB) an unbounded '[0-9]+'
-        // guard admits e.g. a 12-digit run and the CAST aborts the whole
-        // query — a data-dependent crash BOTH engines share, which the
-        // oracle therefore cannot catch (ADVICE r5)
+        // digit run bounded to 18 with a BIGINT cast: every int-like value
+        // keeps participating (a bare {1,9} guard also dropped 10-digit
+        // values that fit INT — a silent semantic change both engines
+        // shared, ADVICE r6) while the guarded CAST still can never
+        // overflow under ANSI mode (Spark 4 default, and DuckDB), where an
+        // unbounded '[0-9]+' guard admits e.g. a 20-digit run and the CAST
+        // aborts the whole query (ADVICE r5)
         expr("""CASE WHEN split_part(split_part(props, ': ', 2), '}', 1)
-                       rlike '^[0-9]{1,9}$'
-                THEN CAST(split_part(split_part(props, ': ', 2), '}', 1) AS INT)
+                       rlike '^[0-9]{1,18}$'
+                THEN CAST(split_part(split_part(props, ': ', 2), '}', 1) AS BIGINT)
                 ELSE 0 END > 40""") &&
         expr("levenshtein(event_type, 'purchase') < 3"))
       .agg(count(lit(1)).as("share_count"))
@@ -442,8 +444,8 @@ object ClickBench {
       |  AND value BETWEEN 5.0 AND 250.0
       |  AND regexp_matches(props, '"k": [0-9]+')
       |  AND CASE WHEN split_part(split_part(props, ': ', 2), '}', 1)
-      |             ~ '^[0-9]{1,9}$'
-      |      THEN CAST(split_part(split_part(props, ': ', 2), '}', 1) AS INT)
+      |             ~ '^[0-9]{1,18}$'
+      |      THEN CAST(split_part(split_part(props, ': ', 2), '}', 1) AS BIGINT)
       |      ELSE 0 END > 40
       |  AND levenshtein(event_type, 'purchase') < 3""".stripMargin
 

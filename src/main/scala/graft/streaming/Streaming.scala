@@ -306,6 +306,14 @@ object Streaming {
               (id, sig, ts) }.toSeq.sortBy(_._1)
             val out = Seq.newBuilder[DocMatchTs]
             var rep = if (state.exists) Some(state.get) else None
+            // a stored representative whose last activity is already a full
+            // horizon behind the watermark is expired BY CONTRACT even if
+            // its timeout has not fired yet — discard it BEFORE matching,
+            // so a cold bucket cannot emit one final round of matches
+            // against a stale representative when super-late rows reach it
+            // (ADVICE r6); the batch's first arrival re-seeds instead
+            rep = rep.filter(_.last_seen_ms + horizonMs >
+              state.getCurrentWatermarkMs())
             arrivals.foreach { case (id, sig, ts) =>
               val tsMs = ts.getTime
               rep match {
@@ -324,11 +332,10 @@ object Streaming {
               }
             }
             rep.foreach { r =>
-              // a bucket whose last activity is already a full horizon
-              // behind the watermark is expired BY CONTRACT — late data
-              // re-seeding a cold bucket must not keep a clamped timeout
-              // alive one extra trigger and match one more batch than the
-              // within-horizon promise allows (ADVICE r5): drop it now
+              // same contract check POST-loop for the re-seeded case: late
+              // data re-seeding a cold bucket must not keep a clamped
+              // timeout alive one extra trigger and match one more batch
+              // than the within-horizon promise allows (ADVICE r5): drop it
               if (r.last_seen_ms + horizonMs <= state.getCurrentWatermarkMs()) {
                 if (state.exists) state.remove()
               } else {
