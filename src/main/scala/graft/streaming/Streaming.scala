@@ -172,6 +172,35 @@ object Streaming {
         "click_id", "click_ts")
   }
 
+  /** Stream-STREAM FULL OUTER join — completes the outer-join matrix:
+    * matched purchase/click pairs, PLUS a NULL-click row for every
+    * purchase with no preceding-hour click, PLUS a NULL-purchase row for
+    * every click no purchase followed within the hour. Each side's NULL
+    * row emits only once the OTHER side's watermark proves no qualifying
+    * row can still arrive (purchase side: its click window fully behind
+    * the click watermark; click side: its [click_ts, click_ts + 1h]
+    * purchase window fully behind the purchase watermark). Same bounded
+    * state as the inner join — arrival-rate × window per side — since
+    * eviction and NULL-flush are driven by the same watermark + range
+    * pair. `user_id` is coalesced across sides so unmatched rows from
+    * either stream keep their key. */
+  def streamStreamFullJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(c, expr(
+      """user_id = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("purchase_ts"), col("value"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** A streaming near-dup match: an arriving document matched against the
     * LSH bucket's stored representative. */
   case class DocMatch(doc_id: Long, dup_of: Long, est_jaccard: Double)

@@ -167,6 +167,77 @@ class StreamingSpec extends SparkSpec {
       "a purchase emitted both a match and a NULL row")
   }
 
+  test("st_join_full stream-stream FULL OUTER join: matched pairs exact, NULL rows on BOTH sides only when provably unmatched") {
+    // same time-ordered chunking as st_join_left so the watermark advances
+    // mid-stream and both sides' provably-unmatched rows flush
+    val dir = Paths.get("target/ssfull_in")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Files.createDirectories(dir)
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val chunked = ev.withColumn("chunk", ntile(4).over(w))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/c$i")
+      moveInto(dir, s"c$i", f"$i%02d-chunk.parquet")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+    runToMemory(Streaming.streamStreamFullJoin(
+        stream.filter(col("event_type") === "click"),
+        stream.filter(col("event_type") === "purchase"))
+      .select("user_id", "purchase_id", "click_id"), "ssfull", "append")
+    val streamed = spark.table("ssfull")
+
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batchMatched = bp.join(bc, expr(
+      """user_id = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select("purchase_id", "click_id")
+    val matchedPurchases = batchMatched.select("purchase_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val matchedClicks = batchMatched.select("click_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val sMatched = streamed.filter(
+      col("click_id").isNotNull && col("purchase_id").isNotNull)
+    // matched pairs are sound and near-complete, no duplicates
+    assert(sMatched.select("purchase_id", "click_id")
+      .exceptAll(batchMatched).count() == 0,
+      "full outer emitted a matched pair the batch join doesn't have")
+    val (nS, nB) = (sMatched.count(), batchMatched.count())
+    assert(nB > 0 && nS >= (nB * 0.9).toLong,
+      s"full outer emitted only $nS of $nB matched pairs")
+    assert(streamed.distinct().count() == streamed.count(), "duplicate rows")
+    // purchase-side NULL rows: flushed, and never for a matched purchase
+    val pNull = streamed.filter(col("click_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(pNull.nonEmpty, "no unmatched purchases flushed")
+    assert(pNull.intersect(matchedPurchases).isEmpty,
+      s"NULL-click rows for matched purchases: ${pNull.intersect(matchedPurchases).take(5)}")
+    // click-side NULL rows: flushed, and never for a matched click —
+    // the half a LEFT join cannot produce
+    val cNull = streamed.filter(col("purchase_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert(cNull.nonEmpty, "no unmatched clicks flushed — click side inert")
+    assert(cNull.intersect(matchedClicks).isEmpty,
+      s"NULL-purchase rows for matched clicks: ${cNull.intersect(matchedClicks).take(5)}")
+    // every NULL row keeps its key
+    assert(streamed.filter(col("user_id").isNull).count() == 0,
+      "coalesced user_id lost on an unmatched row")
+  }
+
   test("st_session_state sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     runToMemory(Streaming.sessionize(eventStream.as[Event]).toDF(),
