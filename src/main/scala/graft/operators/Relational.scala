@@ -498,6 +498,32 @@ object Relational {
       |  UNION ALL SELECT event_id, 'val', CAST(floor(ev_val) AS BIGINT) FROM e) u
       |ORDER BY event_id, key""".stripMargin
 
+  /** RECURSIVE UNNEST of nested lists (unnest.slt's list-of-list cases,
+    * `recursive := true`): a constructed array<array<float>> flattens
+    * through two position-tracked generate levels — the nested-repeated
+    * parquet shape (e.g. per-document token lists per section) a lakehouse
+    * flatten hits constantly. Both explodes are narrow generates fused in
+    * one codegen stage, no shuffle. */
+  def uUnnestNested(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(array(
+        slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2)))
+        .as(Seq("o_pos", "inner")))
+      .select(col("vec_id"), col("o_pos"),
+        posexplode(col("inner")).as(Seq("i_pos", "val")))
+      .orderBy("vec_id", "o_pos", "i_pos")
+
+  val uUnnestNestedSql: String =
+    """WITH o AS (
+      |  SELECT vec_id,
+      |    CAST(unnest(range(2)) AS INTEGER) AS o_pos,
+      |    unnest([embedding[1:2], embedding[3:4]]) AS inner_l
+      |  FROM embeddings)
+      |SELECT vec_id, o_pos,
+      |       CAST(unnest(range(len(inner_l))) AS INTEGER) AS i_pos,
+      |       unnest(inner_l) AS val
+      |FROM o ORDER BY vec_id, o_pos, i_pos""".stripMargin
+
   /** generate_series table function = sequence() + explode. */
   def tGenerateSeries(spark: SparkSession, dir: String): DataFrame = {
     val _ = dir
@@ -1257,7 +1283,8 @@ object Relational {
     "w_groups_asym" -> (wGroupsAsym _),
     "sql_params" -> (sqlParams _), "s_union_by_name" -> (sUnionByName _),
     "u_unnest" -> (uUnnest _), "u_unnest_struct" -> (uUnnestStruct _),
-    "u_unnest_map" -> (uUnnestMap _), "t_generate_series" -> (tGenerateSeries _),
+    "u_unnest_map" -> (uUnnestMap _), "u_unnest_nested" -> (uUnnestNested _),
+    "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
     "sub_scalar" -> (subScalar _),
     "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
@@ -1289,7 +1316,8 @@ object Relational {
     "w_groups_asym" -> wGroupsAsymSql,
     "sql_params" -> sqlParamsSql, "s_union_by_name" -> sUnionByNameSql,
     "u_unnest" -> uUnnestSql, "u_unnest_struct" -> uUnnestStructSql,
-    "u_unnest_map" -> uUnnestMapSql, "t_generate_series" -> tGenerateSeriesSql,
+    "u_unnest_map" -> uUnnestMapSql, "u_unnest_nested" -> uUnnestNestedSql,
+    "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,
     "sub_scalar" -> subScalarSql,
     "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
