@@ -504,6 +504,15 @@ object Dedup {
     var sig = checksum(edges)
     var iter = 0
     var converged = false
+    // ONE round per checksum action — deliberately. The tempting batching
+    // (two contraction rounds per action, halving job count; floated in
+    // VERDICT r6) was implemented and MEASURED SLOWER (+40% at sf0.1,
+    // same session, everything else faster): with the intermediate round
+    // only lazily checkpointed, its two consumer branches race to compute
+    // the same partitions inside the one job ("Block already exists"
+    // storms) — the duplicated upstream work costs more than the saved
+    // job submissions, and an eager intermediate checkpoint would BE the
+    // per-round action again. Details in BASELINE.md r7.
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSig = checksum(next)
