@@ -575,6 +575,51 @@ object FunctionLib {
       |  len(json_keys(props)) AS n_entries
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ f_json
+  /** JSON path/extraction family (reference:
+    * /root/reference/datafusion/sqllogictest/test_files/json.slt — the
+    * engine-side JSON surface a lake of raw JSON events needs without
+    * re-parsing to columns first): a nested document is built with to_json,
+    * then navigated with get_json_object path expressions (nested field,
+    * array index), json_tuple (the multi-field generator form),
+    * json_array_length and json_object_keys. All codegen'd string kernels —
+    * narrow, scan-fused, no shuffle. Extracted fields are ints/strings so
+    * cross-engine JSON number formatting never reaches the hash. */
+  def fJson(spark: SparkSession, dir: String): DataFrame = {
+    val j = to_json(expr(
+      """named_struct('id', event_id,
+        |             'meta', named_struct('t', event_type,
+        |                                  'v', CAST(floor(value) AS BIGINT)),
+        |             'ids', array(user_id, event_id))""".stripMargin)).as("j")
+    t("events")(spark, dir).select(col("event_id"), j)
+      .select(
+        col("event_id"),
+        get_json_object(col("j"), "$.meta.t").as("t"),
+        get_json_object(col("j"), "$.ids[1]").cast("long").as("id2"),
+        json_array_length(get_json_object(col("j"), "$.ids")).as("n_ids"),
+        array_join(json_object_keys(col("j")), ",").as("ks"),
+        // a generator must sit top-level in its projection; cast after
+        expr("json_tuple(j, 'id')").as("tup"))
+      .select(col("event_id"), col("t"), col("id2"), col("n_ids"), col("ks"),
+        col("tup").cast("long").as("id_via_tuple"))
+      .orderBy("event_id")
+  }
+
+  val fJsonSql: String =
+    """WITH d AS (SELECT event_id,
+      |  to_json(struct_pack(id := event_id,
+      |                      meta := struct_pack(t := event_type,
+      |                                          v := CAST(floor(value) AS BIGINT)),
+      |                      ids := [user_id, event_id])) AS j
+      |  FROM events)
+      |SELECT event_id,
+      |  json_extract_string(j, '$.meta.t') AS t,
+      |  CAST(json_extract(j, '$.ids[1]') AS BIGINT) AS id2,
+      |  CAST(json_array_length(j, '$.ids') AS INTEGER) AS n_ids,
+      |  array_to_string(json_keys(j), ',') AS ks,
+      |  CAST(json_extract(j, '$.id') AS BIGINT) AS id_via_tuple
+      |FROM d ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------------------------- a_stats
   /** Statistical aggregates per returnflag. Quantities are integer-valued
     * doubles → moment sums are exact; price-based regressions rounded to a
@@ -861,7 +906,7 @@ object FunctionLib {
     "f_decimal" -> (fDecimal _), "f_cast" -> (fCast _),
     "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
-    "f_struct" -> (fStruct _), "f_map" -> (fMap _),
+    "f_struct" -> (fStruct _), "f_map" -> (fMap _), "f_json" -> (fJson _),
     "a_stats" -> (aStats _), "a_regr_ss" -> (aRegrSs _),
     "a_order_stats" -> (aOrderStats _),
     "a_collect" -> (aCollect _), "a_firstlast" -> (aFirstLast _),
@@ -877,7 +922,7 @@ object FunctionLib {
     "f_decimal" -> fDecimalSql, "f_cast" -> fCastSql,
     "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
-    "f_struct" -> fStructSql, "f_map" -> fMapSql,
+    "f_struct" -> fStructSql, "f_map" -> fMapSql, "f_json" -> fJsonSql,
     "a_stats" -> aStatsSql, "a_regr_ss" -> aRegrSsSql,
     "a_order_stats" -> aOrderStatsSql,
     "a_collect" -> aCollectSql, "a_firstlast" -> aFirstLastSql,

@@ -165,6 +165,24 @@ object Sources {
       |SELECT n_nationkey, n_name, n_regionkey, 2 AS batch FROM nation
       |ORDER BY batch, n_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- src_path
+  /** Direct file-path SQL table (reference:
+    * /root/reference/datafusion/sqllogictest/test_files/dynamic_file.slt —
+    * querying a file by path with no prior DDL): Spark's
+    * ``FROM parquet.`/path` `` identifier resolves the location as a table
+    * at analysis time; filters and projection push into the scan exactly as
+    * for a registered table, so ad-hoc lake exploration pays no penalty. */
+  def srcPath(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT n_nationkey, n_name, n_regionkey
+         |FROM parquet.`$dir/nation.parquet`
+         |WHERE n_regionkey < 3
+         |ORDER BY n_nationkey""".stripMargin)
+
+  val srcPathSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin
+
   // --------------------------------------------------------------- src_gzip
   /** Compressed text-source round trip (reference: `COMPRESSION TYPE gzip`
     * on CSV/JSON external tables —
@@ -299,7 +317,7 @@ object Sources {
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
     "src_arrow" -> (srcArrow _), "src_evolve" -> (srcEvolve _),
-    "src_gzip" -> (srcGzip _),
+    "src_gzip" -> (srcGzip _), "src_path" -> (srcPath _),
     "sink_partitioned" -> (sinkPartitioned _),
     "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _))
 
@@ -307,7 +325,7 @@ object Sources {
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,
     "src_arrow" -> srcArrowSql, "src_evolve" -> srcEvolveSql,
-    "src_gzip" -> srcGzipSql,
+    "src_gzip" -> srcGzipSql, "src_path" -> srcPathSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "sink_csv" -> sinkCsvSql, "sink_json" -> sinkJsonSql)
 }
