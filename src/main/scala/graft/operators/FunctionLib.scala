@@ -575,6 +575,43 @@ object FunctionLib {
       |  len(json_keys(props)) AS n_entries
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ f_like
+  /** SQL pattern-matching operator family (reference strings.slt: LIKE /
+    * NOT LIKE / ILIKE / NOT ILIKE / SIMILAR TO / ~*): the first four run as
+    * the same operator text in both engines (Spark has native ILIKE); LIKE
+    * ... ESCAPE exercises a literal `_` match through the escape char; the
+    * two Spark-absent operators desugar to regexp_like — SIMILAR TO is
+    * full-match, which `^(alts).*` reproduces exactly under partial-match
+    * semantics (the anchored prefix decides the match), and `~*` is
+    * partial-match with the (?i) inline flag (the bundled DuckDB lacks
+    * `~*` too, so the oracle emulates it via regexp_matches(..., 'i') —
+    * the flag-argument spelling of the same match). All codegen'd,
+    * scan-fused. */
+  def fLike(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT p_partkey,
+        |  p_type LIKE '%BRASS' AS lk,
+        |  p_type NOT LIKE 'STANDARD%' AS nlk,
+        |  p_type ILIKE '%brass' AS ilk,
+        |  p_type NOT ILIKE 'standard%' AS nilk,
+        |  replace(p_name, ' ', '_') LIKE '%\\_%' ESCAPE '\\' AS esc_us,
+        |  regexp_like(p_type, '^(STANDARD|PROMO).*') AS sim,
+        |  regexp_like(p_type, '(?i)^promo.*') AS ci_re
+        |FROM part ORDER BY p_partkey""".stripMargin)
+  }
+
+  val fLikeSql: String =
+    """SELECT p_partkey,
+      |  p_type LIKE '%BRASS' AS lk,
+      |  p_type NOT LIKE 'STANDARD%' AS nlk,
+      |  p_type ILIKE '%brass' AS ilk,
+      |  p_type NOT ILIKE 'standard%' AS nilk,
+      |  replace(p_name, ' ', '_') LIKE '%\_%' ESCAPE '\' AS esc_us,
+      |  p_type SIMILAR TO '(STANDARD|PROMO).*' AS sim,
+      |  regexp_matches(p_type, '^promo.*', 'i') AS ci_re
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------------------------ f_json
   /** JSON path/extraction family (reference:
     * /root/reference/datafusion/sqllogictest/test_files/json.slt — the
@@ -907,6 +944,7 @@ object FunctionLib {
     "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _), "f_json" -> (fJson _),
+    "f_like" -> (fLike _),
     "a_stats" -> (aStats _), "a_regr_ss" -> (aRegrSs _),
     "a_order_stats" -> (aOrderStats _),
     "a_collect" -> (aCollect _), "a_firstlast" -> (aFirstLast _),
@@ -923,6 +961,7 @@ object FunctionLib {
     "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql, "f_json" -> fJsonSql,
+    "f_like" -> fLikeSql,
     "a_stats" -> aStatsSql, "a_regr_ss" -> aRegrSsSql,
     "a_order_stats" -> aOrderStatsSql,
     "a_collect" -> aCollectSql, "a_firstlast" -> aFirstLastSql,

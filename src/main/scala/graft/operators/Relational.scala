@@ -440,6 +440,34 @@ object Relational {
       |                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** GROUP BY ALL + DISTINCT aggregates (reference group_by.slt:1945-1969,
+    * aggregate.slt DISTINCT forms): the keys are inferred as every
+    * non-aggregate select item — same text runs in both engines — and the
+    * sum/avg/count DISTINCT variants plan as Spark's Expand + two-phase
+    * aggregate, partial-deduplicating each partition's distinct values
+    * before the shuffle (the same one-pass shape cb_multi_uniq pins).
+    * Quantities are integer-valued doubles → distinct sums exact. */
+  def gAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(DISTINCT l_quantity) AS BIGINT) AS sd,
+        |  round(avg(DISTINCT l_quantity), 4) AS ad,
+        |  count(DISTINCT l_linenumber) AS cd
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val gAllSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(DISTINCT l_quantity) AS BIGINT) AS sd,
+      |  round(avg(DISTINCT l_quantity), 4) AS ad,
+      |  count(DISTINCT l_linenumber) AS cd
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ------------------------------------------------- unnest / table functions
   /** UNNEST with ordinality (posexplode) of the embedding array. Generates
     * rows per element without any shuffle — pure narrow transform. */
@@ -573,6 +601,33 @@ object Relational {
       |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
       |                   WHERE c2.c_nationkey = c.c_nationkey)
       |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 0.5
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Predicate subqueries — EXISTS / NOT EXISTS / IN / NOT IN (reference
+    * subquery.slt; sub_scalar covers the scalar forms): the four
+    * decorrelation shapes Catalyst rewrites to semi/anti joins — EXISTS →
+    * left-semi on the correlation key, NOT EXISTS → left-anti, IN →
+    * semi on the value column, NOT IN → null-aware anti. Same SQL text in
+    * both engines; at scale each becomes one key-only shuffle (j_semi /
+    * j_anti are the DataFrame-API faces of the same plans). */
+  def subExistsIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(subExistsInSql)
+  }
+
+  val subExistsInSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_totalprice < 10000)
+      |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_regionkey <> 2)
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderstatus = 'F'
+      |                          AND o_totalprice < 30000)
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------- event-time analytics
@@ -1269,6 +1324,7 @@ object Relational {
     "j_right" -> (jRight _),
     "j_cross" -> (jCross _), "j_asof" -> (jAsof _), "j_range" -> (jRange _),
     "g_rollup" -> (gRollup _), "g_cube" -> (gCube _), "g_sets" -> viaSql(gSetsSql),
+    "g_all" -> (gAll _),
     "g_pivot" -> (gPivot _), "u_unpivot" -> (uUnpivot _),
     "s_union_all" -> (sUnionAll _), "s_intersect" -> (sIntersect _),
     "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
@@ -1286,7 +1342,7 @@ object Relational {
     "u_unnest_map" -> (uUnnestMap _), "u_unnest_nested" -> (uUnnestNested _),
     "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
-    "sub_scalar" -> (subScalar _),
+    "sub_scalar" -> (subScalar _), "sub_exists_in" -> (subExistsIn _),
     "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
     "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql),
     "cte_recursive" -> viaSql(cteRecursiveSql),
@@ -1302,6 +1358,7 @@ object Relational {
     "j_right" -> jRightSql,
     "j_cross" -> jCrossSql, "j_asof" -> jAsofSql, "j_range" -> jRangeSql,
     "g_rollup" -> gRollupSql, "g_cube" -> gCubeSql, "g_sets" -> gSetsSql,
+    "g_all" -> gAllSql,
     "g_pivot" -> gPivotSql, "u_unpivot" -> uUnpivotSql,
     "s_union_all" -> sUnionAllSql, "s_intersect" -> sIntersectSql,
     "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
@@ -1319,7 +1376,7 @@ object Relational {
     "u_unnest_map" -> uUnnestMapSql, "u_unnest_nested" -> uUnnestNestedSql,
     "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,
-    "sub_scalar" -> subScalarSql,
+    "sub_scalar" -> subScalarSql, "sub_exists_in" -> subExistsInSql,
     "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
     "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql,
     "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql,
