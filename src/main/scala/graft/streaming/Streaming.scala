@@ -55,14 +55,21 @@ object Streaming {
         col("n"), col("sum_value"))
 
   /** Streaming exact dedup — the streaming face of d_exact (SURVEY §2.5):
-    * watermarked dropDuplicates on the natural key. State is one entry per
-    * distinct key inside the watermark horizon (1 hour of event time), so
-    * state size is bounded by arrival rate × horizon, not stream length —
-    * the property that lets this run forever on a 100 TB/day feed. */
+    * `dropDuplicatesWithinWatermark` on the natural key. The plain
+    * `dropDuplicates("event_id")` spelling under a watermark does NOT
+    * bound state — Spark evicts dedup state only when the event-time
+    * column is part of the key subset, so keying by id alone accumulates
+    * one state row per distinct id forever (found round 7 auditing this
+    * file's own Scaladoc claim). The WithinWatermark operator is the
+    * production spelling: dedup keyed by event_id alone, state evicted
+    * once the watermark passes each key's admission + delay — bounded by
+    * arrival rate × horizon, with the standard within-horizon contract (a
+    * duplicate arriving > 1 h of event time after its original re-admits,
+    * same trade the TTL'd minhash dedup documents). */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Sessionization via flatMapGroupsWithState: buffer per-user events,
     * emit every session whose gap to the next event exceeds GapUs; the final
