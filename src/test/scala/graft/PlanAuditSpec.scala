@@ -490,6 +490,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"top-n degenerated to a window sort:\n$p")
   }
 
+  test("sub_exists_in: every predicate subquery plans as a hash semi/anti join") {
+    // EXISTS / NOT EXISTS / IN / NOT IN must all decorrelate to keyed hash
+    // joins with the filtered orders/nation side built + broadcast — at
+    // 100 TB the customer probe streams once past four hashed filters. The
+    // scale hazards pinned here: NOT IN on a nullable key degenerating to
+    // BroadcastNestedLoopJoin (Spark plans it as a null-aware ANTI *hash*
+    // join — the ",true)" build flag — only for single-column not-in), and
+    // any subquery losing its pushed filter and hashing the full fact.
+    val p = plan(Relational.subExistsIn(spark, sf))
+    assert(countOccurrences(p, "BroadcastHashJoin") == 4, p)
+    assert(countOccurrences(p, "LeftSemi") == 2, p)
+    assert(countOccurrences(p, "LeftAnti") == 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a predicate subquery fell back to nested-loop:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"EXISTS subquery filter did not reach the orders scan:\n$p")
+  }
+
+  test("u_unnest family: generators are narrow — no shuffle before the presentation sort") {
+    // explode/inline/posexplode are per-row Generate nodes; flattening nested
+    // parquet must never move data. Only the final orderBy may exchange.
+    Seq(Relational.uUnnest(spark, sf), Relational.uUnnestStruct(spark, sf),
+        Relational.uUnnestMap(spark, sf), Relational.uUnnestNested(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert(p.contains("Generate"), s"no generator node:\n$p")
+        assert(countOccurrences(p, "Exchange") <= 1,
+          s"unnest plan shuffles beyond the presentation sort:\n$p")
+      }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
