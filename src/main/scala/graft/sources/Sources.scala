@@ -222,6 +222,48 @@ object Sources {
   /** Exposed for the compressed-layout spec (files must really be .gz). */
   def gzipOutPath: String = ioDir("customer_json_gz")
 
+  // ----------------------------------------------------------- src_metadata
+  /** File-source metadata columns (reference: lineage columns over listing
+    * tables — /root/reference/datafusion/sqllogictest/test_files/metadata.slt
+    * and DuckDB's `filename=true` virtual column): Spark exposes hidden
+    * `_metadata.{file_path,file_name,file_size,row_index,...}` on every file
+    * scan — the provenance a 100 TB lake audit leans on (which file did this
+    * row come from; skew = rows per file; row_index gives a free per-file
+    * ordinal without a window). Layout: supplier written partitionBy(grp)
+    * with one file per directory, so the directory a row lands in is a pure
+    * function of the data and the oracle can recompute the whole result
+    * without seeing file names — the task-UUID part of the name is sliced
+    * off via the deterministic `grp=N` path segment. max(row_index) = n−1
+    * per single-file dir also pins that row_index is per-file, 0-based,
+    * gap-free. Metadata columns are generated by the reader (constant per
+    * file / position counter) — no extra I/O, no shuffle beyond the audit's
+    * own aggregate. */
+  def srcMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("supplier_meta")
+    Tables.t(spark, dir, "supplier")
+      .withColumn("grp", (col("s_suppkey") % 4).cast("int"))
+      .repartition(col("grp"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("grp")
+      .parquet(out)
+    spark.read.parquet(out)
+      .select(col("s_suppkey"), col("grp"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(regexp_extract(col("fp"), "grp=(\\d+)", 1).cast("int").as("path_grp"))
+      .agg(count(lit(1)).as("n"),
+        sum("s_suppkey").as("key_sum"),
+        max("ri").as("max_row_index"))
+      .orderBy("path_grp")
+  }
+
+  val srcMetadataSql: String =
+    """SELECT CAST(s_suppkey % 4 AS INT) AS path_grp,
+      |       count(*) AS n,
+      |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+      |       count(*) - 1 AS max_row_index
+      |FROM supplier GROUP BY 1 ORDER BY path_grp""".stripMargin
+
   // ------------------------------------------------------- sink_partitioned
   /** Partitioned (by o_orderstatus) + per-file sorted (sortWithinPartitions
     * on o_orderdate) parquet sink, read back through partition discovery.
@@ -318,6 +360,7 @@ object Sources {
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
     "src_arrow" -> (srcArrow _), "src_evolve" -> (srcEvolve _),
     "src_gzip" -> (srcGzip _), "src_path" -> (srcPath _),
+    "src_metadata" -> (srcMetadata _),
     "sink_partitioned" -> (sinkPartitioned _),
     "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _))
 
@@ -326,6 +369,7 @@ object Sources {
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,
     "src_arrow" -> srcArrowSql, "src_evolve" -> srcEvolveSql,
     "src_gzip" -> srcGzipSql, "src_path" -> srcPathSql,
+    "src_metadata" -> srcMetadataSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "sink_csv" -> sinkCsvSql, "sink_json" -> sinkJsonSql)
 }

@@ -219,6 +219,24 @@ class RelationalSpec extends SparkSpec {
     assert(magic == ((0x1f, 0x8b)), s"shard is not gzip-compressed: $magic")
   }
 
+  test("src_metadata exposes per-file provenance fields the oracle can't see") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    graft.sources.Sources.srcMetadata(spark, sf).collect() // writes the layout
+    val meta = spark.read
+      .parquet(new java.io.File("target/ioqueries/supplier_meta").getAbsolutePath)
+      .select(col("grp"), col("_metadata.file_name").as("fn"),
+        col("_metadata.file_size").as("fsz"), col("_metadata.row_index").as("ri"))
+    val rows = meta.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("fn").endsWith(".parquet")))
+    assert(rows.forall(_.getAs[Long]("fsz") > 0L))
+    // one physical file per grp= directory — the layout max_row_index pins
+    val perGrp = meta.groupBy("grp")
+      .agg(countDistinct("fn").as("nf")).collect()
+    assert(perGrp.forall(_.getAs[Long]("nf") == 1L),
+      "grp dirs must hold exactly one file for the row_index oracle to hold")
+  }
+
   test("s_limit_offset returns exactly rows 101-120 of the global order") {
     val page = Relational.sLimitOffset(spark, sf).collect()
       .map(_.getLong(0)).toSeq
