@@ -485,6 +485,69 @@ object Streaming {
       }
   }
 
+  // ------------------------------------------------------------ st_user_topk
+  /** One entry of a per-user running leaderboard. */
+  case class TopItem(value: Double, event_id: Long)
+
+  /** Leaderboard emission: the user's current top-k plus how many events
+    * contributed. `n_seen` is strictly increasing per user across batches,
+    * so max(n_seen) identifies the final emission without a batch id. */
+  case class TopkOut(user_id: Long, rank: Int, event_id: Long,
+      value: Double, n_seen: Long)
+
+  /** Per-user running top-k via `transformWithState` (Spark 4's arbitrary-
+    * state API, the successor to flatMapGroupsWithState used by sessionize
+    * above): a `StatefulProcessor` with typed state primitives — the top-k
+    * leaderboard in a `ListState` (stored element-wise in RocksDB, so an
+    * append does not rewrite the whole list the way a fMGWS case-class
+    * buffer does) and the contribution counter in a `ValueState`.
+    *
+    * 100 TB notes: state is ≤ k 16-byte items + one long per user —
+    * cardinality-bounded, not stream-length-bounded — and the top-k merge
+    * is associative with a deterministic (value DESC, event_id ASC) order,
+    * so the final emission per key is arrival-order-independent (the
+    * property StreamingSpec asserts against the batch window oracle).
+    * `TimeMode.None` — no timers, no watermark requirement; pair with
+    * `TTLConfig` on both states when keys churn (the TTL'd-state trade
+    * documented on minhashDedupStreamTtl). transformWithState requires the
+    * RocksDB state-store provider — the provider a production deployment
+    * runs anyway. */
+  class TopkProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TopkOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var top: ListState[TopItem] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState("topk", Encoders.product[TopItem], TTLConfig.NONE)
+      seen = getHandle.getValueState("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[TopkOut] = {
+      val incoming = rows.map(e => TopItem(e.value, e.event_id)).toSeq
+      val prior = if (top.exists()) top.get().toSeq else Seq.empty
+      val merged = (prior ++ incoming)
+        .sortBy(t => (-t.value, t.event_id)).take(k)
+      top.put(merged.toArray)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
+      seen.update(n)
+      merged.iterator.zipWithIndex.map { case (t, i) =>
+        TopkOut(user, i + 1, t.event_id, t.value, n) }
+    }
+  }
+
+  /** Streaming per-user top-k leaderboard (update semantics: each batch
+    * that touches a user re-emits that user's current top-k). */
+  def userTopkStream(events: Dataset[Event], k: Int = 3): Dataset[TopkOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TopkProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Batch-mode flush of sessionize semantics (for equivalence testing):
     * same splitting logic applied with the stream considered ended. */
   def sessionizeBatch(events: Dataset[Event]): Dataset[SessionOut] = {

@@ -299,6 +299,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == batchN)
   }
 
+  test("st_user_topk: transformWithState leaderboard equals the batch top-k oracle (RocksDB)") {
+    import spark.implicits._
+    withRocksDb {
+      // chunk by event_id PARITY (not time) so both micro-batches touch
+      // nearly every user — the cross-batch ListState merge is the point
+      val dir = Paths.get("target/stream_topk_in")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      Files.createDirectories(dir)
+      val ev = Tables.t(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      (0 to 1).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(2)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/c$i")
+        moveInto(dir, s"c$i", f"$i%02d-chunk.parquet")
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toAbsolutePath.toString)
+      runToMemory(Streaming.userTopkStream(stream.as[Event]).toDF(), "topk", "update")
+      val streamed = spark.table("topk")
+      // n_seen is strictly increasing per user → max(n_seen) = final emission
+      val wm = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val fin = streamed
+        .withColumn("mx", max("n_seen").over(wm))
+        .filter(col("n_seen") === col("mx"))
+        .select("user_id", "rank", "event_id", "value", "n_seen")
+      // batch oracle: top-3 by (value DESC, event_id ASC) + per-user count —
+      // arrival-order independence means the streamed result must be EXACT
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+      val oracle = ev.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .join(ev.groupBy("user_id").agg(count(lit(1)).as("n_seen")), "user_id")
+        .select(col("user_id"), col("rank"), col("event_id"), col("value"),
+          col("n_seen"))
+      assert(fin.count() == oracle.count(),
+        s"leaderboard size ${fin.count()} vs oracle ${oracle.count()}")
+      assert(fin.exceptAll(oracle).count() == 0, "streamed rows absent from oracle")
+      assert(oracle.exceptAll(fin).count() == 0, "oracle rows absent from stream")
+      // prove the merge crossed micro-batches: some user emitted twice
+      val multi = streamed.select("user_id", "n_seen").distinct()
+        .groupBy("user_id").count().filter(col("count") >= 2).count()
+      assert(multi > 0, "no user saw emissions from more than one micro-batch")
+    }
+  }
+
   test("sessionizeBatch equals the declarative batch sessionization exactly") {
     import spark.implicits._
     val viaState = Streaming.sessionizeBatch(
