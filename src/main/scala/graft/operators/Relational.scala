@@ -1064,7 +1064,7 @@ object Relational {
   /** Clear a stale managed-table location left by a previous JVM (the
     * in-memory catalog forgets tables across sessions but their files
     * remain, and CTAS refuses to overwrite an existing location). */
-  private def dropManaged(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new java.io.File(

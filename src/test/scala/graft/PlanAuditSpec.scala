@@ -521,6 +521,70 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("ANALYZE statistics feed the planner: row counts, CBO selectivity, stats-driven broadcast") {
+    // The reference plans off table/column statistics (parquet_statistics /
+    // listing_table_statistics surfaces); Spark's equivalent is ANALYZE
+    // TABLE + CBO. At 100 TB this is the difference between shuffling a
+    // fact table and broadcasting its filtered slice: the 2%-selective
+    // filter below is provably broadcast-able ONLY via column statistics,
+    // because the file-size estimate can't see through the predicate.
+    import org.apache.spark.sql.functions.col
+    graft.Tables.registerViews(spark, sf)
+    Relational.dropManaged(spark, "graft_stats_orders")
+    spark.sql("CREATE TABLE graft_stats_orders USING PARQUET AS SELECT * FROM orders")
+    val nRows = graft.Tables.t(spark, sf, "orders").count()
+    def withConf[T](kvs: (String, String)*)(body: => T): T = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val pre = spark.table("graft_stats_orders").queryExecution.optimizedPlan.stats
+      assert(pre.rowCount.isEmpty, s"row count known before ANALYZE: ${pre.rowCount}")
+      spark.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS FOR COLUMNS o_totalprice")
+      val post = spark.table("graft_stats_orders").queryExecution.optimizedPlan.stats
+      assert(post.rowCount.contains(BigInt(nRows)),
+        s"ANALYZE row count ${post.rowCount} != $nRows")
+      val filtered = spark.table("graft_stats_orders")
+        .filter(col("o_totalprice") > 490000.0)
+      val est = filtered.queryExecution.optimizedPlan.stats
+      assert(est.rowCount.exists(_ < nRows / 5),
+        s"column stats did not shrink the filter estimate: ${est.rowCount} of $nRows")
+      assert(est.sizeInBytes < post.sizeInBytes, "filter size estimate not reduced")
+      // the size-only estimator can't see through the predicate: its filter
+      // estimate stays at the table's on-disk size. A threshold halfway
+      // between the two estimates separates the planners.
+      val sizeOnly = withConf("spark.sql.cbo.enabled" -> "false") {
+        spark.table("graft_stats_orders")
+          .filter(col("o_totalprice") > 490000.0)
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+      }
+      assert(est.sizeInBytes < sizeOnly,
+        s"CBO filtered estimate ${est.sizeInBytes} not below size-only $sizeOnly")
+      val thr = ((est.sizeInBytes + sizeOnly) / 2).toString
+      def joinPlan(cbo: String): String =
+        withConf("spark.sql.cbo.enabled" -> cbo,
+            "spark.sql.autoBroadcastJoinThreshold" -> thr) {
+          // sparkPlan = the initial planner decision, before AQE's runtime
+          // rescue — exactly where catalog statistics must earn their keep
+          spark.table("graft_stats_orders")
+            .filter(col("o_totalprice") > 490000.0)
+            .join(graft.Tables.t(spark, sf, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+            .queryExecution.sparkPlan.toString
+        }
+      val withStats = joinPlan(cbo = "true")
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"stats-based estimate did not drive the broadcast:\n$withStats")
+      val sizeOnlyPlan = joinPlan(cbo = "false")
+      assert(!sizeOnlyPlan.contains("BroadcastHashJoin") && sizeOnlyPlan.contains("SortMergeJoin"),
+        s"size-only estimate should NOT broadcast at this threshold:\n$sizeOnlyPlan")
+    }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
