@@ -289,6 +289,66 @@ object Sources {
   /** Exposed for the layout spec. */
   def partitionedOutPath: String = ioDir("orders_part")
 
+  // ------------------------------------------------- sink_dynamic_overwrite
+  /** Dynamic partition overwrite — the backfill primitive of a partitioned
+    * lake (reference surface: INSERT OVERWRITE into partitioned external
+    * tables, insert_to_external.slt): rewriting one day/status slice must
+    * replace ONLY the partitions present in the incoming data, not truncate
+    * the table the way static overwrite does. At 100 TB this is the
+    * difference between rewriting gigabytes and rewriting the lake; the
+    * companion spec proves the untouched partitions' FILES survive
+    * byte-identically (same paths, same mtimes), not merely that their rows
+    * reappear. Flow: seed orders partitioned by o_orderstatus, then
+    * overwrite just the 'F' partition with surcharged rows under
+    * partitionOverwriteMode=dynamic; the full read-back must show re-priced
+    * F rows and pristine O/P rows (the surcharge is an exactly-representable +1000.00 — a fractional multiplier would hit cross-engine round-half divergence, SURVEY §4) — which is exactly what the oracle
+    * recomputes with a CASE. */
+  /** Seed step: the full partitioned table (static overwrite). Shared with
+    * the untouched-partitions spec, which captures file mtimes in between. */
+  def seedDynPartitioned(spark: SparkSession, dir: String): Unit =
+    Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderstatus").parquet(ioDir("orders_dynpart"))
+
+  /** Backfill step: surcharge the 'F' slice, dynamic overwrite — only the
+    * partitions present in the incoming frame are replaced. */
+  def overwriteFPartition(spark: SparkSession, dir: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Tables.t(spark, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus").parquet(ioDir("orders_dynpart"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  def sinkDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    seedDynPartitioned(spark, dir)
+    overwriteFPartition(spark, dir)
+    spark.read.parquet(ioDir("orders_dynpart"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  val sinkDynamicOverwriteSql: String =
+    """SELECT o_orderkey,
+      |       round(CASE WHEN o_orderstatus = 'F'
+      |                  THEN o_totalprice + 1000.0
+      |                  ELSE o_totalprice END, 2) AS o_totalprice,
+      |       o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Exposed for the untouched-partitions spec. */
+  def dynamicOverwritePath: String = ioDir("orders_dynpart")
+
   // --------------------------------------------------------------- sink_csv
   /** Partitioned CSV sink (COPY ... TO 'dir' (FORMAT CSV, PARTITION_BY ...)
     * parity — reference: datafusion/sql/src/statement.rs CopyTo +
@@ -362,6 +422,7 @@ object Sources {
     "src_gzip" -> (srcGzip _), "src_path" -> (srcPath _),
     "src_metadata" -> (srcMetadata _),
     "sink_partitioned" -> (sinkPartitioned _),
+    "sink_dynamic_overwrite" -> (sinkDynamicOverwrite _),
     "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _))
 
   val oracle: Map[String, String] = Map(
@@ -371,5 +432,6 @@ object Sources {
     "src_gzip" -> srcGzipSql, "src_path" -> srcPathSql,
     "src_metadata" -> srcMetadataSql,
     "sink_partitioned" -> sinkPartitionedSql,
+    "sink_dynamic_overwrite" -> sinkDynamicOverwriteSql,
     "sink_csv" -> sinkCsvSql, "sink_json" -> sinkJsonSql)
 }

@@ -237,6 +237,32 @@ class RelationalSpec extends SparkSpec {
       "grp dirs must hold exactly one file for the row_index oracle to hold")
   }
 
+  test("sink_dynamic_overwrite replaces only the touched partition's files") {
+    import graft.sources.Sources
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(Sources.dynamicOverwritePath))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    Sources.seedDynPartitioned(spark, sf)
+    val before = files()
+    Sources.overwriteFPartition(spark, sf)
+    val after = files()
+    def part(m: Map[String, Long], s: String) = m.filter(_._1.contains(s"o_orderstatus=$s"))
+    // untouched partitions: byte-identical survivors — same paths, same mtimes
+    Seq("O", "P").foreach { s =>
+      assert(part(before, s).nonEmpty, s"seed wrote no $s files")
+      assert(part(after, s) == part(before, s),
+        s"dynamic overwrite rewrote untouched partition $s")
+    }
+    // the backfilled partition really was replaced
+    assert(part(after, "F").keySet.intersect(part(before, "F").keySet).isEmpty,
+      "F partition files were not replaced")
+    assert(part(after, "F").nonEmpty)
+  }
+
   test("s_limit_offset returns exactly rows 101-120 of the global order") {
     val page = Relational.sLimitOffset(spark, sf).collect()
       .map(_.getLong(0)).toSeq
