@@ -657,6 +657,52 @@ object FunctionLib {
       |  CAST(json_extract(j, '$.id') AS BIGINT) AS id_via_tuple
       |FROM d ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- f_variant
+  /** Spark 4 VARIANT — the shredded-binary semi-structured type (the
+    * engine-native successor to string-JSON probing; reference JSON
+    * pointer/extraction surface as in f_json, modern storage form). Unlike
+    * get_json_object, `parse_json` decodes ONCE into a binary tree and
+    * every `variant_get` is a typed pointer walk — the difference between
+    * re-parsing a 100 TB props column per extraction and paying the parse
+    * on ingest. The JSON under test wraps the events `props` payload in a
+    * constructed envelope so nested-path, typed, and missing-path access
+    * are all exercised; `to_json(variant_get(...))` round-trips a nested
+    * OBJECT back to canonical text (both engines emit compact JSON).
+    * Narrow codegen-free per-row work, zero shuffle but the presentation
+    * sort. */
+  def fVariant(spark: SparkSession, dir: String): DataFrame =
+    t("events")(spark, dir)
+      .select(col("event_id"), expr("parse_json(" + envelopeSql + ") AS v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.id', 'bigint')").as("id_b"),
+        expr("variant_get(v, '$.t', 'string')").as("t_s"),
+        expr("variant_get(v, '$.nested.k', 'int')").as("nk"),
+        expr("variant_get(v, '$.nope', 'string')").as("miss"),
+        expr("to_json(variant_get(v, '$.nested'))").as("nested_json"),
+        expr("is_variant_null(variant_get(v, '$.id'))").as("id_is_jnull"))
+      .orderBy("event_id")
+
+  /** The envelope expression in SQL (shared between the Column and the
+    * parse_json call so the Spark side builds exactly one string). */
+  private val envelopeSql: String =
+    """concat('{"id": ', event_id, ', "t": "', event_type,
+      |       '", "nested": ', props, '}')""".stripMargin
+
+  val fVariantSql: String =
+    """WITH d AS (SELECT event_id,
+      |  '{"id": ' || event_id || ', "t": "' || event_type ||
+      |    '", "nested": ' || props || '}' AS j
+      |  FROM events)
+      |SELECT event_id,
+      |  CAST(json_extract(j, '$.id') AS BIGINT) AS id_b,
+      |  json_extract_string(j, '$.t') AS t_s,
+      |  CAST(json_extract(j, '$.nested.k') AS INTEGER) AS nk,
+      |  json_extract_string(j, '$.nope') AS miss,
+      |  json_extract(j, '$.nested')::VARCHAR AS nested_json,
+      |  false AS id_is_jnull
+      |FROM d ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------------------------- a_stats
   /** Statistical aggregates per returnflag. Quantities are integer-valued
     * doubles → moment sums are exact; price-based regressions rounded to a
@@ -944,6 +990,7 @@ object FunctionLib {
     "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _), "f_json" -> (fJson _),
+    "f_variant" -> (fVariant _),
     "f_like" -> (fLike _),
     "a_stats" -> (aStats _), "a_regr_ss" -> (aRegrSs _),
     "a_order_stats" -> (aOrderStats _),
@@ -961,6 +1008,7 @@ object FunctionLib {
     "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql, "f_json" -> fJsonSql,
+    "f_variant" -> fVariantSql,
     "f_like" -> fLikeSql,
     "a_stats" -> aStatsSql, "a_regr_ss" -> aRegrSsSql,
     "a_order_stats" -> aOrderStatsSql,
