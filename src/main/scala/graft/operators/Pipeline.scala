@@ -22,6 +22,15 @@ object Pipeline {
       .select(col("doc_id"), col("source"),
         trim(regexp_replace(regexp_replace(lower(col("text")),
           "[^a-z0-9\\s]", ""), "\\s+", " ")).as("t"))
+      // free data-quality counters piggybacked on the pass (CollectMetrics
+      // accumulates per-task during the SAME scan — at 100 TB the audit
+      // costs zero extra reads, vs a second count/sum job over the corpus).
+      // Read after any action via queryExecution.observedMetrics
+      // ("p_e2e_quality"); transparent to the result and the oracle.
+      .observe("p_e2e_quality",
+        count(lit(1)).as("docs_in"),
+        count_if(length(col("t")) === 0).as("empty_docs"),
+        sum(length(col("t"))).as("total_chars"))
     val deduped = norm
       .groupBy("t")
       .agg(min("doc_id").as("doc_id"), min_by(col("source"), col("doc_id")).as("source"))

@@ -14,6 +14,22 @@ class PipelineSpec extends SparkSpec {
     assert(total <= Tables.t(spark, sf, "documents").count())
   }
 
+  test("p_e2e observed metrics: the piggybacked quality counters are exact") {
+    val df = Pipeline.pE2e(spark, sf)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("p_e2e_quality")
+    val docs = Tables.t(spark, sf, "documents")
+    val expectChars = docs
+      .select(sum(length(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9\\s]", ""), "\\s+", " ")))).as("c"))
+      .collect().head.getLong(0)
+    assert(m.getAs[Long]("docs_in") == docs.count(),
+      s"docs_in ${m.getAs[Long]("docs_in")} != ${docs.count()}")
+    assert(m.getAs[Long]("total_chars") == expectChars,
+      s"total_chars ${m.getAs[Long]("total_chars")} != $expectChars")
+    assert(m.getAs[Long]("empty_docs") >= 0L)
+  }
+
   test("p_sample is deterministic and hits the per-source rates") {
     val a = Pipeline.pSample(spark, sf).collect().map(_.getLong(0)).toSeq
     val b = Pipeline.pSample(spark, sf).collect().map(_.getLong(0)).toSeq
