@@ -54,6 +54,38 @@ object Streaming {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  // --------------------------------------------------------- st_foreach_sink
+  /** Idempotent foreachBatch write — the production escape hatch for sinks
+    * Spark has no connector for (JDBC upserts, search indexes, feature
+    * stores). foreachBatch is AT-LEAST-ONCE: after a failure the restarted
+    * query re-runs the last uncommitted batch with the SAME batchId, so
+    * exactly-once must come from the writer being idempotent per batchId.
+    * This is the standard epoch-directory form: each batch lands in
+    * `batch_id=<id>/` (overwrite, so a partially-written attempt self-heals
+    * on retry) and a commit marker turns the directory durable — a replayed
+    * (batchId, data) is detected by its marker and skipped without touching
+    * bytes. At 100 TB the marker check is one namenode stat per batch;
+    * readers take only marker-committed directories. */
+  def idempotentBatchWrite(out: String)(batch: DataFrame, batchId: Long): Unit = {
+    val dir = new java.io.File(out, s"batch_id=$batchId")
+    val marker = new java.io.File(dir, "_GRAFT_COMMITTED")
+    if (marker.exists()) return // replay of a committed epoch — idempotent skip
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dir.getAbsolutePath)
+    marker.createNewFile()
+  }
+
+  /** The tumbling aggregate fanned out through the idempotent batch writer
+    * (append mode: only watermark-closed windows reach the sink, so the
+    * union of committed epoch dirs holds each window exactly once). */
+  def foreachBatchSink(events: DataFrame, out: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tumblingAgg(events).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(idempotentBatchWrite(out) _)
+      .start()
+
   /** Streaming exact dedup — the streaming face of d_exact (SURVEY §2.5):
     * `dropDuplicatesWithinWatermark` on the natural key. The plain
     * `dropDuplicates("event_id")` spelling under a watermark does NOT

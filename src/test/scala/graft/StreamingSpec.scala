@@ -755,6 +755,61 @@ class StreamingSpec extends SparkSpec {
     assert(recall >= 0.8, s"verdict recall $recall < 0.8")
   }
 
+  test("st_foreach_sink: idempotent epoch-dir foreachBatch — exactly-once content, replay provably skipped") {
+    val base = Paths.get("target/feb_sink")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val inDir = Files.createDirectories(base.resolve("in"))
+    val outDir = base.resolve("out").toAbsolutePath.toString
+    val ckpt = base.resolve("ckpt").toAbsolutePath.toString
+    // time-ordered chunks close windows mid-stream → several committed epochs
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val chunked = ev.withColumn("chunk", ntile(4).over(w))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("overwrite").parquet(s"$inDir/c$i")
+      moveInto(inDir, s"c$i", f"$i%02d-chunk.parquet")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = Streaming.foreachBatchSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toAbsolutePath.toString), outDir, ckpt)
+    q.awaitTermination(120000)
+    q.stop()
+    val dirs = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).sortBy(_.getName)
+    assert(dirs.length >= 2, s"expected multiple committed epochs, got ${dirs.length}")
+    assert(dirs.forall(d => new java.io.File(d, "_GRAFT_COMMITTED").exists()),
+      "uncommitted epoch directory present")
+    // union of committed epochs = the append stream: each window exactly once,
+    // values exact vs the batch aggregate
+    val sink = spark.read.parquet(outDir) // batch_id read as partition column
+    assert(sink.groupBy("hour", "event_type").count()
+      .filter(col("count") > 1).count() == 0, "window duplicated across epochs")
+    val batch = Relational.eTumbling(spark, sf)
+    val joined = sink.as("s").join(batch.as("b"),
+      col("s.hour") === col("b.hour") && col("s.event_type") === col("b.event_type"))
+    assert(joined.count() == sink.count(), "sink window missing from batch")
+    assert(joined.filter(col("s.n") =!= col("b.n") ||
+      col("s.sum_value") =!= col("b.sum_value")).count() == 0)
+    assert(sink.count() >= batch.count() - 10, "too few windows closed")
+    // replay contract: re-delivering a committed batchId — even with
+    // different data — must not touch a byte
+    val victim = dirs.head
+    val id = victim.getName.stripPrefix("batch_id=").toLong
+    def snapshot() = victim.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot()
+    Streaming.idempotentBatchWrite(outDir)(
+      Tables.t(spark, sf, "events").limit(3)
+        .select(col("ts").as("hour"), col("event_type"),
+          lit(999L).as("n"), lit(0.0).as("sum_value")), id)
+    assert(snapshot() == before, "replayed epoch was rewritten")
+  }
+
   test("e2e file sink: tumbling agg → partitioned parquet with checkpoint; kill-and-restart resumes without duplicates (RocksDB)") {
     // the last mile of the production streaming story (VERDICT r5 #7): the
     // other specs stop at memory sinks; this drives the watermarked agg
