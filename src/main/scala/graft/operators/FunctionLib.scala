@@ -703,6 +703,73 @@ object FunctionLib {
       |  false AS id_is_jnull
       |FROM d ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------- f_url
+  /** URL function family (reference spark-compat suite:
+    * sqllogictest/test_files/spark/url/{parse_url,url_encode,url_decode}.slt)
+    * — the log-processing workhorses: component extraction (HOST/PATH plus
+    * a keyed QUERY parameter) and form-encoding round trip. The URL under
+    * test is constructed from nation columns, so the DuckDB oracle
+    * RECONSTRUCTS every expected value from the same base columns (DuckDB
+    * has no URL functions) — the Spark side still genuinely parses.
+    * url_encode is java.net form encoding: space→'+', '&'→'%26', '/'→'%2F';
+    * the oracle mirrors exactly those three over the controlled input.
+    * Pure narrow per-row work. */
+  def fUrl(spark: SparkSession, dir: String): DataFrame =
+    t("nation")(spark, dir)
+      .withColumn("url", concat(
+        lit("https://ex"), col("n_nationkey"), lit(".org/p/"), col("n_name"),
+        lit("?q="), col("n_regionkey"), lit("&r=2")))
+      .select(
+        col("n_nationkey"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'q')").as("qv"),
+        expr("url_encode(concat(n_name, ' &/x'))").as("enc"),
+        expr("url_decode(url_encode(concat(n_name, ' &/x')))").as("dec"))
+      .orderBy("n_nationkey")
+
+  val fUrlSql: String =
+    """SELECT n_nationkey,
+      |  'ex' || n_nationkey || '.org' AS host,
+      |  '/p/' || n_name AS path,
+      |  CAST(n_regionkey AS VARCHAR) AS qv,
+      |  replace(n_name, ' ', '+') || '+%26%2Fx' AS enc,
+      |  n_name || ' &/x' AS dec
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // ------------------------------------------------------------------- f_xml
+  /** XPath function family (reference spark-compat suite:
+    * sqllogictest/test_files/spark/xml/{xpath,xpath_string,xpath_boolean}
+    * .slt): typed scalar extraction, existence test, and the node-set
+    * generator (array_join'd — the driver compare can't hash arrays). The
+    * document is built from nation columns so the oracle reconstructs the
+    * expected extractions without an XML parser, while the Spark side runs
+    * real XPath over a real document. Narrow per-row work; at 100 TB the
+    * XML decode happens once per row inside the scan stage, no shuffle. */
+  def fXml(spark: SparkSession, dir: String): DataFrame =
+    t("nation")(spark, dir)
+      .withColumn("xml", concat(
+        lit("<doc><id>"), col("n_nationkey"), lit("</id><name>"), col("n_name"),
+        lit("</name><tags><t>a</t><t>b"), col("n_regionkey"),
+        lit("</t></tags></doc>")))
+      .select(
+        col("n_nationkey"),
+        expr("xpath_string(xml, '/doc/name')").as("xs"),
+        expr("xpath_int(xml, '/doc/id')").as("xi"),
+        expr("xpath_boolean(xml, '/doc/tags/t')").as("xb"),
+        expr("xpath_boolean(xml, '/doc/nope')").as("xb_no"),
+        expr("array_join(xpath(xml, '/doc/tags/t/text()'), ',')").as("xa"))
+      .orderBy("n_nationkey")
+
+  val fXmlSql: String =
+    """SELECT n_nationkey,
+      |  n_name AS xs,
+      |  n_nationkey AS xi,
+      |  true AS xb,
+      |  false AS xb_no,
+      |  'a,b' || n_regionkey AS xa
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // ----------------------------------------------------------------- a_stats
   /** Statistical aggregates per returnflag. Quantities are integer-valued
     * doubles → moment sums are exact; price-based regressions rounded to a
@@ -990,7 +1057,7 @@ object FunctionLib {
     "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _), "f_json" -> (fJson _),
-    "f_variant" -> (fVariant _),
+    "f_variant" -> (fVariant _), "f_url" -> (fUrl _), "f_xml" -> (fXml _),
     "f_like" -> (fLike _),
     "a_stats" -> (aStats _), "a_regr_ss" -> (aRegrSs _),
     "a_order_stats" -> (aOrderStats _),
@@ -1008,7 +1075,7 @@ object FunctionLib {
     "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql, "f_json" -> fJsonSql,
-    "f_variant" -> fVariantSql,
+    "f_variant" -> fVariantSql, "f_url" -> fUrlSql, "f_xml" -> fXmlSql,
     "f_like" -> fLikeSql,
     "a_stats" -> aStatsSql, "a_regr_ss" -> aRegrSsSql,
     "a_order_stats" -> aOrderStatsSql,
