@@ -543,7 +543,61 @@ object ClickBench {
       |GROUP BY user_id, day HAVING c > 1
       |ORDER BY tmed DESC, user_id, day LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- cb_funnel
+  /** Sequential funnel — the product-analytics shape sessionization and
+    * tumbling windows don't cover: per user, the FIRST view, the first
+    * click within an hour AFTER that view, the first purchase within an
+    * hour after that click; stepwise user counts + conversion rates. Each
+    * step is one partial-aggregated min per user plus one equi-join of the
+    * event slice against the prior step's (user, t) frame — at 100 TB
+    * that's two keyed shuffles per step, never a window over the whole
+    * event history, and each step's frame shrinks monotonically (funnels
+    * only narrow). Division guards: nullif'd denominators so an empty step
+    * yields NULL in BOTH engines instead of Spark-NULL-vs-DuckDB-NaN.
+    * Conversion rates divide small exact ints — FP-deterministic. */
+  def cbFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select("user_id", "event_type", "ts")
+    val step = expr("INTERVAL 1 DAY")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + step)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + step)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .withColumn("view_to_click",
+        round(col("n_click") / nullif(col("n_view"), lit(0)), 4))
+      .withColumn("click_to_purchase",
+        round(col("n_purchase") / nullif(col("n_click"), lit(0)), 4))
+  }
+
+  val cbFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click'
+      |        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase'
+      |        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
+      |      GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase,
+      |       round((SELECT count(*) FROM c) /
+      |             nullif((SELECT count(*) FROM v), 0), 4) AS view_to_click,
+      |       round((SELECT count(*) FROM p) /
+      |             nullif((SELECT count(*) FROM c), 0), 4) AS click_to_purchase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cb_funnel" -> (cbFunnel _),
     "cb_median_grp" -> (cbMedianGrp _),
     "cb_stddev_topn" -> (cbStddevTopn _),
     "cb_approx_pctl_grp" -> (cbApproxPctlGrp _),
@@ -558,7 +612,7 @@ object ClickBench {
     "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
-    "cb_median_grp" -> cbMedianGrpSql,
+    "cb_median_grp" -> cbMedianGrpSql, "cb_funnel" -> cbFunnelSql,
     "cb_stddev_topn" -> cbStddevTopnSql,
     "cb_approx_pctl_grp" -> cbApproxPctlGrpSql,
     "cb_multi_uniq_grp" -> cbMultiUniqGrpSql,
