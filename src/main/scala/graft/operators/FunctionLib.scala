@@ -703,6 +703,42 @@ object FunctionLib {
       |  false AS id_is_jnull
       |FROM d ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------- f_csv
+  /** CSV scalar codec family (reference spark-compat suite:
+    * sqllogictest/test_files/spark/csv/schema_of_csv.slt): `from_csv` line
+    * → typed struct with an explicit schema + reader option (custom
+    * separator), field access off the parsed struct, and the `to_csv`
+    * writer direction. The line under test is built from nation columns so
+    * the oracle reconstructs every expectation from the base columns while
+    * the Spark side genuinely runs the CSV parser per row. The embedded
+    * schema string is the same contract an ingest job pins down; malformed
+    * lines surface as NULL fields (PERMISSIVE), not task failures. */
+  def fCsv(spark: SparkSession, dir: String): DataFrame =
+    t("nation")(spark, dir)
+      .withColumn("line", concat_ws("|",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      .withColumn("rec",
+        expr("from_csv(line, 'k INT, name STRING, r INT', map('sep', '|'))"))
+      .select(
+        col("n_nationkey"),
+        col("rec.name").as("name_parsed"),
+        col("rec.r").as("r_parsed"),
+        (col("rec.k") + col("rec.r")).as("kr_sum"),
+        expr("from_csv('not|a|number', 'k INT, name STRING, r INT'," +
+          " map('sep', '|')).k").as("bad_k"),
+        expr("to_csv(named_struct('a', n_nationkey, 'b', n_name)," +
+          " map('sep', ';'))").as("csv_out"))
+      .orderBy("n_nationkey")
+
+  val fCsvSql: String =
+    """SELECT n_nationkey,
+      |  n_name AS name_parsed,
+      |  n_regionkey AS r_parsed,
+      |  n_nationkey + n_regionkey AS kr_sum,
+      |  CAST(NULL AS INTEGER) AS bad_k,
+      |  n_nationkey || ';' || n_name AS csv_out
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // ------------------------------------------------------------------- f_url
   /** URL function family (reference spark-compat suite:
     * sqllogictest/test_files/spark/url/{parse_url,url_encode,url_decode}.slt)
@@ -1058,6 +1094,7 @@ object FunctionLib {
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _), "f_json" -> (fJson _),
     "f_variant" -> (fVariant _), "f_url" -> (fUrl _), "f_xml" -> (fXml _),
+    "f_csv" -> (fCsv _),
     "f_like" -> (fLike _),
     "a_stats" -> (aStats _), "a_regr_ss" -> (aRegrSs _),
     "a_order_stats" -> (aOrderStats _),
@@ -1076,6 +1113,7 @@ object FunctionLib {
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql, "f_json" -> fJsonSql,
     "f_variant" -> fVariantSql, "f_url" -> fUrlSql, "f_xml" -> fXmlSql,
+    "f_csv" -> fCsvSql,
     "f_like" -> fLikeSql,
     "a_stats" -> aStatsSql, "a_regr_ss" -> aRegrSsSql,
     "a_order_stats" -> aOrderStatsSql,
