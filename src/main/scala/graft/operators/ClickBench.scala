@@ -543,6 +543,41 @@ object ClickBench {
       |GROUP BY user_id, day HAVING c > 1
       |ORDER BY tmed DESC, user_id, day LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ cb_bitmap_uniq
+  /** Exact distinct via Spark 4 bitmap aggregates — the RE-AGGREGATABLE
+    * exact unique count. COUNT(DISTINCT) must ship each key's whole
+    * distinct set to one reducer and cannot be rolled up from partials;
+    * a bitmap partial per (key, 2^15-bucket) is a fixed ≤4 KB blob that
+    * merges with OR. Column 1 counts directly off per-bucket bitmaps;
+    * column 2 proves the production property: per-DAY bitmaps OR'd
+    * (`bitmap_or_agg`) across days and THEN counted give the identical
+    * answer — i.e. a 100 TB deployment can store daily bitmap sketches
+    * and answer any date-range unique count exactly without touching raw
+    * events again (the exact-math sibling of a_hll_rollup's approximate
+    * rollup). The oracle pins both columns to plain COUNT(DISTINCT). */
+  def cbBitmapUniq(spark: SparkSession, dir: String): DataFrame = {
+    val direct = ev(spark, dir)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("uniq"))
+    val rolled = ev(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("event_type", "bkt")
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+      .groupBy("event_type")
+      .agg(sum("c").as("uniq_daily_rollup"))
+    direct.join(rolled, "event_type").orderBy("event_type")
+  }
+
+  val cbBitmapUniqSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS uniq,
+      |  count(DISTINCT user_id) AS uniq_daily_rollup
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- cb_funnel
   /** Sequential funnel — the product-analytics shape sessionization and
     * tumbling windows don't cover: per user, the FIRST view, the first
@@ -597,7 +632,7 @@ object ClickBench {
       |             nullif((SELECT count(*) FROM c), 0), 4) AS click_to_purchase""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cb_funnel" -> (cbFunnel _),
+    "cb_funnel" -> (cbFunnel _), "cb_bitmap_uniq" -> (cbBitmapUniq _),
     "cb_median_grp" -> (cbMedianGrp _),
     "cb_stddev_topn" -> (cbStddevTopn _),
     "cb_approx_pctl_grp" -> (cbApproxPctlGrp _),
@@ -613,6 +648,7 @@ object ClickBench {
 
   val oracle: Map[String, String] = Map(
     "cb_median_grp" -> cbMedianGrpSql, "cb_funnel" -> cbFunnelSql,
+    "cb_bitmap_uniq" -> cbBitmapUniqSql,
     "cb_stddev_topn" -> cbStddevTopnSql,
     "cb_approx_pctl_grp" -> cbApproxPctlGrpSql,
     "cb_multi_uniq_grp" -> cbMultiUniqGrpSql,
