@@ -552,6 +552,37 @@ object Relational {
       |       unnest(inner_l) AS val
       |FROM o ORDER BY vec_id, o_pos, i_pos""".stripMargin
 
+  /** OUTER unnest (reference unnest.slt PRESERVE-rows semantics /
+    * LEFT JOIN LATERAL unnest): `explode_outer` keeps the parent row with a
+    * NULL element when its array is empty OR NULL — the inner explode
+    * silently drops both, which loses rows in flattening pipelines (a doc
+    * with no tags vanishes from a per-tag rollup and its absence is
+    * invisible). Same narrow Generate node, outer flag only. The oracle
+    * reconstructs outer semantics as inner-unnest UNION ALL the
+    * empty/NULL parents. */
+  def uUnnestOuter(spark: SparkSession, dir: String): DataFrame = {
+    val arr = when(col("n_regionkey") === 2, array().cast("array<int>"))
+      .when(col("n_nationkey") === 0, lit(null).cast("array<int>"))
+      .otherwise(array(col("n_regionkey"), col("n_regionkey") * 2))
+    Tables.t(spark, dir, "nation")
+      .select(col("n_nationkey"), explode_outer(arr).as("val"))
+      .orderBy("n_nationkey", "val")
+  }
+
+  val uUnnestOuterSql: String =
+    """WITH t AS (
+      |  SELECT n_nationkey,
+      |    CASE WHEN n_regionkey = 2 THEN CAST([] AS INTEGER[])
+      |         WHEN n_nationkey = 0 THEN CAST(NULL AS INTEGER[])
+      |         ELSE [n_regionkey, n_regionkey * 2] END AS arr
+      |  FROM nation)
+      |SELECT n_nationkey, CAST(unnest(arr) AS INTEGER) AS val
+      |FROM t WHERE arr IS NOT NULL AND len(arr) > 0
+      |UNION ALL
+      |SELECT n_nationkey, CAST(NULL AS INTEGER) AS val
+      |FROM t WHERE arr IS NULL OR len(arr) = 0
+      |ORDER BY n_nationkey, val""".stripMargin
+
   /** generate_series table function = sequence() + explode. */
   def tGenerateSeries(spark: SparkSession, dir: String): DataFrame = {
     val _ = dir
@@ -1340,6 +1371,7 @@ object Relational {
     "sql_params" -> (sqlParams _), "s_union_by_name" -> (sUnionByName _),
     "u_unnest" -> (uUnnest _), "u_unnest_struct" -> (uUnnestStruct _),
     "u_unnest_map" -> (uUnnestMap _), "u_unnest_nested" -> (uUnnestNested _),
+    "u_unnest_outer" -> (uUnnestOuter _),
     "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
     "sub_scalar" -> (subScalar _), "sub_exists_in" -> (subExistsIn _),
@@ -1374,6 +1406,7 @@ object Relational {
     "sql_params" -> sqlParamsSql, "s_union_by_name" -> sUnionByNameSql,
     "u_unnest" -> uUnnestSql, "u_unnest_struct" -> uUnnestStructSql,
     "u_unnest_map" -> uUnnestMapSql, "u_unnest_nested" -> uUnnestNestedSql,
+    "u_unnest_outer" -> uUnnestOuterSql,
     "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,
     "sub_scalar" -> subScalarSql, "sub_exists_in" -> subExistsInSql,

@@ -65,7 +65,10 @@ object Streaming {
     * on retry) and a commit marker turns the directory durable — a replayed
     * (batchId, data) is detected by its marker and skipped without touching
     * bytes. At 100 TB the marker check is one namenode stat per batch;
-    * readers take only marker-committed directories. */
+    * readers take only marker-committed directories. (This local-FS form
+    * uses java.io; against HDFS/object stores the same two steps go
+    * through `org.apache.hadoop.fs.FileSystem` — on stores without atomic
+    * rename, make the marker a zero-byte conditional PUT.) */
   def idempotentBatchWrite(out: String)(batch: DataFrame, batchId: Long): Unit = {
     val dir = new java.io.File(out, s"batch_id=$batchId")
     val marker = new java.io.File(dir, "_GRAFT_COMMITTED")

@@ -50,6 +50,19 @@ class ErrorSurfaceSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("malformed VARIANT/CSV inputs: parse_json throws, try_parse_json and PERMISSIVE from_csv degrade to NULL") {
+    val bad = intercept[Exception] {
+      spark.sql("SELECT parse_json('{not json')").collect()
+    }
+    assert(bad.getMessage.contains("MALFORMED_RECORD_IN_PARSING") ||
+      bad.getMessage.toLowerCase.contains("json"), bad.getMessage)
+    val r = spark.sql(
+      """SELECT try_parse_json('{not json') AS v,
+        |       from_csv('x|y', 'k INT, r INT', map('sep', '|')).k AS k""".stripMargin).head()
+    assert(r.isNullAt(0), "try_parse_json must NULL on malformed input")
+    assert(r.isNullAt(1), "PERMISSIVE from_csv must NULL unparseable fields")
+  }
+
   test("ANSI mode: division by zero and bad array index throw with error class") {
     val div = intercept[Exception] { spark.sql("SELECT 1 / 0").collect() }
     assert(div.getMessage.contains("DIVIDE_BY_ZERO"))

@@ -512,13 +512,44 @@ class PlanAuditSpec extends SparkSpec {
     // explode/inline/posexplode are per-row Generate nodes; flattening nested
     // parquet must never move data. Only the final orderBy may exchange.
     Seq(Relational.uUnnest(spark, sf), Relational.uUnnestStruct(spark, sf),
-        Relational.uUnnestMap(spark, sf), Relational.uUnnestNested(spark, sf))
+        Relational.uUnnestMap(spark, sf), Relational.uUnnestNested(spark, sf),
+        Relational.uUnnestOuter(spark, sf))
       .foreach { df =>
         val p = plan(df)
         assert(p.contains("Generate"), s"no generator node:\n$p")
         assert(countOccurrences(p, "Exchange") <= 1,
           s"unnest plan shuffles beyond the presentation sort:\n$p")
       }
+  }
+
+  test("join strategy hints are honored: BROADCAST forces the build side, MERGE forces sort-merge") {
+    // the manual override for when neither file sizes nor statistics tell
+    // the truth (fresh tables, remote stores with opaque sizes): a
+    // BROADCAST hint must build the hinted side even when it's above the
+    // auto threshold, and MERGE must hold sort-merge even for a tiny side.
+    import org.apache.spark.sql.functions.col
+    graft.Tables.registerViews(spark, sf)
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.sparkPlan.toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // auto off
+    try {
+      val hinted = planOf(
+        """SELECT /*+ BROADCAST(n) */ count(*) AS c
+          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"BROADCAST hint ignored with auto-broadcast off:\n$hinted")
+      val unhinted = planOf(
+        """SELECT count(*) AS c
+          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+      assert(!unhinted.contains("BroadcastHashJoin"),
+        s"control: auto-broadcast should be off:\n$unhinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val merged = planOf(
+      """SELECT /*+ MERGE(n) */ count(*) AS c
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    assert(merged.contains("SortMergeJoin"),
+      s"MERGE hint did not force sort-merge:\n$merged")
   }
 
   test("ANALYZE statistics feed the planner: row counts, CBO selectivity, stats-driven broadcast") {
