@@ -522,6 +522,34 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("cb_funnel: step filters pushed, per-user mins partial-aggregated, only scalar cross joins") {
+    val df = graft.operators.ClickBench.cbFunnel(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)"),
+      s"step filter did not reach the events scan:\n$p")
+    // per-user distinct/min state must partial-aggregate before its exchange
+    assert(p.contains("HashAggregate(keys=[user_id"), p)
+    // the ONLY nested-loop joins allowed are the two 1-row scalar crosses
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "funnel must not window the event history")
+  }
+
+  test("cb_bitmap_uniq: bitmap partials aggregate map-side; no window, no raw-id rebroadcast") {
+    val df = graft.operators.ClickBench.cbBitmapUniq(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // the property that makes bitmap distinct scale: the fixed-size bitmap
+    // partial is built BEFORE the (type, bucket) exchange — raw user ids
+    // never cross the wire unaggregated
+    assert(p.contains("partial_bitmap_construct_agg"),
+      s"bitmap construct lost its partial phase:\n$p")
+    assert(p.contains("partial_sum"), s"count rollup lost partial agg:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("join strategy hints are honored: BROADCAST forces the build side, MERGE forces sort-merge") {
     // the manual override for when neither file sizes nor statistics tell
     // the truth (fresh tables, remote stores with opaque sizes): a
