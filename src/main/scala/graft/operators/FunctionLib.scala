@@ -703,6 +703,39 @@ object FunctionLib {
       |  false AS id_is_jnull
       |FROM d ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- f_collate
+  /** Spark 4 collations — engine-level case-insensitive string semantics
+    * (`COLLATE UTF8_LCASE`): a collated equality JOIN and a collated
+    * prefix predicate. The 100 TB point: a collated key still plans as a
+    * KEYED equi-join — `collate(x)` becomes the hash-partition/join key
+    * (probe-verified SortMergeJoin, never nested-loop), so case-insensitive
+    * matching costs the same shuffle as exact matching instead of a
+    * lower()-normalized copy of every string column. The mixed-case side
+    * lower-cases every even key; the oracle expresses the same semantics
+    * with explicit lower(). */
+  def fCollate(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = when(col("n_nationkey") % 2 === 0, lower(col("n_name")))
+      .otherwise(col("n_name"))
+    val left = t("nation")(spark, dir)
+      .select(col("n_nationkey"), mixed.as("mname"))
+    val right = t("nation")(spark, dir).select(col("n_name").as("orig"))
+    left.join(right,
+        expr("mname COLLATE UTF8_LCASE = orig COLLATE UTF8_LCASE"))
+      .select(col("n_nationkey"), col("mname"), col("orig"),
+        expr("startswith(mname COLLATE UTF8_LCASE, 'al')").as("sw_ci"))
+      .orderBy("n_nationkey")
+  }
+
+  val fCollateSql: String =
+    """WITH l AS (SELECT n_nationkey,
+      |    CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name) ELSE n_name END
+      |      AS mname FROM nation),
+      |r AS (SELECT n_name AS orig FROM nation)
+      |SELECT l.n_nationkey, l.mname, r.orig,
+      |       starts_with(lower(l.mname), 'al') AS sw_ci
+      |FROM l JOIN r ON lower(l.mname) = lower(r.orig)
+      |ORDER BY l.n_nationkey""".stripMargin
+
   // ------------------------------------------------------------------- f_csv
   /** CSV scalar codec family (reference spark-compat suite:
     * sqllogictest/test_files/spark/csv/schema_of_csv.slt): `from_csv` line
@@ -1094,7 +1127,7 @@ object FunctionLib {
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _), "f_json" -> (fJson _),
     "f_variant" -> (fVariant _), "f_url" -> (fUrl _), "f_xml" -> (fXml _),
-    "f_csv" -> (fCsv _),
+    "f_csv" -> (fCsv _), "f_collate" -> (fCollate _),
     "f_like" -> (fLike _),
     "a_stats" -> (aStats _), "a_regr_ss" -> (aRegrSs _),
     "a_order_stats" -> (aOrderStats _),
@@ -1113,7 +1146,7 @@ object FunctionLib {
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql, "f_json" -> fJsonSql,
     "f_variant" -> fVariantSql, "f_url" -> fUrlSql, "f_xml" -> fXmlSql,
-    "f_csv" -> fCsvSql,
+    "f_csv" -> fCsvSql, "f_collate" -> fCollateSql,
     "f_like" -> fLikeSql,
     "a_stats" -> aStatsSql, "a_regr_ss" -> aRegrSsSql,
     "a_order_stats" -> aOrderStatsSql,
