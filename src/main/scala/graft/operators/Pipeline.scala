@@ -87,6 +87,39 @@ object Pipeline {
       |       THEN '3f' ELSE 'bf' END
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- p_upsample
+  /** Deterministic up-sampling — the other half of source mixing (p_sample
+    * covers weights < 1): a mixture that weights a source ABOVE 1 ("four
+    * epochs of the curated set") replicates each of its documents k times
+    * with an explicit epoch index, so the loader sees distinct (doc_id,
+    * epoch) rows and shuffles them independently. Per-source k derives from
+    * the source id the same deterministic way p_sample derives its rates
+    * (id%4==0 → 3 epochs, id%4==1 → 2, else 1). The replication is a
+    * per-row `explode(sequence(1, k))` — a narrow Generate at read time:
+    * zero shuffle, zero storage blowup at 100 TB (the copies exist only in
+    * the stream feeding the packer), and restart-stable because nothing is
+    * random. */
+  def pUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
+    val k = when(srcNum % 4 === 0, lit(3))
+      .when(srcNum % 4 === 1, lit(2)).otherwise(lit(1))
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("toks"))
+      .withColumn("epoch", explode(sequence(lit(1), k)))
+      .select(col("doc_id"), col("source"), col("epoch"), col("toks"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  val pUpsampleSql: String =
+    """SELECT doc_id, source,
+      |  CAST(unnest(range(1, CASE
+      |    WHEN CAST(substring(source, 4, 10) AS INT) % 4 = 0 THEN 4
+      |    WHEN CAST(substring(source, 4, 10) AS INT) % 4 = 1 THEN 3
+      |    ELSE 2 END)) AS INTEGER) AS epoch,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS toks
+      |FROM documents ORDER BY doc_id, epoch""".stripMargin
+
   // ---------------------------------------------------------- p_token_budget
   /** Budget-constrained source mixing — the "N billion tokens per source"
     * allocation step of a corpus build: within each source, take documents
@@ -242,9 +275,10 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _),
+      "p_upsample" -> (pUpsample _),
       "p_token_budget" -> (pTokenBudget _), "p_pack" -> (pPack _))
 
   val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql,
-    "p_sample" -> pSampleSql, "p_token_budget" -> pTokenBudgetSql,
-    "p_pack" -> pPackSql)
+    "p_sample" -> pSampleSql, "p_upsample" -> pUpsampleSql,
+    "p_token_budget" -> pTokenBudgetSql, "p_pack" -> pPackSql)
 }
