@@ -543,6 +543,40 @@ object ClickBench {
       |GROUP BY user_id, day HAVING c > 1
       |ORDER BY tmed DESC, user_id, day LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------- cb_retention
+  /** Cohort retention — the third classic product-analytics shape next to
+    * funnel (cb_funnel) and sessionization (e_session): users grouped by
+    * their FIRST active week (cohort), counted per week-offset they return.
+    * Two keyed shuffles total: the (user, week) distinct and the
+    * (cohort, offset) rollup — the per-user cohort join is an equi-join on
+    * user_id against a frame of one row per user. The final countDistinct
+    * is exact; a deployment with billion-user cohorts swaps it for the
+    * bitmap (cb_bitmap_uniq) or salted (cb_salted_uniq) form, same plan
+    * otherwise. Week = Monday-truncated date in both engines, so offsets
+    * are exact integers. */
+  def cbRetention(spark: SparkSession, dir: String): DataFrame = {
+    val d = ev(spark, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val cohort = d.groupBy("user_id").agg(min("week").as("cohort"))
+    d.join(cohort, "user_id")
+      .withColumn("week_offset", expr("datediff(week, cohort) div 7").cast("int"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  val cbRetentionSql: String =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |             CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort FROM d GROUP BY user_id)
+      |SELECT c.cohort, CAST((d.week - c.cohort) // 7 AS INTEGER) AS week_offset,
+      |       count(DISTINCT d.user_id) AS n_active
+      |FROM d JOIN c ON d.user_id = c.user_id
+      |GROUP BY c.cohort, week_offset
+      |ORDER BY c.cohort, week_offset""".stripMargin
+
   // ------------------------------------------------------------ cb_bitmap_uniq
   /** Exact distinct via Spark 4 bitmap aggregates — the RE-AGGREGATABLE
     * exact unique count. COUNT(DISTINCT) must ship each key's whole
@@ -633,6 +667,7 @@ object ClickBench {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cb_funnel" -> (cbFunnel _), "cb_bitmap_uniq" -> (cbBitmapUniq _),
+    "cb_retention" -> (cbRetention _),
     "cb_median_grp" -> (cbMedianGrp _),
     "cb_stddev_topn" -> (cbStddevTopn _),
     "cb_approx_pctl_grp" -> (cbApproxPctlGrp _),
@@ -648,7 +683,7 @@ object ClickBench {
 
   val oracle: Map[String, String] = Map(
     "cb_median_grp" -> cbMedianGrpSql, "cb_funnel" -> cbFunnelSql,
-    "cb_bitmap_uniq" -> cbBitmapUniqSql,
+    "cb_bitmap_uniq" -> cbBitmapUniqSql, "cb_retention" -> cbRetentionSql,
     "cb_stddev_topn" -> cbStddevTopnSql,
     "cb_approx_pctl_grp" -> cbApproxPctlGrpSql,
     "cb_multi_uniq_grp" -> cbMultiUniqGrpSql,
