@@ -349,6 +349,46 @@ object Sources {
   /** Exposed for the untouched-partitions spec. */
   def dynamicOverwritePath: String = ioDir("orders_dynpart")
 
+  // ------------------------------------------------------------ sink_compact
+  /** Small-files compaction — the standing maintenance job of any streamed-
+    * into lake: micro-batch sinks leave directories of KB-scale files whose
+    * per-file open/footer cost eventually dominates scans. The compactor
+    * sizes its output from the DATA (sum of file sizes / target file size,
+    * ceil'd) and rewrites with `repartition(n)` — a round-robin exchange
+    * that yields uniformly sized files regardless of input skew (coalesce
+    * would inherit the skew of whichever inputs it glues together). Run it
+    * per partition directory at 100 TB and only on directories whose file
+    * count exceeds the target — the read-back here is the whole table, so
+    * the oracle is identity on events. The companion spec pins the
+    * file-count collapse and the size-derived n. */
+  val CompactTargetBytes: Long = 512L * 1024 // small target so sf0.01 needs >1 file
+  def sinkCompact(spark: SparkSession, dir: String): DataFrame = {
+    val frag = ioDir("events_fragmented")
+    val out = ioDir("events_compacted")
+    Tables.t(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(32) // simulate a micro-batched sink: many small files
+      .write.mode(SaveMode.Overwrite).parquet(frag)
+    val bytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
+    spark.read.parquet(frag)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
+  val sinkCompactSql: String =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Exposed for the compaction spec. */
+  def compactPaths: (String, String) =
+    (ioDir("events_fragmented"), ioDir("events_compacted"))
+
   // --------------------------------------------------------------- sink_csv
   /** Partitioned CSV sink (COPY ... TO 'dir' (FORMAT CSV, PARTITION_BY ...)
     * parity — reference: datafusion/sql/src/statement.rs CopyTo +
@@ -423,6 +463,7 @@ object Sources {
     "src_metadata" -> (srcMetadata _),
     "sink_partitioned" -> (sinkPartitioned _),
     "sink_dynamic_overwrite" -> (sinkDynamicOverwrite _),
+    "sink_compact" -> (sinkCompact _),
     "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _))
 
   val oracle: Map[String, String] = Map(
@@ -433,5 +474,6 @@ object Sources {
     "src_metadata" -> srcMetadataSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "sink_dynamic_overwrite" -> sinkDynamicOverwriteSql,
+    "sink_compact" -> sinkCompactSql,
     "sink_csv" -> sinkCsvSql, "sink_json" -> sinkJsonSql)
 }

@@ -263,6 +263,27 @@ class RelationalSpec extends SparkSpec {
     assert(part(after, "F").nonEmpty)
   }
 
+  test("sink_compact collapses the fragmented layout to the size-derived file count") {
+    val n = graft.sources.Sources.sinkCompact(spark, sf).count()
+    assert(n == Tables.t(spark, sf, "events").count(), "compaction lost rows")
+    val (frag, out) = graft.sources.Sources.compactPaths
+    def parquets(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val fragFiles = parquets(frag)
+    val outFiles = parquets(out)
+    assert(fragFiles.length == 32, s"fragmented seed has ${fragFiles.length} files")
+    val expected = math.max(1, math.ceil(fragFiles.map(_.length()).sum.toDouble /
+      graft.sources.Sources.CompactTargetBytes).toInt)
+    assert(outFiles.length == expected,
+      s"compacted to ${outFiles.length} files, size math says $expected")
+    assert(outFiles.length < fragFiles.length, "compaction did not shrink file count")
+    // round-robin repartition → near-uniform file sizes (no inherited skew)
+    val sizes = outFiles.map(_.length().toDouble)
+    if (sizes.length > 1)
+      assert(sizes.max / sizes.min < 2.0,
+        s"compacted files skewed: min ${sizes.min}, max ${sizes.max}")
+  }
+
   test("s_limit_offset returns exactly rows 101-120 of the global order") {
     val page = Relational.sLimitOffset(spark, sf).collect()
       .map(_.getLong(0)).toSeq
