@@ -644,6 +644,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("optimizer hygiene: identical subplans reuse one exchange; superseded sorts are eliminated") {
+    import org.apache.spark.sql.functions.{count, lit}
+    // self-join of the same aggregate: the shuffle must be computed ONCE
+    // (ReusedExchange) — at 100 TB recomputing a shared subplan doubles the
+    // heaviest stage (reference surface: cse.slt common-subexpression reuse)
+    val ev = graft.Tables.t(spark, sf, "events")
+    val agg = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val joined = agg.as("a").join(agg.as("b"), "event_type")
+    joined.collect()
+    val p = finalPlan(joined)
+    assert(p.contains("ReusedExchange"),
+      s"identical aggregate subplans were shuffled twice:\n$p")
+    // a sort superseded by a later sort must vanish entirely — including
+    // its sort column's scan (reference surface: sort-elimination tests)
+    val ds = ev.orderBy("ts").orderBy("event_id").select("event_id")
+    val sp = plan(ds)
+    assert(countOccurrences(sp, "Sort [") == 1,
+      s"superseded sort survived:\n$sp")
+    assert(!sp.contains("ts#"), s"eliminated sort still reads its column:\n$sp")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
