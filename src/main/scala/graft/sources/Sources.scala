@@ -389,6 +389,43 @@ object Sources {
   def compactPaths: (String, String) =
     (ioDir("events_fragmented"), ioDir("events_compacted"))
 
+  // ---------------------------------------------------------- src_encrypted
+  /** Encrypted parquet round trip (reference encrypted_parquet.slt) via
+    * parquet modular encryption: encrypted footer ("PARE" magic — the file
+    * is unreadable without keys, column stats included), a footer master
+    * key and a separate column master key for the sensitive column, AES-GCM
+    * data modules, keys wrapped by [[GraftKmsClient]]. Everything is
+    * parquet-mr's real crypto path; only master-key custody is the pluggable
+    * demo client. 100 TB notes: encryption is per-module and parallel (no
+    * extra shuffle, writes stay partition-local) and predicate pushdown
+    * still works on decrypted pages for readers holding keys. The crypto
+    * factory stays installed on the session's Hadoop conf — it is inert for
+    * files without encryption metadata. */
+  def srcEncrypted(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("customer_encrypted")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.crypto.factory.class",
+      "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
+    hc.set("parquet.encryption.kms.client.class", "graft.sources.GraftKmsClient")
+    Tables.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.encryption.footer.key", "graft_footer")
+      .option("parquet.encryption.column.keys", "graft_pii: c_name, c_acctbal")
+      .parquet(out)
+    spark.read.parquet(out)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val srcEncryptedSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Exposed for the encrypted-layout spec. */
+  def encryptedOutPath: String = ioDir("customer_encrypted")
+
   // --------------------------------------------------------------- sink_csv
   /** Partitioned CSV sink (COPY ... TO 'dir' (FORMAT CSV, PARTITION_BY ...)
     * parity — reference: datafusion/sql/src/statement.rs CopyTo +
@@ -463,7 +500,7 @@ object Sources {
     "src_metadata" -> (srcMetadata _),
     "sink_partitioned" -> (sinkPartitioned _),
     "sink_dynamic_overwrite" -> (sinkDynamicOverwrite _),
-    "sink_compact" -> (sinkCompact _),
+    "sink_compact" -> (sinkCompact _), "src_encrypted" -> (srcEncrypted _),
     "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _))
 
   val oracle: Map[String, String] = Map(
@@ -474,6 +511,6 @@ object Sources {
     "src_metadata" -> srcMetadataSql,
     "sink_partitioned" -> sinkPartitionedSql,
     "sink_dynamic_overwrite" -> sinkDynamicOverwriteSql,
-    "sink_compact" -> sinkCompactSql,
+    "sink_compact" -> sinkCompactSql, "src_encrypted" -> srcEncryptedSql,
     "sink_csv" -> sinkCsvSql, "sink_json" -> sinkJsonSql)
 }

@@ -284,6 +284,33 @@ class RelationalSpec extends SparkSpec {
         s"compacted files skewed: min ${sizes.min}, max ${sizes.max}")
   }
 
+  test("src_encrypted writes genuinely encrypted parquet: PARE magic, unreadable without the crypto factory") {
+    import graft.sources.Sources
+    assert(Sources.srcEncrypted(spark, sf).count() > 0)
+    val files = new java.io.File(Sources.encryptedOutPath).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // encrypted-footer files open with "PARE", not plaintext "PAR1"
+    val in = new java.io.FileInputStream(files.head)
+    val magic = Array.fill(4)(in.read().toByte); in.close()
+    assert(new String(magic, "US-ASCII") == "PARE",
+      s"file is not footer-encrypted: ${new String(magic, "US-ASCII")}")
+    // without the crypto factory the file must be undecodable garbage
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.crypto.factory.class")
+    hc.unset("parquet.crypto.factory.class")
+    try {
+      val e = intercept[Exception] {
+        spark.read.parquet(Sources.encryptedOutPath).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.toString +: chain(t.getCause)
+      assert(chain(e).exists(m => m.toLowerCase.contains("encrypt") ||
+        m.contains("PARE") || m.toLowerCase.contains("crypto")),
+        s"keyless read failed for the wrong reason: ${chain(e).mkString(" <- ")}")
+    } finally hc.set("parquet.crypto.factory.class", prev)
+  }
+
   test("s_limit_offset returns exactly rows 101-120 of the global order") {
     val page = Relational.sLimitOffset(spark, sf).collect()
       .map(_.getLong(0)).toSeq
