@@ -615,8 +615,8 @@ object ClickBench {
   // ---------------------------------------------------------------- cb_funnel
   /** Sequential funnel — the product-analytics shape sessionization and
     * tumbling windows don't cover: per user, the FIRST view, the first
-    * click within an hour AFTER that view, the first purchase within an
-    * hour after that click; stepwise user counts + conversion rates. Each
+    * click within a day AFTER that view, the first purchase within a
+    * day after that click; stepwise user counts + conversion rates. Each
     * step is one partial-aggregated min per user plus one equi-join of the
     * event slice against the prior step's (user, t) frame — at 100 TB
     * that's two keyed shuffles per step, never a window over the whole

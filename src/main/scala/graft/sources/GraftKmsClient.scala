@@ -27,7 +27,14 @@ import org.apache.parquet.crypto.keytools.KmsClient
 class GraftKmsClient extends KmsClient {
 
   override def initialize(configuration: Configuration, kmsInstanceID: String,
-      kmsInstanceURL: String, accessToken: String): Unit = ()
+      kmsInstanceURL: String, accessToken: String): Unit = {
+    // Loud by design (ADVICE r7): if this class is ever wired against real
+    // data the deterministic demo custody must be visible in driver logs.
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftKmsClient]).warn(
+      "GraftKmsClient uses deterministic demo master keys derived from the " +
+        "key id — suitable for tests only, NOT for production data. Swap in " +
+        "a real KMS-backed KmsClient for any non-demo deployment.")
+  }
 
   private def masterKey(keyId: String): SecretKeySpec = {
     val digest = MessageDigest.getInstance("SHA-256")

@@ -533,9 +533,11 @@ object Streaming {
   /** Per-user running top-k via `transformWithState` (Spark 4's arbitrary-
     * state API, the successor to flatMapGroupsWithState used by sessionize
     * above): a `StatefulProcessor` with typed state primitives — the top-k
-    * leaderboard in a `ListState` (stored element-wise in RocksDB, so an
-    * append does not rewrite the whole list the way a fMGWS case-class
-    * buffer does) and the contribution counter in a `ValueState`.
+    * leaderboard in a `ListState` (stored element-wise in RocksDB; this
+    * processor rewrites the whole list each batch via put(), which is fine
+    * because the list is bounded at k tiny items — the element-wise layout
+    * would only matter at large k) and the contribution counter in a
+    * `ValueState`.
     *
     * 100 TB notes: state is ≤ k 16-byte items + one long per user —
     * cardinality-bounded, not stream-length-bounded — and the top-k merge
