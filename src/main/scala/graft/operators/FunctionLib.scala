@@ -435,6 +435,74 @@ object FunctionLib {
       |  c_name AS roundtrip
       |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------------ f_hash
+  /** Hash family beyond what DuckDB can recompute (reference:
+    * /root/reference/datafusion/sqllogictest/test_files/spark/hash/
+    * {sha1,sha,md5,crc32,sha2}.slt): sha1, the full sha2 family
+    * (224/384/512 — 256 is oracled directly in f_crypto), crc32, and
+    * Spark's own partitioning hashes `hash` (Murmur3_x86_32, seed 42) and
+    * `xxhash64` (seed 42). DuckDB has none of these, so the oracle is the
+    * known-answer form the verdict sanctioned: fixed UTF-8 test vectors
+    * (NIST/RFC published values for sha1/sha2, zlib for crc32, and the
+    * Spark-pinned values for hash/xxhash64 — stable across Spark versions
+    * by contract, since bucketed-table layout depends on them). Spark
+    * genuinely computes every column; the oracle carries the expected
+    * constants. All codegen'd scalar kernels — narrow, scan-fused, and at
+    * 100 TB this is exactly the fingerprint/bucketing family d_exact and
+    * ddl_bucketed lean on. */
+  def fHash(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(
+      """SELECT id,
+        |  sha1(s) AS h_sha1,
+        |  sha2(s, 224) AS h_sha224,
+        |  sha2(s, 384) AS h_sha384,
+        |  sha2(s, 512) AS h_sha512,
+        |  crc32(cast(s AS binary)) AS h_crc32,
+        |  hash(s) AS h_murmur3,
+        |  xxhash64(s) AS h_xx64
+        |FROM VALUES
+        |  (1, 'abc'),
+        |  (2, ''),
+        |  (3, 'The quick brown fox jumps over the lazy dog'),
+        |  (4, 'graft: spark-native analytics'),
+        |  (5, 'héllo wörld ✓') AS t(id, s)
+        |ORDER BY id""".stripMargin)
+  }
+
+  val fHashSql: String =
+    """SELECT id, h_sha1, h_sha224, h_sha384, h_sha512,
+      |  CAST(h_crc32 AS BIGINT) AS h_crc32,
+      |  CAST(h_murmur3 AS INTEGER) AS h_murmur3,
+      |  CAST(h_xx64 AS BIGINT) AS h_xx64
+      |FROM (VALUES
+      |  (1, 'a9993e364706816aba3e25717850c26c9cd0d89d',
+      |   '23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7',
+      |   'cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7',
+      |   'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f',
+      |   891568578, 1322437556, 1423657621850124518),
+      |  (2, 'da39a3ee5e6b4b0d3255bfef95601890afd80709',
+      |   'd14a028c2a3a2bc9476102bb288234c415a2b01f828ea62ac5b3e42f',
+      |   '38b060a751ac96384cd9327eb1b1e36a21fdb71114be07434c0cc7bf63f6e1da274edebfe76f65fbd51ad2f14898b95b',
+      |   'cf83e1357eefb8bdf1542850d66d8007d620e4050b5715dc83f4a921d36ce9ce47d0d13c5d85f2b0ff8318d2877eec2f63b931bd47417a81a538327af927da3e',
+      |   0, 142593372, -7444071767201028348),
+      |  (3, '2fd4e1c67a2d28fced849ee1bb76e7391b93eb12',
+      |   '730e109bd7a8a32b1cb9d9a09aa2325d2430587ddbc0c38bad911525',
+      |   'ca737f1014a48f4c0b6dd43cb177b0afd9e5169367544c494011e3317dbf9a509cb1e5dc1e85a941bbee3d7f2afbc9b1',
+      |   '07e547d9586f6a73f73fbac0435ed76951218fb7d0c8d788a309d785436bbb642e93a252a954f23912547d1e8a3b5ed6e1bfd7097821233fa0538f3db854fee6',
+      |   1095738169, 466024576, -6152153990451020481),
+      |  (4, '994baaa2e24628a7d80de699d68562d5d8ac4394',
+      |   'c737004d9a6d6035a3a887d32ea12694fbcd739536dd80c3f2c0d66d',
+      |   '74513fb1a2c0ffee6e62cdab74f9f40ffcf2f8ca8bb17f00fdc1c5378422742fd52ae3102c9746884b3ba51e0c564255',
+      |   '0bd1e503db2761bfd8f9dcc902996920d087ae62907fdd7e7b74923b2152218ffc4947ccde6fa969c1e4621a42ec03ca3517f7469f3a5de29f4997c737025f4c',
+      |   2500691155, -1000080581, 5354046115350460655),
+      |  (5, 'a5e7f35caea50aa6f3bc37d2f24a540fc0b3cb32',
+      |   '870d8196724667b3adc2a35563d3cb8a4b00c97dc648b0243566659f',
+      |   '6f2cef0c605dcbe324f4af6fedaa6e709668db1968586ac440ae40f255bd161cb429dad5679f792efe9cace08e50df08',
+      |   '73caa564cb3c4c7f36170f3a113d34fb9ab766e6eb866da8442891d8f2214482dad7a1cd7144d425ee73c63bd84a23129dff476ed37b82743d41dca6396176d8',
+      |   180982638, -594605681, 1267430004352973977)
+      |) AS t(id, h_sha1, h_sha224, h_sha384, h_sha512, h_crc32, h_murmur3, h_xx64)
+      |ORDER BY id""".stripMargin
+
   // ----------------------------------------------------------- f_conditional
   /** Conditional family over customer. */
   def fConditional(spark: SparkSession, dir: String): DataFrame =
@@ -1124,6 +1192,7 @@ object FunctionLib {
     "f_datetime" -> (fDatetime _), "f_interval" -> (fInterval _),
     "f_decimal" -> (fDecimal _), "f_cast" -> (fCast _),
     "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
+    "f_hash" -> (fHash _),
     "f_conditional" -> (fConditional _), "f_array" -> (fArray _),
     "f_struct" -> (fStruct _), "f_map" -> (fMap _), "f_json" -> (fJson _),
     "f_variant" -> (fVariant _), "f_url" -> (fUrl _), "f_xml" -> (fXml _),
@@ -1143,6 +1212,7 @@ object FunctionLib {
     "f_datetime" -> fDatetimeSql, "f_interval" -> fIntervalSql,
     "f_decimal" -> fDecimalSql, "f_cast" -> fCastSql,
     "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
+    "f_hash" -> fHashSql,
     "f_conditional" -> fConditionalSql, "f_array" -> fArraySql,
     "f_struct" -> fStructSql, "f_map" -> fMapSql, "f_json" -> fJsonSql,
     "f_variant" -> fVariantSql, "f_url" -> fUrlSql, "f_xml" -> fXmlSql,

@@ -1347,6 +1347,114 @@ object Relational {
       |  ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY tier ORDER BY tier""".stripMargin
 
+  // ------------------------------------------------------------- set_config
+  /** SQL `SET` / `RESET` session-variable round-trip (reference:
+    * /root/reference/datafusion/sqllogictest/test_files/set_variable.slt,
+    * options.slt): a config is set through the SQL surface, read back
+    * through `SET key`, proven to reach EXECUTION (the planned shuffle has
+    * exactly the configured partition count once AQE coalescing is off),
+    * and restored with `RESET`; the ANSI flag is flipped the same way and
+    * shown to change semantics (1/0 yields NULL instead of an error). Every
+    * value is deterministic, so the entry is fully oracled as constants.
+    * All three configs are restored in a finally — the entry leaves the
+    * session exactly as it found it (PlanAuditSpec additionally proves the
+    * ANSI error under the restored default). */
+  def setConfig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def get(k: String): String = spark.sql(s"SET $k").head().getString(1)
+    val sp = "spark.sql.shuffle.partitions"
+    val ansi = "spark.sql.ansi.enabled"
+    val aqe = "spark.sql.adaptive.enabled"
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    // the builder default is cpu-count (environment-dependent), so the
+    // round-trip rows record RELATIONS to it (restored? yes/no), never the
+    // raw value — the oracle constants must hold on any machine
+    val default = get(sp)
+    try {
+      spark.sql(s"SET $sp=7")
+      spark.sql(s"SET $aqe=false")
+      spark.sql(s"SET $ansi=false")
+      buf += (("set", sp, get(sp)))
+      val parts = Tables.t(spark, dir, "orders")
+        .groupBy("o_orderstatus").count().rdd.getNumPartitions
+      buf += (("observed_shuffle_parts", sp, parts.toString))
+      val div = spark.sql("SELECT 1/0 AS d").head()
+      buf += (("ansi_off_div0", ansi,
+        if (div.isNullAt(0)) "null" else div.get(0).toString))
+    } finally {
+      spark.sql(s"RESET $sp"); spark.sql(s"RESET $aqe"); spark.sql(s"RESET $ansi")
+    }
+    buf += (("reset_restored_default", sp, (get(sp) == default).toString))
+    buf += (("ansi_restored", ansi, get(ansi)))
+    buf.toSeq.toDF("step", "conf_key", "conf_val").orderBy("step")
+  }
+
+  val setConfigSql: String =
+    """SELECT * FROM (VALUES
+      |  ('ansi_off_div0', 'spark.sql.ansi.enabled', 'null'),
+      |  ('ansi_restored', 'spark.sql.ansi.enabled', 'true'),
+      |  ('observed_shuffle_parts', 'spark.sql.shuffle.partitions', '7'),
+      |  ('reset_restored_default', 'spark.sql.shuffle.partitions', 'true'),
+      |  ('set', 'spark.sql.shuffle.partitions', '7')
+      |) AS t(step, conf_key, conf_val) ORDER BY step""".stripMargin
+
+  // ------------------------------------------------------------- ident_norm
+  /** Identifier normalization (reference:
+    * /root/reference/datafusion/sqllogictest/test_files/
+    * ident_normalization.slt, identifiers.slt): quoted mixed-case
+    * identifiers — including one with an embedded space — created by a
+    * subquery, then resolved BOTH quoted-exact and unquoted-lower-case.
+    * Both engines resolve identifiers case-insensitively (Spark:
+    * spark.sql.caseSensitive=false default; DuckDB: case-insensitive
+    * lookup with case-preserving storage), which the shared SQL pins.
+    * Spark's ANSI double-quoted-identifier mode is enabled only for the
+    * eager parse/analyze of this one statement and restored immediately
+    * (double quotes otherwise read as string literals), so the SAME text
+    * runs on both engines — the srt_nulls dialect-trap pattern. */
+  def identNorm(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val prior = spark.conf.get(key, "false")
+    try {
+      spark.conf.set(key, "true")
+      spark.sql(identNormSql) // parse + analysis happen eagerly here
+    } finally spark.conf.set(key, prior)
+  }
+
+  val identNormSql: String =
+    """SELECT "MC"."OrderKey" AS ok,
+      |       mc.orderkey AS ok_ci,
+      |       "MC"."Total Price" AS total_price
+      |FROM (SELECT o_orderkey AS "OrderKey",
+      |             round(o_totalprice, 2) AS "Total Price"
+      |      FROM orders WHERE o_orderkey <= 64) AS "MC"
+      |ORDER BY ok""".stripMargin
+
+  // ------------------------------------------------------------- s_wildcard
+  /** Wildcard variants (reference:
+    * /root/reference/datafusion/sqllogictest/test_files/wildcard.slt):
+    * qualified `n.*` in the select list and star-expansion INSIDE an
+    * expression (`concat_ws('|', n.*)` — the analyzer expands the star to
+    * the relation's columns as function arguments). The oracle spells the
+    * expansion explicitly, so DuckDB recomputes the same packed string
+    * without needing star-in-argument support — hash-green proof that
+    * Spark's expansion order is the declared column order. Narrow,
+    * broadcast-joined, codegen'd. */
+  def sWildcard(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT n.*, r.r_name,
+        |  concat_ws('|', n.*) AS packed
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  val sWildcardSql: String =
+    """SELECT n.*, r.r_name,
+      |  concat_ws('|', n_nationkey, n_name, n_regionkey) AS packed
+      |FROM nation n JOIN region r ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
   private def viaSql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
 
@@ -1383,6 +1491,8 @@ object Relational {
     "ddl_view" -> (ddlView _), "ddl_insert" -> (ddlInsert _),
     "ddl_function" -> (ddlFunction _),
     "ddl_info_schema" -> (ddlInfoSchema _),
+    "set_config" -> (setConfig _), "ident_norm" -> (identNorm _),
+    "s_wildcard" -> (sWildcard _),
     "s_limit_offset" -> (sLimitOffset _))
 
   val oracle: Map[String, String] = Map(
@@ -1416,5 +1526,7 @@ object Relational {
     "ddl_bucketed" -> ddlBucketedSql,
     "ddl_view" -> ddlViewSql, "ddl_insert" -> ddlInsertSql,
     "ddl_function" -> ddlFunctionSql,
+    "set_config" -> setConfigSql, "ident_norm" -> identNormSql,
+    "s_wildcard" -> sWildcardSql,
     "s_limit_offset" -> sLimitOffsetSql)
 }

@@ -665,6 +665,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sp.contains("ts#"), s"eliminated sort still reads its column:\n$sp")
   }
 
+  test("set_config: a session config materially changes execution, and the entry restores it") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val sp = "spark.sql.shuffle.partitions"
+    val aqe = "spark.sql.adaptive.enabled"
+    val priorSp = spark.conf.get(sp)
+    val priorAqe = spark.conf.get(aqe)
+    try {
+      // the configured partition count must be what the exchange executes
+      // with — proven at the RDD level (AQE coalescing off so the planned
+      // and executed counts coincide)
+      spark.sql(s"SET $aqe=false")
+      spark.sql(s"SET $sp=7")
+      val agg = graft.Tables.t(spark, sf, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(agg.rdd.getNumPartitions == 7,
+        s"SET $sp=7 did not reach the exchange")
+      spark.sql(s"SET $sp=13")
+      assert(agg.rdd.getNumPartitions == 7,
+        "an analyzed plan must keep the partition count it was planned with")
+      val agg2 = graft.Tables.t(spark, sf, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(agg2.rdd.getNumPartitions == 13,
+        s"SET $sp=13 did not reach a newly planned exchange")
+    } finally {
+      spark.sql(s"RESET $sp"); spark.sql(s"RESET $aqe")
+    }
+    assert(spark.conf.get(sp) == priorSp && spark.conf.get(aqe) == priorAqe,
+      "RESET must restore the builder defaults")
+    // the ANSI flag flips SEMANTICS: 1/0 errors under the default (ansi on),
+    // yields NULL with ansi off — and the set_config ENTRY leaves the
+    // session with the default restored, which this error proves
+    Relational.setConfig(spark, sf).collect()
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val err = intercept[ArithmeticException] { // SparkArithmeticException
+      spark.sql("SELECT 1/0 AS d").collect()
+    }
+    assert(err.getMessage.contains("DIVIDE_BY_ZERO"), err.getMessage)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try assert(spark.sql("SELECT 1/0 AS d").head().isNullAt(0))
+    finally spark.sql("RESET spark.sql.ansi.enabled")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
