@@ -305,6 +305,65 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // -------------------------------------------------------------- d_semantic
+  /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication")
+    * — the corpus-level KEEP/DROP decision d_embed_dup's pairwise output
+    * doesn't make. Composition of existing machinery: the trained IVF
+    * coarse quantizer (driver-held model, Similarity.ivfQuantizer) assigns
+    * every embedding to its nearest centroid as a zero-shuffle per-row
+    * argmax; within each cell, a member is DROPPED iff a lower-vec_id
+    * member of the same cell has cosine ≥ [[SemTau]] to it (keep-min — the
+    * d_cluster representative convention; the comparator need not itself
+    * survive, matching SemDeDup's keep-one-per-group intent without a
+    * transitive-closure pass).
+    *
+    * Scale shape — this is exactly the paper's recipe: clustering bounds
+    * the candidate space to within-cell pairs (k scales with the corpus so
+    * cell size stays bounded; the paper runs ~100k clusters over LAION).
+    * The cell-keyed self-join is ONE shuffle, and both sides are the same
+    * assigned frame, so the exchange is computed once and reused
+    * (plan-audited ReusedExchange). Boundary-split duplicates (a near-dup
+    * pair straddling two cells) are missed by construction — the paper's
+    * accepted approximation; raising nprobe-style multi-assignment would
+    * trade shuffle volume for recall.
+    *
+    * Planted (d_embed_dup convention): every 10th vector re-appears
+    * ±5%-perturbed (cosine ≈ 0.9975, id + 1,000,000) and must be dropped;
+    * originals are random 64-dim vectors (pairwise cosine ≈ N(0, 1/64)·8 —
+    * nowhere near τ) and must all survive. Rows-only + hand-planted
+    * cluster spec + e2e recall/precision spec + exchange-reuse audit. */
+  val SemTau = 0.98
+
+  def dSemantic(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+          (v, i) => (v * (lit(1.0) + lit(0.05) *
+            when(i % 2 === 0, 1.0).otherwise(-1.0))).cast("float")))
+    val assigned = Similarity.assignTo(emb.union(planted),
+      Similarity.ivfQuantizer(spark, dir))
+    dSemanticOn(assigned, SemTau)
+  }
+
+  /** Core verdicts over an already cell-assigned (vec_id, embedding, cell)
+    * frame — factored so the spec can plant unambiguous clusters. */
+  private[graft] def dSemanticOn(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select("vec_id", "embedding", "cell")
+    val dup = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
+      .filter(expr("cosine_similarity(x.embedding, y.embedding)") >= lit(tau))
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    a.select("vec_id", "cell")
+      .join(dup.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(false)).as("is_semantic_dup"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------ d_incremental
   /** Incremental ingest dedup — the daily-batch shape of d_exact: a new
     * batch is admitted only where its content hash is (a) not already in
@@ -486,31 +545,7 @@ object Dedup {
     // sets concurrently; drop each superseded round as soon as the next one
     // is materialized (`raw` stays: `nodes` still reads it at the end, and
     // round-0 `edges` is a derived view of it, hence the iter > 0 guard)
-    def releaseCheckpoint(df: DataFrame): Unit = {
-      // unpersisting a local checkpoint always logs "cannot be recomputed
-      // after unpersisting" at WARN — a caution against accidental misuse
-      // that is exactly the intent here (the released round is superseded
-      // and never re-read). Silence that one logger only for the duration
-      // of the unpersist loop, restoring its prior level afterwards, so the
-      // driver-parsed bench tail stays clean (VERDICT r6) without hiding
-      // unrelated MapPartitionsRDD warnings for the rest of the JVM
-      // (ADVICE r7: the old version lowered the level permanently).
-      val loggerName = "org.apache.spark.rdd.MapPartitionsRDD"
-      val logger = org.apache.logging.log4j.LogManager.getLogger(loggerName)
-      val prior = logger.getLevel
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        loggerName, org.apache.logging.log4j.Level.ERROR)
-      try {
-        df.queryExecution.analyzed.collectLeaves().foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ =>
-        }
-      } finally {
-        org.apache.logging.log4j.core.config.Configurator.setLevel(
-          loggerName, prior)
-      }
-    }
+    def releaseCheckpoint(df: DataFrame): Unit = Checkpoints.release(df)
     var sig = checksum(edges)
     var iter = 0
     var converged = false
@@ -561,7 +596,8 @@ object Dedup {
     "d_lines" -> (dLines _),
     "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
-    "d_embed_dup" -> (dEmbedDup _), "x_fingerprint" -> (xFingerprint _),
+    "d_embed_dup" -> (dEmbedDup _), "d_semantic" -> (dSemantic _),
+    "x_fingerprint" -> (xFingerprint _),
     "d_incremental" -> (dIncremental _))
 
   val oracle: Map[String, String] = Map("d_exact" -> dExactSql,

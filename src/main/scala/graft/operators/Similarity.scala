@@ -206,7 +206,7 @@ object Similarity {
     * 2^cells expression blowup). Ties take the HIGHEST cell
     * (deterministic struct order; max_by's tie order was
     * engine-internal). */
-  private def assignTo(corpus: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignTo(corpus: DataFrame, cents: DataFrame): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val model = cents.select(col("cell"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))

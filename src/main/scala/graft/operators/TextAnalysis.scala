@@ -483,6 +483,102 @@ object TextAnalysis {
        |    / count(*), 4) AS oov_rate
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- x_bpe_train
+  /** Distributed BPE merge training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the tokenizer-training
+    * step a 100 TB text pipeline runs before x_vocab_encode can exist. The
+    * trained artifact is the ordered merge table, which is DRIVER-HELD like
+    * the PQ/IVF quantizer topologies: each round's only collect() is the
+    * single argmax row.
+    *
+    * Scale shape — the corpus is touched exactly ONCE: one explode +
+    * partial-aggregated groupBy collapses it to the (word, freq) vocabulary
+    * (~10M rows at 100 TB vs billions of documents), and all k merge rounds
+    * iterate on that vocab table. Per round: adjacent-pair counts via a
+    * narrow transform + explode + partial-aggregated sum keyed on the pair
+    * (map-side combine collapses each partition to its distinct pairs
+    * before the shuffle), a 1-row argmax collect with deterministic
+    * tie-breaks (freq DESC, left ASC, right ASC), and a narrow greedy
+    * left-to-right fold that applies the merge to every symbol sequence.
+    * Rounds are pinned with a lazy localCheckpoint (materialized by the
+    * next round's argmax action) and superseded rounds released — the
+    * d_cluster iteration convention, so expression nesting and lineage stay
+    * constant-depth across k rounds instead of stacking k lambda layers.
+    *
+    * Convention pins (the spec hand-verifies them on the classic
+    * low/lower/newest/widest corpus): words end with a `</w>` terminal
+    * symbol; pair counts include overlapping occurrences; application is
+    * greedy left-to-right (in `aaa`, merge (a,a) yields [aa, a]).
+    * Rows-only: iterative argmax training is not expressible as one DuckDB
+    * SQL statement; TextAnalysisSpec carries the hand-computed oracle. */
+  def xBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, docs(spark, dir).select(col("text")), merges = 25)
+
+  /** One corpus pass → (freq, syms) vocabulary with `</w>` terminals. */
+  private[graft] def bpeVocab(corpus: DataFrame): DataFrame =
+    corpus
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(transform(sequence(lit(1), char_length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+          array(lit("</w>"))).as("syms"))
+
+  /** Adjacent-pair counts weighted by word frequency (overlap included).
+    * Fully-merged words (a single remaining symbol) contribute no pairs and
+    * must be filtered BEFORE the index transform: `sequence(1, 0)` steps
+    * DESCENDING in Spark, so an unguarded 1-element row would index out of
+    * bounds rather than produce an empty pair list. */
+  private[graft] def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("c"))
+
+  /** Greedy left-to-right application of merge (l, r) → l+r to `syms`. */
+  private[graft] def bpeApplyMerge(vocab: DataFrame, l: String, r: String): DataFrame =
+    vocab.withColumn("syms", aggregate(
+      col("syms"),
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))))
+
+  /** Train `merges` BPE merges; returns the ordered merge table. */
+  private[graft] def bpeTrain(spark: SparkSession, corpus: DataFrame,
+      merges: Int): DataFrame = {
+    import spark.implicits._
+    var vocab = bpeVocab(corpus).localCheckpoint(eager = false)
+    var superseded: DataFrame = null
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      // model-sized collect: exactly one row — the argmax pair. This action
+      // materializes `vocab` (reading the previous round's blocks), so only
+      // AFTER it may the previous round be released.
+      val top = bpePairCounts(vocab)
+        .orderBy(desc("c"), asc("l"), asc("r")).limit(1).collect()
+      if (superseded != null) { Checkpoints.release(superseded); superseded = null }
+      if (top.isEmpty || top.head.getLong(2) < 2) exhausted = true
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        learned += ((rank, l, r, c))
+        superseded = vocab
+        vocab = bpeApplyMerge(vocab, l, r).localCheckpoint(eager = false)
+        rank += 1
+      }
+    }
+    learned.toSeq.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+  }
+
   // ------------------------------------------------------------ x_boilerplate
   /** Cross-document boilerplate detection — the corpus-level pass that
     * finds sentences repeated across many documents (nav bars, footers,
@@ -570,6 +666,7 @@ object TextAnalysis {
     "x_chunk" -> (xChunk _),
     "x_boilerplate" -> (xBoilerplate _),
     "x_vocab_encode" -> (xVocabEncode _),
+    "x_bpe_train" -> (xBpeTrain _),
     "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
     "x_sentences" -> (xSentences _), "x_top_ngrams" -> (xTopNgrams _),
     "x_unigram_lp" -> (xUnigramLp _),

@@ -216,4 +216,36 @@ class DedupSpec extends SparkSpec {
       .filter(col("cluster_id") =!= col("mn")).count()
     assert(badLabel == 0)
   }
+
+  test("d_semantic core: keep-min within planted clusters, distinct and cross-cell members survive") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val u = Seq(1f, 0f, 0f, 0f)           // cluster seed
+    val uEps = Seq(0.999f, 0.01f, 0f, 0f) // cos ~ 0.9999 to u
+    val uEps2 = Seq(0.998f, 0.02f, 0f, 0f)
+    val v = Seq(0f, 1f, 0f, 0f)           // orthogonal: cos 0 to u
+    val assigned = Seq(
+      (1L, u, 0), (2L, uEps, 0), (3L, uEps2, 0), // tight cluster in cell 0
+      (4L, v, 0),                                // distinct member, same cell
+      (5L, u, 1)                                 // identical to 1 but other cell
+    ).toDF("vec_id", "embedding", "cell")
+    val res = Dedup.dSemanticOn(assigned, 0.98).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(res == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false), res.toString)
+  }
+
+  test("d_semantic e2e: planted perturbed vectors dropped, originals all survive") {
+    val res = Dedup.dSemantic(spark, sf)
+    val planted = res.filter(col("vec_id") >= 1000000L)
+    val nPlanted = planted.count()
+    assert(nPlanted > 0)
+    val caught = planted.filter(col("is_semantic_dup")).count()
+    // recall floor, not exactness: a perturbed vector whose source sits on
+    // a cell boundary can land one cell over (the paper's accepted miss)
+    assert(caught >= (nPlanted * 0.9).toLong, s"$caught of $nPlanted planted dups caught")
+    // originals are random vectors — pairwise cosine nowhere near tau
+    val falsePos = res.filter(col("vec_id") < 1000000L && col("is_semantic_dup")).count()
+    assert(falsePos == 0, s"$falsePos originals wrongly dropped")
+  }
 }

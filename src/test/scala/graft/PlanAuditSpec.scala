@@ -665,6 +665,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sp.contains("ts#"), s"eliminated sort still reads its column:\n$sp")
   }
 
+  test("d_semantic: cell-keyed self-join — no cartesian; at scale the assigned frame shuffles once and is reused") {
+    // under defaults the tiny test corpus broadcasts one side — fine, but
+    // the join must still be KEYED on the cell (cosine only as residual)
+    val df = Dedup.dSemantic(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell candidate generation must be a keyed join:\n$p")
+    // the 100 TB shape: with broadcast off (a 100 TB assigned frame never
+    // broadcasts), both self-join inputs are the SAME subtree — the cell
+    // exchange must be computed once and reused, not re-run the argmax
+    // assignment twice over the corpus
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thr)
+    try {
+      spark.conf.set(thr, "-1")
+      val big = Dedup.dSemantic(spark, sf)
+      big.collect()
+      val bp = finalPlan(big)
+      assert(bp.contains("ReusedExchange"),
+        s"self-join shuffled the assigned frame twice:\n$bp")
+      assert(!bp.contains("CartesianProduct"), bp)
+    } finally spark.conf.set(thr, prior)
+  }
+
+  test("x_bpe_train: corpus scanned once into the vocab; merge rounds iterate on the checkpoint with partial-aggregated pair counts") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables.t(spark, sf, "documents").select(col("text"))
+    // the single corpus-wide pass: explode + one aggregation exchange
+    val vp = finalPlan {
+      val v = TextAnalysis.bpeVocab(corpus); v.collect(); v
+    }
+    assert(countOccurrences(vp, "Exchange") == 1,
+      s"vocab build must shuffle exactly once:\n$vp")
+    // per-round pair counting reads the CHECKPOINTED vocab (ExistingRDD),
+    // never the corpus files, and partial-aggregates before its exchange
+    val vocab = TextAnalysis.bpeVocab(corpus).localCheckpoint(eager = false)
+    val pc = TextAnalysis.bpePairCounts(vocab)
+    pc.collect()
+    val p = finalPlan(pc)
+    assert(p.contains("ExistingRDD"), s"pair counts must read the checkpoint:\n$p")
+    assert(!p.toLowerCase.contains("parquet"),
+      s"pair counting re-scans the corpus:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair counts are not partial-aggregated:\n$p")
+  }
+
   test("set_config: a session config materially changes execution, and the entry restores it") {
     import org.apache.spark.sql.functions.{count, lit}
     val sp = "spark.sql.shuffle.partitions"

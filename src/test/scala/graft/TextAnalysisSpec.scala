@@ -175,4 +175,37 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: chunk stitching diverges from the original text")
     }
   }
+
+  test("x_bpe_train: merges on the classic corpus match the hand-computed sequence") {
+    import spark.implicits._
+    // Sennrich et al. §3.2 example vocabulary: low×5 lower×2 newest×6 widest×3
+    val corpus = Seq(
+      ("low " * 5).trim, ("lower " * 2).trim,
+      ("newest " * 6).trim, ("widest " * 3).trim).toDF("text")
+    val merges = TextAnalysis.bpeTrain(spark, corpus, merges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // hand-computed with </w> terminals, overlap counting, ties broken
+    // (freq DESC, left ASC, right ASC):
+    //   r1 (e,s)=9 [newest 6 + widest 3]   r2 (es,t)=9   r3 (est,</w>)=9
+    //   r4 (l,o)=7 [low 5 + lower 2]       r5 (lo,w)=7
+    assert(merges.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L)), merges.mkString(", "))
+  }
+
+  test("x_bpe_train: greedy left-to-right merge application (aaa -> [aa, a])") {
+    import spark.implicits._
+    val vocab = Seq((1L, Seq("a", "a", "a"))).toDF("freq", "syms")
+    val merged = TextAnalysis.bpeApplyMerge(vocab, "a", "a")
+      .select("syms").head().getSeq[String](0)
+    assert(merged == Seq("aa", "a"), merged.mkString(","))
+  }
+
+  test("x_bpe_train: training exhausts gracefully when no pair repeats") {
+    import spark.implicits._
+    val corpus = Seq("ab", "cd", "ef").toDF("text")
+    // every adjacent pair (incl. </w> pairs) occurs once -> freq<2 stop
+    val merges = TextAnalysis.bpeTrain(spark, corpus, merges = 10).collect()
+    assert(merges.isEmpty, merges.mkString(", "))
+  }
 }
