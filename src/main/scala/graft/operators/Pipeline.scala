@@ -273,9 +273,49 @@ object Pipeline {
        |       CAST(sum(toks) AS BIGINT) AS win_toks
        |FROM c GROUP BY window_id ORDER BY window_id""".stripMargin
 
+  // ------------------------------------------------------- p_split_leakfree
+  /** Leak-free train/validation split — the contamination guard a
+    * pretraining corpus build needs before any loss is trusted: a naive
+    * `hash(doc_id)`-keyed split puts a fraction of near-duplicate PAIRS on
+    * opposite sides, so validation measures text the model effectively
+    * trained on. The fix is to assign by near-dup GROUP, not by document:
+    * [[Dedup.connectedComponents]] over the verified minhash pair graph
+    * labels every paired doc with its component (docs with no near-dup are
+    * their own group), and the deterministic md5-threshold assignment
+    * (p_sample's no-RNG convention, restart-stable) is keyed on the GROUP
+    * id — a whole component lands on one side by construction, for any
+    * chain length (near-dups are transitive in practice; pairwise guards
+    * are not enough).
+    *
+    * 100 TB shape: the pair graph covers only docs with a verified
+    * near-dup (a small corpus fraction); labeling is the audited d_cluster
+    * contraction loop; the rest is ONE hash join of (doc_id → group) back
+    * to the corpus ids plus a narrow md5 threshold — no new shuffle shape.
+    * Split threshold '19' = 25/256 ≈ 9.8% validation. Rows-only (hash
+    * pipeline); PipelineSpec proves planted near-dup pairs NEVER straddle
+    * the split while the naive doc_id-keyed split provably DOES on the
+    * same corpus, plus determinism and a sane val fraction. */
+  def pSplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Dedup.withPlantedNear(Tables.t(spark, dir, "documents"))
+    val pairs = Dedup.minhashLshPairs(Dedup.wordShingleSets(corpus), 0.5)
+    val labeled = Dedup.connectedComponents(pairs)
+    splitByGroup(corpus.select("doc_id"), labeled)
+  }
+
+  /** The split decision, factored for the spec: group = component label
+    * where one exists, else the doc itself; side = md5(group) threshold. */
+  private[graft] def splitByGroup(ids: DataFrame, labeled: DataFrame): DataFrame =
+    ids.join(labeled, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("group_id").cast("string").cast("binary")), 1, 2)
+          < lit("19"), lit("val")).otherwise(lit("train")))
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _),
-      "p_upsample" -> (pUpsample _),
+      "p_upsample" -> (pUpsample _), "p_split_leakfree" -> (pSplitLeakfree _),
       "p_token_budget" -> (pTokenBudget _), "p_pack" -> (pPack _))
 
   val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql,

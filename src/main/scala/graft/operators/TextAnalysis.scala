@@ -662,7 +662,95 @@ object TextAnalysis {
        |  CAST(least(n - chunk_id*$ChunkStride, $ChunkWindow) AS INT) AS n_chunk
        |FROM e ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ----------------------------------------------------------------- x_dsir
+  /** DSIR — data selection via importance resampling (Xie et al., NeurIPS
+    * 2023): pick raw-corpus documents whose hashed-n-gram distribution
+    * looks like a target (curated) corpus. Two bag-of-hashed-ngrams unigram
+    * models — p over the target slice, q over the raw corpus — give each
+    * document the importance weight
+    * `log w(x) = Σ_b c_b(x)·(log p[b] − log q[b])`, and selection is the
+    * paper's Gumbel top-k resampling (sampling w/o replacement ∝ w).
+    *
+    * Target slice: the "curated" sources (source id % 4 == 0 — the
+    * p_upsample convention); features: unigrams + bigrams of lowercased
+    * whitespace words hashed into B = [[DsirB]] buckets (paper: 10k).
+    *
+    * Distributed shape (the 100 TB story):
+    *  - model FIT is one explode→groupBy(bucket) pass producing ≤ B rows
+    *    (partial-aggregated map-side; both counts in one pass via a
+    *    conditional sum); the two B-sized vectors are collected — the
+    *    accepted driver-held-model topology (PQ/IVF quantizers, BPE merge
+    *    table) — Laplace-smoothed into ONE log-ratio ARRAY LITERAL;
+    *  - SCORING is fully narrow: `transform(buckets, b -> lr[b])` +
+    *    `aggregate(+)` against that literal — zero shuffle, codegen'd, no
+    *    second explode;
+    *  - SELECTION is Gumbel top-k with a DETERMINISTIC md5-derived uniform
+    *    (p_sample's no-RNG convention, restart-stable): `ORDER BY logw + g
+    *    DESC LIMIT k` = TakeOrdered — per-partition heaps, the driver
+    *    merges k·P candidate rows, never the corpus. A deployment
+    *    selecting billions of docs thresholds the same score at an
+    *    approx-quantile instead of LIMIT.
+    * Rows-only (hashed-model pipeline, not oracle-expressible);
+    * TextAnalysisSpec proves target-vocabulary enrichment of the selected
+    * set, weight ordering on planted docs, and determinism. */
+  val DsirB = 4096
+  val DsirK = 50
+
+  /** Unigram+bigram hashed feature buckets per doc (narrow, codegen'd). */
+  private[graft] def dsirFeats(d: DataFrame): DataFrame =
+    d.withColumn("ws", split(lower(col("text")), "\\s+"))
+      .withColumn("ngrams", expr(
+        "filter(concat(ws, zip_with(ws, slice(ws, 2, size(ws)), " +
+          "(a, b) -> concat(a, ' ', b))), t -> t IS NOT NULL)"))
+      .withColumn("buckets",
+        expr(s"transform(ngrams, t -> CAST(pmod(xxhash64(t), $DsirB) AS INT))"))
+
+  /** Fit both hashed-ngram models in one aggregation pass and return the
+    * Laplace-smoothed per-bucket log(p_target/q_raw). Driver-held model:
+    * the collect is ≤ B rows by construction. */
+  private[graft] def dsirLogRatio(corpus: DataFrame, isTarget: Column): Array[Double] = {
+    val counts = dsirFeats(corpus)
+      .select(explode(col("buckets")).as("b"), isTarget.as("is_t"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tgt"))
+      .collect()
+    val raw = Array.fill(DsirB)(0L)
+    val tgt = Array.fill(DsirB)(0L)
+    counts.foreach { r =>
+      val b = r.getInt(0); raw(b) = r.getLong(1); tgt(b) = r.getLong(2)
+    }
+    val nRaw = raw.sum.toDouble + DsirB
+    val nTgt = tgt.sum.toDouble + DsirB
+    Array.tabulate(DsirB) { b =>
+      math.log((tgt(b) + 1L) / nTgt) - math.log((raw(b) + 1L) / nRaw)
+    }
+  }
+
+  /** Score + Gumbel-top-k select against a fitted log-ratio model. */
+  private[graft] def dsirSelect(corpus: DataFrame, lr: Array[Double], k: Int): DataFrame = {
+    val lrLit = typedLit(lr.toSeq)
+    // deterministic uniform in (0,1] from md5(doc_id); 15 hex chars = 60 bits
+    val u = greatest(
+      expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS DOUBLE)")
+        / lit(math.pow(2, 60)), lit(1e-12))
+    val scored = dsirFeats(corpus)
+      .withColumn("logw", aggregate(col("buckets"), lit(0.0),
+        (acc, b) => acc + element_at(lrLit, b + 1)))
+      .withColumn("score", col("logw") - log(-log(u)))
+    scored.orderBy(col("score").desc).limit(k)
+      .select(col("doc_id"), col("source"), round(col("logw"), 4).as("logw"))
+      .orderBy("doc_id")
+  }
+
+  def xDsir(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val isTarget = expr("CAST(substring(source, 4, 10) AS INT)") % 4 === 0
+    dsirSelect(d, dsirLogRatio(d, isTarget), DsirK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dsir" -> (xDsir _),
     "x_chunk" -> (xChunk _),
     "x_boilerplate" -> (xBoilerplate _),
     "x_vocab_encode" -> (xVocabEncode _),

@@ -99,4 +99,42 @@ class PipelineSpec extends SparkSpec {
     // lossless: every token lands in exactly one window
     assert(got.values.map(_._4).sum == docs.map(_._2).sum)
   }
+
+  test("p_split_leakfree: planted near-dup pairs never straddle the split; " +
+    "the naive doc_id split provably does") {
+    val out = Pipeline.pSplitLeakfree(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // withPlantedNear: every 10th doc re-appears under id+1000000 with ~0.9
+    // Jaccard — each such pair MUST land on one side
+    val planted = out.keys.filter(_ >= 1000000L).map(id => (id - 1000000L, id))
+    assert(planted.nonEmpty, "corpus must contain planted near-dup pairs")
+    val straddling = planted.filter { case (a, b) => out(a) != out(b) }
+    assert(straddling.isEmpty,
+      s"near-dup pairs straddle the split: ${straddling.take(5)}")
+    // negative control — the SAME corpus under a doc_id-keyed md5 split
+    // leaks: at least one planted pair lands train/val (the bug this
+    // operator exists to prevent). Same threshold, key = doc_id not group.
+    def naive(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      if (f"${h(0) & 0xff}%02x" < "19") "val" else "train"
+    }
+    val naiveStraddle = planted.count { case (a, b) => naive(a) != naive(b) }
+    assert(naiveStraddle > 0,
+      "control failed: the naive split should leak on this corpus " +
+        "(if it ever stops, re-plant with a different threshold)")
+    // sanity: both sides populated, val fraction in a plausible band
+    val valFrac = out.values.count(_ == "val").toDouble / out.size
+    assert(valFrac > 0.02 && valFrac < 0.30, s"val fraction $valFrac")
+  }
+
+  test("p_split_leakfree is deterministic and covers every doc exactly once") {
+    val a = Pipeline.pSplitLeakfree(spark, sf).collect().map(_.toSeq).toSeq
+    val b = Pipeline.pSplitLeakfree(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "split assignment must be restart-stable")
+    val nDocs = operators.Dedup
+      .withPlantedNear(Tables.t(spark, sf, "documents")).count()
+    assert(a.size.toLong == nDocs, "one split row per corpus doc")
+    assert(a.map(_.head).distinct.size == a.size, "doc_id unique")
+  }
 }

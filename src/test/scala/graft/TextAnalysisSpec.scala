@@ -208,4 +208,52 @@ class TextAnalysisSpec extends SparkSpec {
     val merges = TextAnalysis.bpeTrain(spark, corpus, merges = 10).collect()
     assert(merges.isEmpty, merges.mkString(", "))
   }
+
+  // DSIR: hand-built corpus with a distinctive target vocabulary, so the
+  // importance weights and the selection are checkable end to end.
+  private def dsirCorpus() = {
+    import spark.implicits._
+    val tgtVocab = Seq("quantum", "entangled", "qubit", "decoherence", "photon")
+    val rawVocab = Seq("invoice", "shipment", "quarterly", "ledger", "payroll")
+    def doc(words: Seq[String], n: Int): String =
+      Iterator.continually(words).flatten.take(n).mkString(" ")
+    val rows =
+      // curated/target slice: src0 and src4 (id % 4 == 0), target vocab
+      (1L to 20L).map(i => (i, doc(tgtVocab, 30), s"src${if (i % 2 == 0) 0 else 4}")) ++
+        // raw slice A: target-LOOKING docs under a raw source — should win
+        (101L to 110L).map(i => (i, doc(tgtVocab.reverse, 30), "src1")) ++
+        // raw slice B: off-distribution docs — should lose
+        (201L to 240L).map(i => (i, doc(rawVocab, 30), "src2"))
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("x_dsir weights rank target-like raw docs above off-distribution ones " +
+    "and selection is enriched accordingly") {
+    val corpus = dsirCorpus()
+    val isTarget = expr("CAST(substring(source, 4, 10) AS INT)") % 4 === 0
+    val lr = TextAnalysis.dsirLogRatio(corpus, isTarget)
+    assert(lr.length == TextAnalysis.DsirB)
+    assert(lr.forall(v => !v.isNaN && !v.isInfinite), "log-ratios must be finite")
+    // select k=10 from the 50 RAW docs only (paper setting: resample raw)
+    val raw = corpus.filter(!isTarget)
+    val sel = TextAnalysis.dsirSelect(raw, lr, 10).collect()
+    assert(sel.length == 10)
+    val ids = sel.map(_.getLong(0)).toSet
+    val tgtLike = ids.count(id => id >= 101L && id <= 110L)
+    // 10 of 50 raw docs are target-like; uniform sampling would pick 2 —
+    // DSIR must pick ALL 10 (their weights dominate by construction)
+    assert(tgtLike == 10, s"selected only $tgtLike target-like docs: $ids")
+    // weight ordering: every target-like logw > every off-distribution logw
+    val byId = sel.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId.filterKeys(_ <= 110L).values.forall(w =>
+      byId.filterKeys(_ >= 201L).values.forall(_ < w)) || byId.keys.forall(_ <= 110L))
+  }
+
+  test("x_dsir is deterministic and returns exactly k rows on the corpus") {
+    val a = TextAnalysis.xDsir(spark, sf).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.xDsir(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "md5-Gumbel selection must be restart-stable")
+    assert(a.size == TextAnalysis.DsirK)
+    assert(a.map(_.head).distinct.size == a.size, "selection w/o replacement")
+  }
 }
