@@ -188,9 +188,14 @@ object Bench {
     val qs = all.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val spreads = all.map { case (k, (_, s)) => "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
     // total stays the HEADLINE sum: the build/serve rows decompose e2e
-    // numbers already counted there — adding them would double-count
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spreads,"runs":3,"sf":"$sfDir"}"""
+    // numbers already counted there — adding them would double-count.
+    // Any failed headline query (-1) invalidates the TOTAL too: summing the
+    // survivors reads as an improvement while a benchmark is broken (round 8
+    // recorded 17.98s "beating" 19.07s with cb_h2o_gb dead — ADVICE r8).
+    val failed = results.collect { case (n, (v, _)) if v < 0 => n }
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2._1).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"queries":$qs,"spread":$spreads,"runs":3,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] noise when run via `sbt runMain`, so
     // the canonical copy goes to a file the driver can read verbatim.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

@@ -24,13 +24,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be LOUD in the artifact, not silently absent:
+    // round 8 lost 57 suites to a shared analysis error and the driver's
+    // compare — which only sees written parquet dirs — recorded a "clean"
+    // round with ~29% of the suite missing (ADVICE r8). On failure, write a
+    // one-row parquet whose schema is the error itself, so the driver's
+    // DuckDB compare records an explicit schema/hash FAIL for that key, and
+    // collect every failure into errors.json + a trailing stderr summary.
+    import spark.implicits._
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try Seq(msg).toDF("__graft_query_error__")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +63,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} of ${SparkEntry.queries.size} queries FAILED: " +
+          failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -313,12 +313,85 @@ object Pipeline {
       .select("doc_id", "group_id", "split")
       .orderBy("doc_id")
 
+  // ------------------------------------------------------------ p_stratified
+  /** Exact-quota stratified sampling — "keep exactly K docs per source",
+    * the fixed-size counterpart of p_sample's fixed-RATE mixing (eval-set
+    * carving, per-language caps, balanced fine-tune mixes all need exact
+    * counts). Selection is the K smallest salted-md5 values per stratum —
+    * content-deterministic like every sampler here (restart-stable, no RNG).
+    *
+    * The naive formulation ranks the WHOLE corpus inside each stratum —
+    * at 100 TB with few strata that is a giant skewed sort. This one is
+    * two-phase: (1) count per stratum (partial-aggregated, bytes of
+    * traffic); (2) keep only rows whose 32-bit hash prefix falls under a
+    * 3×K/n uniform-hash bound — a NARROW filter that passes ~3K rows per
+    * stratum — and rank just those. P(a stratum's bound admits < K of its
+    * n rows) is Chernoff-tiny (< e^-20 at K=10), and small strata (n ≤ 3K)
+    * degenerate to bound=1 = keep-all, so the result is deterministically
+    * identical to the naive rank (PipelineSpec proves equality; the DuckDB
+    * oracle IS the naive rank). The final window sorts ~3K rows per
+    * stratum instead of n. */
+  val StratQuota = 10
+  def pStratified(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val bound = least(lit(1.0), lit(3.0 * StratQuota) / col("n"))
+    val candidates = docs.join(broadcast(counts), "source")
+      .filter(conv(substring(col("h"), 1, 8), 16, 10).cast("double") <
+        bound * 4294967296.0)
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    candidates.withColumn("r", row_number().over(w))
+      .filter(col("r") <= StratQuota)
+      .select(col("source"), col("r"), col("doc_id"))
+      .orderBy("source", "r")
+  }
+
+  /** Oracle = the naive full rank; the two-phase plan must select the
+    * identical set. */
+  val pStratifiedSql: String =
+    """SELECT source, r, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+      |  FROM documents)
+      |WHERE r <= 10 ORDER BY source, r""".stripMargin
+
+  // ---------------------------------------------------------------- p_shard
+  /** Deterministic output sharding — the last step before a corpus ships:
+    * assign every document a stable shard id (first two hex chars of a
+    * salted md5 → 256 shards) and report per-shard balance stats. The
+    * assignment is a narrow projection (no shuffle; the training-job writer
+    * uses it as `partitionBy("shard")`, and a uniform hash keeps shard
+    * sizes within a few percent of each other regardless of doc_id or
+    * source skew — PipelineSpec pins the balance bound). Re-running the
+    * pipeline maps every doc to the SAME shard, so incremental corpus
+    * refreshes rewrite only the shards whose membership changed. */
+  def pShard(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .withColumn("shard",
+        substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 2))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  val pShardSql: String =
+    """SELECT substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _),
       "p_upsample" -> (pUpsample _), "p_split_leakfree" -> (pSplitLeakfree _),
-      "p_token_budget" -> (pTokenBudget _), "p_pack" -> (pPack _))
+      "p_token_budget" -> (pTokenBudget _), "p_pack" -> (pPack _),
+      "p_stratified" -> (pStratified _), "p_shard" -> (pShard _))
 
   val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql,
     "p_sample" -> pSampleSql, "p_upsample" -> pUpsampleSql,
-    "p_token_budget" -> pTokenBudgetSql, "p_pack" -> pPackSql)
+    "p_token_budget" -> pTokenBudgetSql, "p_pack" -> pPackSql,
+    "p_stratified" -> pStratifiedSql, "p_shard" -> pShardSql)
 }

@@ -676,6 +676,33 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  // ------------------------------------------------------------- e_hopping
+  /** Hopping (sliding) event-time windows via Spark's native `window(ts,
+    * size, slide)` — each event lands in size/slide = 4 overlapping
+    * 2-hour windows that hop every 30 minutes (rolling-rate dashboards,
+    * trailing-window feature extraction). The generator is a NARROW
+    * 4-way row expansion fused into the scan (no join against a window
+    * table), then one partial-aggregated shuffle on (window, type) — the
+    * same plan Structured Streaming shares for its sliding aggregates, so
+    * this is also the batch oracle for st_sliding. Window starts are
+    * epoch-aligned slide multiples; the DuckDB oracle reconstructs them
+    * arithmetically (floor ts to the 30-min grid, step back k slides,
+    * k = 0..3). */
+  def eHopping(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  val eHoppingSql: String =
+    """SELECT make_timestamp((epoch_us(ts) // 1800000000 - k.k) * 1800000000) AS w_start,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events CROSS JOIN range(4) AS k(k)
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
   /** Sessionization (gaps-and-islands): a new session starts after a >30 min
     * silence. One shuffle on user_id; two linear window passes; then a
     * partial-aggregatable groupBy. The canonical 100 TB formulation. */
@@ -1483,7 +1510,8 @@ object Relational {
     "t_generate_series" -> (tGenerateSeries _),
     "t_series_ts" -> (tSeriesTs _),
     "sub_scalar" -> (subScalar _), "sub_exists_in" -> (subExistsIn _),
-    "e_tumbling" -> (eTumbling _), "e_session" -> (eSession _),
+    "e_tumbling" -> (eTumbling _), "e_hopping" -> (eHopping _),
+    "e_session" -> (eSession _),
     "values_inline" -> (valuesInline _), "cte_basic" -> viaSql(cteBasicSql),
     "cte_recursive" -> viaSql(cteRecursiveSql),
     "explain_plan" -> (explainPlan _), "explain_analyze" -> (explainAnalyze _),
@@ -1520,7 +1548,8 @@ object Relational {
     "t_generate_series" -> tGenerateSeriesSql,
     "t_series_ts" -> tSeriesTsSql,
     "sub_scalar" -> subScalarSql, "sub_exists_in" -> subExistsInSql,
-    "e_tumbling" -> eTumblingSql, "e_session" -> eSessionSql,
+    "e_tumbling" -> eTumblingSql, "e_hopping" -> eHoppingSql,
+    "e_session" -> eSessionSql,
     "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql,
     "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql,
     "ddl_bucketed" -> ddlBucketedSql,

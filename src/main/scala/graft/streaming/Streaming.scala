@@ -45,6 +45,22 @@ object Streaming {
     t
   }
 
+  /** Sliding (hopping) 2h/30min windowed aggregate with a watermark — the
+    * streaming twin of batch e_hopping (Relational.eHopping), sharing the
+    * identical `window(ts, size, slide)` operator and therefore the
+    * identical window boundaries: StreamingSpec proves the closed-window
+    * output row-equal to the batch run on the same files. State per key is
+    * size/slide = 4 concurrent windows; the watermark bounds how long each
+    * stays open, so state is O(4 · #types · windows-in-watermark), constant
+    * in stream length. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Tumbling 1-hour windowed aggregate with a 1-hour watermark. */
   def tumblingAgg(events: DataFrame): DataFrame =
     events

@@ -137,4 +137,57 @@ class PipelineSpec extends SparkSpec {
     assert(a.size.toLong == nDocs, "one split row per corpus doc")
     assert(a.map(_.head).distinct.size == a.size, "doc_id unique")
   }
+
+  test("p_stratified: two-phase candidate-bounded rank equals the naive " +
+    "full rank exactly, K per stratum, deterministic") {
+    val got = Pipeline.pStratified(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // naive formulation: rank EVERY doc in each stratum, keep r <= K
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("r") <= Pipeline.StratQuota)
+      .select("source", "r", "doc_id").orderBy("source", "r")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == naive, "candidate filter changed the selection")
+    // exactly K per stratum wherever the stratum has >= K docs
+    val counts = Tables.t(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val expect = math.min(Pipeline.StratQuota.toLong, counts(src))
+      assert(rows.size.toLong == expect, s"$src: ${rows.size} != $expect")
+    }
+    assert(got == Pipeline.pStratified(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq,
+      "selection must be restart-stable")
+  }
+
+  test("p_shard: assignment is a narrow projection, shards balanced, " +
+    "every doc counted once") {
+    val out = Pipeline.pShard(spark, sf).collect()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "every doc in exactly one shard")
+    // uniform md5 prefix → shard sizes concentrate around n/256; at small n
+    // allow a generous Poisson-ish band rather than a tight percent bound
+    val mean = nDocs.toDouble / 256
+    val maxShard = out.map(_.getLong(1)).max.toDouble
+    assert(maxShard < mean + 6 * math.sqrt(mean) + 6,
+      s"shard skew: max $maxShard vs mean $mean")
+    // shard ids are 2-char hex and stable across runs
+    assert(out.forall(_.getString(0).matches("[0-9a-f]{2}")))
+    val again = Pipeline.pShard(spark, sf).collect().map(_.toSeq).toSeq
+    assert(out.map(_.toSeq).toSeq == again, "sharding must be restart-stable")
+    // scale shape: the per-doc assignment itself must not shuffle — project
+    // + filter only between the scan and the doc->shard map
+    val assignPlan = Tables.t(spark, sf, "documents")
+      .withColumn("shard", substring(
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 2))
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"),
+      "shard assignment must be narrow (writer partitions by it)")
+  }
 }

@@ -52,6 +52,24 @@ class RelationalSpec extends SparkSpec {
     assert(bad == 0, "session longer than n_events * gap bound")
   }
 
+  test("e_hopping: every event lands in exactly size/slide = 4 overlapping " +
+    "windows; each window spans the events it counts") {
+    val hop = Relational.eHopping(spark, sf)
+    val nEvents = Tables.t(spark, sf, "events").count()
+    assert(hop.agg(sum("n")).collect().head.getLong(0) == 4 * nEvents,
+      "2h/30min hopping must multiply event mass by exactly 4")
+    // window starts sit on the 30-min grid
+    val offGrid = hop.filter(unix_micros(col("w_start")) % 1800000000L =!= 0)
+    assert(offGrid.count() == 0, "window starts must be slide-aligned")
+    // hopping totals per event_type equal 4x the tumbling-free totals
+    val perType = hop.groupBy("event_type").agg(sum("n").as("n4")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Tables.t(spark, sf, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perType == base.map { case (k, v) => k -> 4 * v })
+  }
+
   test("w_rank rn is a permutation within each nation") {
     val df = Relational.wRank(spark, sf)
     val perNation = df.groupBy("s_nationkey")

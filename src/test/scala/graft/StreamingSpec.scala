@@ -20,16 +20,9 @@ class StreamingSpec extends SparkSpec {
     d.toAbsolutePath.toString
   }
 
-  /** Stream of events with the same ns→µs ts conversion as Tables.events. */
-  private def eventStream: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** Stream of events with the same generation-adaptive ts conversion as
+    * Tables.events (ns-as-long OR µs-NTZ parquet, see Tables.normalizeTs). */
+  private def eventStream: DataFrame = Tables.eventsStream(spark, streamDir)
 
   private def runToMemory(df: DataFrame, name: String, mode: String): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -51,6 +44,26 @@ class StreamingSpec extends SparkSpec {
     val emitted = streamed.count()
     val total = batch.count()
     assert(emitted >= total - 10, s"only $emitted of $total windows closed")
+  }
+
+  test("st_sliding hopping-window agg matches batch e_hopping window-for-window") {
+    runToMemory(Streaming.slidingAgg(eventStream), "sliding", "append")
+    val streamed = spark.table("sliding")
+    val batch = Relational.eHopping(spark, sf)
+    // identical window(ts, size, slide) operator both sides → every closed
+    // window must agree exactly with the batch aggregate
+    val joined = streamed.as("s").join(batch.as("b"),
+      col("s.w_start") === col("b.w_start") &&
+        col("s.event_type") === col("b.event_type"))
+    assert(joined.filter(col("s.n") =!= col("b.n") ||
+      col("s.sum_value") =!= col("b.sum_value")).count() == 0)
+    // a 2h window stays open 4x longer than a tumbling one; still nearly all
+    // should close under AvailableNow + 1h watermark
+    val emitted = streamed.count()
+    val total = batch.count()
+    assert(emitted >= total - 40, s"only $emitted of $total windows closed")
+    // and nothing emitted that batch doesn't have
+    assert(emitted == joined.count(), "streamed window absent from batch")
   }
 
   test("st_enrich stream-static broadcast join equals the batch join") {
@@ -283,14 +296,7 @@ class StreamingSpec extends SparkSpec {
       StandardCopyOption.REPLACE_EXISTING)
     Files.copy(Paths.get(s"$sf/events.parquet"), d.resolve("b.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(schema)
-      .parquet(d.toAbsolutePath.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.eventsStream(spark, d.toAbsolutePath.toString)
     runToMemory(Streaming.dedupStream(stream), "dedup", "append")
     val streamed = spark.table("dedup")
     val batchN = Tables.t(spark, sf, "events").select("event_id").distinct().count()
