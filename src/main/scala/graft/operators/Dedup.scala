@@ -619,9 +619,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------ d_soft
+  /** Soft deduplication — down-WEIGHT duplicates instead of dropping them:
+    * every copy survives with sampling weight 1/n_copies, so each distinct
+    * text contributes unit total mass to the training distribution while
+    * natural-duplication signal (which copies exist, in which sources) is
+    * preserved for the loader to use. The drop-all-but-one policy (d_exact)
+    * is the degenerate case; corpus builders increasingly prefer the soft
+    * form because hard dedup measurably over-prunes high-quality boilerplate
+    * (license texts, FAQs) that SHOULD appear with bounded weight.
+    *
+    * 100 TB shape: copy counts come from the partial-aggregated groupBy on
+    * sha2(text) — a hot text (the exact row this operator targets) collapses
+    * map-side to one row per partition, and only 32-byte hashes + counts
+    * shuffle. The count table (one row per DISTINCT text) then hash-joins
+    * back on the same 32-byte key; no window over the copies, so no hot-key
+    * reducer. Weight emitted as an exact DECIMAL-free double 1.0/n. */
+  def dSoft(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedExact(docs(spark, dir))
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+    val counts = corpus.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    corpus.join(counts, "h")
+      .select(col("doc_id"), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val dSoftSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0),
+      |c AS (SELECT sha256(text) AS h, count(*) AS n_copies
+      |      FROM all_docs GROUP BY 1)
+      |SELECT doc_id, n_copies, round(CAST(1.0 AS DOUBLE) / n_copies, 6) AS weight
+      |FROM all_docs JOIN c ON sha256(all_docs.text) = c.h
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_contam" -> (dContam _), "d_cluster" -> (dCluster _),
-    "d_lines" -> (dLines _),
+    "d_lines" -> (dLines _), "d_soft" -> (dSoft _),
     "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
     "d_embed_dup" -> (dEmbedDup _), "d_semantic" -> (dSemantic _),
@@ -629,5 +666,6 @@ object Dedup {
     "d_incremental" -> (dIncremental _))
 
   val oracle: Map[String, String] = Map("d_exact" -> dExactSql,
-    "d_incremental" -> dIncrementalSql, "d_lines" -> dLinesSql)
+    "d_incremental" -> dIncrementalSql, "d_lines" -> dLinesSql,
+    "d_soft" -> dSoftSql)
 }

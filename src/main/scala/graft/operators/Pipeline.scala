@@ -384,14 +384,77 @@ object Pipeline {
       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ----------------------------------------------------------- p_curriculum
+  /** Curriculum ordering — bin the corpus into k difficulty stages for an
+    * easy→hard training schedule (difficulty here = mean word length, the
+    * cheap classic proxy; any score column slots in). The naive spelling is
+    * `ntile(k) OVER (ORDER BY difficulty)` — a GLOBAL sort pushing the
+    * whole corpus through ONE reducer (the Exchange SinglePartition shape
+    * cb_h2o_win exists to avoid). This is the distributed exact
+    * equivalent: `repartitionByRange` on the sort key yields ordered,
+    * CONTIGUOUS partitions (pinned by a lazy localCheckpoint — the
+    * p_token_budget convention, since partition ids over a sampled
+    * exchange are execution-scoped); per-partition counts (≤ #partitions
+    * rows) cumulate into offsets; global rank = offset + local
+    * row_number; the SQL ntile bucket formula — first n%k buckets get
+    * ⌈n/k⌉ rows — applied arithmetically to (rank, n). Deterministically
+    * identical to the single-reducer ntile, which IS the DuckDB oracle.
+    * (floor((r−1)·k/n)+1 is NOT that formula — it Bresenham-spreads the
+    * big buckets instead of front-loading them; n=10,k=4,r=6 gives 3 vs
+    * ntile's 2.) */
+  val CurriculumStages = 5
+  def pCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        (length(col("text")).cast("double") /
+          size(split(col("text"), " "))).as("difficulty"))
+      .repartitionByRange(32, asc("difficulty"), asc("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wOff = Window.orderBy("pid").rowsBetween(Long.MinValue, -1)
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum("pn").over(wOff), lit(0L)))
+      .withColumn("n", sum("pn").over(
+        Window.orderBy("pid").rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select("pid", "off", "n")
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(asc("difficulty"), asc("doc_id"))
+    val k = CurriculumStages
+    val q = expr(s"n div $k")
+    val rem = expr(s"n % $k")
+    val cutoff = rem * (q + lit(1L))
+    val r = col("off") + col("lrn")
+    parted.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), "pid")
+      .withColumn("stage",
+        when(r <= cutoff, floor((r - 1) / (q + lit(1L))) + 1)
+          .otherwise(rem + floor((r - cutoff - 1) / q) + 1))
+      .select(col("doc_id"), round(col("difficulty"), 4).as("difficulty"),
+        col("stage"))
+      .orderBy("doc_id")
+  }
+
+  val pCurriculumSql: String =
+    s"""SELECT doc_id, round(difficulty, 4) AS difficulty,
+       |       ntile($CurriculumStages)
+       |         OVER (ORDER BY difficulty, doc_id) AS stage
+       |FROM (SELECT doc_id,
+       |        CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+       |          AS difficulty
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _),
       "p_upsample" -> (pUpsample _), "p_split_leakfree" -> (pSplitLeakfree _),
       "p_token_budget" -> (pTokenBudget _), "p_pack" -> (pPack _),
-      "p_stratified" -> (pStratified _), "p_shard" -> (pShard _))
+      "p_stratified" -> (pStratified _), "p_shard" -> (pShard _),
+      "p_curriculum" -> (pCurriculum _))
 
   val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql,
     "p_sample" -> pSampleSql, "p_upsample" -> pUpsampleSql,
     "p_token_budget" -> pTokenBudgetSql, "p_pack" -> pPackSql,
-    "p_stratified" -> pStratifiedSql, "p_shard" -> pShardSql)
+    "p_stratified" -> pStratifiedSql, "p_shard" -> pShardSql,
+    "p_curriculum" -> pCurriculumSql)
 }

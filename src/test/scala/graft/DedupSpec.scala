@@ -267,4 +267,26 @@ class DedupSpec extends SparkSpec {
     val falsePos = res.filter(col("vec_id") < 1000000L && col("is_semantic_dup")).count()
     assert(falsePos == 0, s"$falsePos originals wrongly dropped")
   }
+
+  test("d_soft: every copy kept, each duplicate group carries unit total " +
+    "mass, planted copies weighted 1/2") {
+    val res = operators.Dedup.dSoft(spark, sf)
+    val corpus = operators.Dedup.withPlantedExact(
+      Tables.t(spark, sf, "documents"))
+    assert(res.count() == corpus.count(), "soft dedup must drop nothing")
+    // per-group mass: weight * n_copies == 1 exactly (to rounding)
+    val badMass = res
+      .filter(abs(col("weight") * col("n_copies") - 1.0) > 1e-5).count()
+    assert(badMass == 0, "group mass must be exactly 1")
+    // total mass == number of DISTINCT texts
+    val mass = res.agg(sum("weight")).collect().head.getDouble(0)
+    val distinct = corpus.select("text").distinct().count()
+    assert(math.abs(mass - distinct) < 0.01, s"total mass $mass != $distinct")
+    // a planted copy and its original both live at weight 1/2 (unless the
+    // text also duplicates naturally — then both weights are 1/n < 1/2)
+    val planted = res.filter(col("doc_id") >= 2000000L)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("weight") > 0.5).count() == 0,
+      "planted copies can never carry more than half weight")
+  }
 }

@@ -166,6 +166,29 @@ class PipelineSpec extends SparkSpec {
       "selection must be restart-stable")
   }
 
+  test("p_curriculum: distributed two-phase ntile equals the naive " +
+    "single-reducer ntile exactly; stage sizes front-load the remainder") {
+    val got = Pipeline.pCurriculum(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // naive form: one global-order ntile window (the oracle's shape)
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        (length(col("text")).cast("double") /
+          size(split(col("text"), " "))).as("difficulty"))
+      .withColumn("stage", ntile(Pipeline.CurriculumStages)
+        .over(Window.orderBy(asc("difficulty"), asc("doc_id"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == naive, "two-phase rank diverges from ntile")
+    // SQL ntile contract: first n%k buckets have ceil(n/k) rows, rest floor
+    val n = got.size; val k = Pipeline.CurriculumStages
+    val sizes = got.values.groupBy(identity).map { case (s, v) => s -> v.size }
+    (1 to k).foreach { s =>
+      val expect = if (s <= n % k) n / k + 1 else n / k
+      assert(sizes(s.toLong) == expect, s"stage $s: ${sizes(s.toLong)} != $expect")
+    }
+  }
+
   test("p_shard: assignment is a narrow projection, shards balanced, " +
     "every doc counted once") {
     val out = Pipeline.pShard(spark, sf).collect()
