@@ -189,6 +189,57 @@ object TextAnalysis {
       |    'https?://[^\s]+', '<URL>', 'g') AS scrubbed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ x_pii
+  /** Structured PII redaction with a per-category audit trail — the
+    * compliance pass a shipped corpus runs after x_scrub's email/URL sweep:
+    * phone numbers, IPv4 addresses, and 13–16-digit card-like runs each
+    * get their own placeholder AND a per-document count (the redaction
+    * report a governance review asks for — "what was removed, how much,
+    * from where"). The corpus is synthetic, so each doc gets deterministic
+    * doc_id-derived PII of all three kinds injected (same injection in the
+    * oracle); the scrubber must account for exactly those plus any natural
+    * matches. Patterns live in the Java∩RE2 dialect subset (no lookaround,
+    * no backrefs) so both engines match identically. Card runs first so a
+    * later pattern never sees partial card digits; counts are measured on
+    * the pristine injected text. Narrow regexp projection fused into the
+    * scan — zero shuffle, codegen'd. */
+  def xPii(spark: SparkSession, dir: String): DataFrame = {
+    val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val ipPat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val cardPat = "\\b(?:\\d[ -]?){13,16}\\b"
+    val injected = concat(
+      lit("tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), col("doc_id") % 256, lit("."),
+      expr("doc_id div 7") % 256, lit(".1 card 4111 1111 1111 1111 "),
+      col("text"))
+    docs(spark, dir).select(col("doc_id"),
+        regexp_count(injected, lit(phonePat)).as("n_phone"),
+        regexp_count(injected, lit(ipPat)).as("n_ip"),
+        regexp_count(injected, lit(cardPat)).as("n_card"),
+        regexp_replace(regexp_replace(regexp_replace(injected,
+          cardPat, "<CARD>"), phonePat, "<PHONE>"), ipPat, "<IP>")
+          .as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val xPiiSql: String =
+    """WITH inj AS (SELECT doc_id,
+      |  'tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |  ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) ||
+      |  '.1 card 4111 1111 1111 1111 ' || text AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+      |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ip,
+      |  CAST(len(regexp_extract_all(t, '\b(?:\d[ -]?){13,16}\b')) AS INT) AS n_card,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g'),
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+      |FROM inj ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ x_sentences
   /** Sentence segmentation stats: count + first sentence per doc. */
   def xSentences(spark: SparkSession, dir: String): DataFrame = {
@@ -756,6 +807,7 @@ object TextAnalysis {
     "x_vocab_encode" -> (xVocabEncode _),
     "x_bpe_train" -> (xBpeTrain _),
     "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
+    "x_pii" -> (xPii _),
     "x_sentences" -> (xSentences _), "x_top_ngrams" -> (xTopNgrams _),
     "x_unigram_lp" -> (xUnigramLp _),
     "x_gopher" -> (xGopher _), "x_repetition" -> (xRepetition _),
@@ -768,6 +820,7 @@ object TextAnalysis {
     "x_quality" -> xQualitySql, "x_tokcount" -> xTokcountSql,
     "x_docstats" -> xDocstatsSql,
     "x_normalize" -> xNormalizeSql, "x_scrub" -> xScrubSql,
+    "x_pii" -> xPiiSql,
     "x_sentences" -> xSentencesSql, "x_top_ngrams" -> xTopNgramsSql,
     "x_unigram_lp" -> xUnigramLpSql,
     "x_gopher" -> xGopherSql, "x_repetition" -> xRepetitionSql,

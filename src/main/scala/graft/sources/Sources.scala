@@ -389,6 +389,75 @@ object Sources {
   def compactPaths: (String, String) =
     (ioDir("events_fragmented"), ioDir("events_compacted"))
 
+  // ------------------------------------------------------------- sink_zorder
+  /** Z-order clustered layout — multi-dimensional data skipping for scans
+    * that filter on MORE than one column: bucketize each clustering dim to
+    * 10 bits, bit-interleave the buckets into one z-value (a codegen'd
+    * `aggregate()` fold — no UDF), then `repartitionByRange + sort` on it.
+    * Every output file then covers a small HYPER-RECTANGLE of the dim
+    * space instead of a full-range stripe, so parquet file/row-group
+    * min-max stats prune 2-D predicates that a single-column sort can only
+    * prune on its leading column — the lakehouse OPTIMIZE ZORDER BY
+    * maintenance job, built from Spark primitives. At 100 TB this is the
+    * layout step between p_shard and the final write: one range exchange,
+    * writers stay partition-local, and the dim min/max scaling comes from
+    * a partial-aggregated 4-scalar agg broadcast back (no collect).
+    *
+    * The entry z-orders documents by (n_chars, source-number) and returns
+    * the per-file locality MANIFEST (rows + per-dim bounding box) a table
+    * maintenance job records. Rows-only (file layout isn't SQL-expressible);
+    * SourcesSpec proves the z-layout's summed bbox area is a small fraction
+    * of a round-robin layout's and that a 2-D slice predicate touches few
+    * files. */
+  val ZorderFiles = 16
+  private def zorderDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr("CAST(substring(source, 4, 10) AS INT)").as("srcnum"))
+    val mm = d.agg(
+      min("n_chars").as("c_lo"), max("n_chars").as("c_hi"),
+      min("srcnum").as("s_lo"), max("srcnum").as("s_hi"))
+    def bucket10(x: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(lit(1023L), floor((x - lo).cast("double") * 1024.0 /
+        (hi - lo + 1).cast("double")).cast("long"))
+    d.crossJoin(broadcast(mm))
+      .withColumn("cb", bucket10(col("n_chars"), col("c_lo"), col("c_hi")))
+      .withColumn("sb", bucket10(col("srcnum"), col("s_lo"), col("s_hi")))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 9), 0L, (acc, i) -> acc
+          |  + shiftleft(shiftright(cb, i) & 1L, i + i)
+          |  + shiftleft(shiftright(sb, i) & 1L, i + i + 1))""".stripMargin))
+      .select("doc_id", "n_chars", "srcnum", "zval")
+  }
+
+  /** Write `d` as `n` files clustered by `order`, return the per-file
+    * manifest. Factored so the spec can compare layouts. */
+  private[graft] def layoutManifest(spark: SparkSession, d: DataFrame,
+      n: Int, order: Option[String], out: String): DataFrame = {
+    val parted = order match {
+      case Some(c) => d.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case None    => d.repartition(n)
+    }
+    parted.write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("n_chars").as("c_lo"), max("n_chars").as("c_hi"),
+        min("srcnum").as("s_lo"), max("srcnum").as("s_hi"))
+      .drop("file")
+      .orderBy("c_lo", "s_lo", "n_rows")
+  }
+
+  def sinkZorder(spark: SparkSession, dir: String): DataFrame =
+    layoutManifest(spark, zorderDims(spark, dir), ZorderFiles,
+      Some("zval"), ioDir("documents_zorder"))
+
+  /** The round-robin control layout, exposed for the spec. */
+  private[graft] def naiveLayout(spark: SparkSession, dir: String): DataFrame =
+    layoutManifest(spark, zorderDims(spark, dir), ZorderFiles,
+      None, ioDir("documents_rr"))
+
   // ---------------------------------------------------------- src_encrypted
   /** Encrypted parquet round trip (reference encrypted_parquet.slt) via
     * parquet modular encryption: encrypted footer ("PARE" magic — the file
@@ -501,7 +570,8 @@ object Sources {
     "sink_partitioned" -> (sinkPartitioned _),
     "sink_dynamic_overwrite" -> (sinkDynamicOverwrite _),
     "sink_compact" -> (sinkCompact _), "src_encrypted" -> (srcEncrypted _),
-    "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _))
+    "sink_csv" -> (sinkCsv _), "sink_json" -> (sinkJson _),
+    "sink_zorder" -> (sinkZorder _))
 
   val oracle: Map[String, String] = Map(
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,

@@ -302,6 +302,33 @@ class RelationalSpec extends SparkSpec {
         s"compacted files skewed: min ${sizes.min}, max ${sizes.max}")
   }
 
+  test("sink_zorder: z-clustered files cover small 2-D bboxes — summed area " +
+    "a fraction of round-robin's; a 2-D slice touches few files") {
+    val z = graft.sources.Sources.sinkZorder(spark, sf).collect()
+    val rr = graft.sources.Sources.naiveLayout(spark, sf).collect()
+    assert(z.map(_.getLong(0)).sum == Tables.t(spark, sf, "documents").count(),
+      "layout lost rows")
+    assert(z.length == graft.sources.Sources.ZorderFiles)
+    def area(r: org.apache.spark.sql.Row): Double =
+      (r.getLong(2) - r.getLong(1) + 1).toDouble *
+        (r.getInt(4) - r.getInt(3) + 1).toDouble
+    val zArea = z.map(area).sum
+    val rrArea = rr.map(area).sum
+    assert(zArea < rrArea / 2,
+      s"z-order bbox area $zArea not < half of round-robin $rrArea")
+    // 2-D slice predicate: files whose bbox intersects a quarter-range of
+    // n_chars × one source — z-layout must touch strictly fewer files
+    val (cLo, cHi) = (z.map(_.getLong(1)).min, z.map(_.getLong(2)).max)
+    val cMid = (cLo + cHi) / 2
+    def touches(r: org.apache.spark.sql.Row): Boolean =
+      r.getLong(1) <= cMid && cMid <= r.getLong(2) &&
+        r.getInt(3) <= 3 && 3 <= r.getInt(4)
+    val zTouch = z.count(touches)
+    val rrTouch = rr.count(touches)
+    assert(zTouch < rrTouch,
+      s"slice touches $zTouch z-files vs $rrTouch rr-files — no pruning win")
+  }
+
   test("src_encrypted writes genuinely encrypted parquet: PARE magic, unreadable without the crypto factory") {
     import graft.sources.Sources
     assert(Sources.srcEncrypted(spark, sf).count() > 0)
