@@ -403,15 +403,21 @@ object Pipeline {
     * big buckets instead of front-loading them; n=10,k=4,r=6 gives 3 vs
     * ntile's 2.) */
   val CurriculumStages = 5
-  def pCurriculum(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parted = Tables.t(spark, dir, "documents")
+
+  /** Pre-checkpoint range-bucketing fragment, exposed for PlanAuditSpec
+    * (the checkpoint boundary hides the range exchange from the main
+    * plan — the tokenBudgetParted convention). */
+  private[graft] def curriculumParted(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
       .select(col("doc_id"),
         (length(col("text")).cast("double") /
           size(split(col("text"), " "))).as("difficulty"))
       .repartitionByRange(32, asc("difficulty"), asc("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(false)
+
+  def pCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = curriculumParted(spark, dir).localCheckpoint(false)
     val wOff = Window.orderBy("pid").rowsBetween(Long.MinValue, -1)
     val offsets = parted.groupBy("pid").agg(count(lit(1)).as("pn"))
       .withColumn("off", coalesce(sum("pn").over(wOff), lit(0L)))

@@ -756,6 +756,82 @@ class PlanAuditSpec extends SparkSpec {
     finally spark.sql("RESET spark.sql.ansi.enabled")
   }
 
+  test("e_hopping: 4-way window expansion is narrow (Expand fused into the " +
+    "scan), one partial-aggregated shuffle, no join") {
+    val df = Relational.eHopping(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("Expand"), s"sliding windows lost the Expand plan:\n$p")
+    assert(!p.contains("Join"), s"window generation must not join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"hopping agg not partial-aggregated before its shuffle:\n$p")
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"events scanned more than once:\n$p")
+  }
+
+  test("p_curriculum: corpus ranked inside range buckets — the only " +
+    "single-partition window is the <=32-row offset summary") {
+    // pre-checkpoint fragment: the global order comes from ONE range
+    // exchange on the sort key, not a global sort into one task
+    val frag = graft.operators.Pipeline.curriculumParted(spark, sf)
+    frag.collect()
+    val fp = finalPlan(frag)
+    assert(fp.contains("rangepartitioning(difficulty"),
+      s"curriculum lost its range bucketing:\n$fp")
+    assert(!fp.contains("Exchange SinglePartition"),
+      s"range fragment must not single-partition the corpus:\n$fp")
+    // main plan: corpus row_number is partitioned by pid; the only
+    // SinglePartition exchanges feed the per-partition count summary
+    // (≤32 rows), and offsets come back via broadcast
+    val df = graft.operators.Pipeline.pCurriculum(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("hashpartitioning(pid"),
+      s"corpus rank lost its pid partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stage offsets not broadcast back:\n$p")
+  }
+
+  test("p_stratified: candidate filter is narrow off a broadcast count " +
+    "join; the rank window sees only admitted candidates") {
+    val df = graft.operators.Pipeline.pStratified(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    // per-stratum counts partial-aggregate, then broadcast back — the
+    // corpus is never shuffled just to learn its stratum sizes
+    assert(p.contains("BroadcastHashJoin"),
+      s"stratum counts not broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"stratum counts not partial-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d_soft: copy counts partial-aggregate map-side and join back " +
+    "keyed on the 32-byte hash — no window over the copies") {
+    val df = Dedup.dSoft(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("partial_count"),
+      s"sha2 copy counts not partial-aggregated:\n$p")
+    assert(!p.contains("Window"),
+      s"soft dedup must not run a window over the copies:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"count join degenerated:\n$p")
+  }
+
+  test("x_pii: redaction plus audit counts are one narrow projection — " +
+    "no shuffle before the presentation sort, one scan") {
+    val df = TextAnalysis.xPii(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"documents scanned more than once:\n$p")
+    // the ONLY exchange is the presentation orderBy's range partitioning —
+    // redaction and counting themselves are shuffle-free
+    assert(countOccurrences(p, "Exchange") <= 1,
+      s"PII redaction shuffles beyond the presentation sort:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
