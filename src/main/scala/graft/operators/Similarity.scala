@@ -618,14 +618,98 @@ object Similarity {
        |  AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) >= $RangeTau
        |ORDER BY qid, vid""".stripMargin
 
+  // ----------------------------------------------------------- n_rrf_hybrid
+  /** Hybrid retrieval — keyword and vector rankings fused with Reciprocal
+    * Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009): score(d) =
+    * Σᵣ 1/(60 + rankᵣ(d)) over each ranker's top-N pool. RRF is the
+    * standard production fusion because it needs no score calibration
+    * between retrievers — only ranks — and a document found by BOTH
+    * rankers beats one found by either alone.
+    *
+    * Both rankers here run over the shared item universe (vec_id ≡
+    * doc_id): the keyword side scores shared-distinct-word counts against
+    * the query document's word set; the vector side is the exact cosine
+    * ranker (bruteTopk). Each pools its top-N via the bounded-heap
+    * `topk_pairs` aggregate (partial-aggregated map-side, ≤ N rows per
+    * query per partition on the shuffle); fusion is a full-outer join of
+    * two q×N-row manifests — negligible at any scale, and INDEPENDENT of
+    * the rankers feeding it: at 100 TB the keyword pool comes from an
+    * inverted-index join and the vector pool from the IVFPQ tier
+    * (n_ivfpq_topk), and this fusion stage is unchanged. Absent-from-pool
+    * contributes 0 — the standard top-N RRF truncation. */
+  val RrfDamp = 60
+  val RrfPoolN = 50
+  val HybridQueries = 5
+  def nRrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("words"))
+    val kwQ = d.filter(col("doc_id") < HybridQueries)
+      .select(col("doc_id").as("qid"), col("words").as("qwords"))
+    val kwTop = topK(
+      d.crossJoin(broadcast(kwQ))
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("vid"),
+          size(array_intersect(col("words"), col("qwords")))
+            .cast("double").as("cos")), RrfPoolN)
+      .select(col("qid"), col("vid"), col("rn").as("rk"))
+    val corpus = emb(spark, dir)
+      .join(d.select(col("doc_id").as("vec_id")), "vec_id")
+    val vq = emb(spark, dir).filter(col("vec_id") < HybridQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val vecTop = bruteTopk(corpus, vq, RrfPoolN)
+      .select(col("qid"), col("vid"), col("rn").as("rv"))
+    val fused = kwTop.join(vecTop, Seq("qid", "vid"), "full_outer")
+      .select(col("qid"), col("vid"), round(
+        coalesce(lit(1.0) / (lit(RrfDamp) + col("rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfDamp) + col("rv")), lit(0.0)), 6)
+        .as("cos"))
+    topK(fused, K)
+      .select(col("qid"), col("vid"), col("cos").as("rrf"), col("rn"))
+  }
+
+  val nRrfHybridSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |             list_distinct(string_split(lower(text), ' ')) AS words
+       |           FROM documents),
+       |kwq AS (SELECT doc_id AS qid, words AS qwords FROM d
+       |        WHERE doc_id < $HybridQueries),
+       |kws AS (SELECT qid, d.doc_id AS vid,
+       |          CAST(len(list_intersect(d.words, qwords)) AS DOUBLE) AS s
+       |        FROM d, kwq WHERE d.doc_id <> qid),
+       |kwt AS (SELECT qid, vid, rk FROM (
+       |          SELECT qid, vid, row_number() OVER (PARTITION BY qid
+       |            ORDER BY s DESC, vid) AS rk FROM kws)
+       |        WHERE rk <= $RrfPoolN),
+       |vq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id < $HybridQueries),
+       |vs AS (SELECT qid, e.vec_id AS vid,
+       |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS cos
+       |       FROM embeddings e JOIN d ON e.vec_id = d.doc_id, vq
+       |       WHERE e.vec_id <> qid),
+       |vt AS (SELECT qid, vid, rv FROM (
+       |         SELECT qid, vid, row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, vid) AS rv FROM vs)
+       |       WHERE rv <= $RrfPoolN),
+       |fused AS (SELECT coalesce(kwt.qid, vt.qid) AS qid,
+       |            coalesce(kwt.vid, vt.vid) AS vid,
+       |            round(coalesce(CAST(1.0 AS DOUBLE)/($RrfDamp + rk), 0)
+       |                + coalesce(CAST(1.0 AS DOUBLE)/($RrfDamp + rv), 0), 6) AS rrf
+       |          FROM kwt FULL OUTER JOIN vt
+       |            ON kwt.qid = vt.qid AND kwt.vid = vt.vid)
+       |SELECT qid, vid, rrf, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf DESC, vid) AS rn FROM fused)
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_brute_topk" -> (nBruteTopk _), "n_lsh_topk" -> (nLshTopk _),
     "n_ivf_topk" -> (nIvfTopk _), "n_quant_topk" -> (nQuantTopk _),
     "n_pq_topk" -> (nPqTopk _), "n_ivfpq_topk" -> (nIvfpqTopk _),
-    "n_range_search" -> (nRangeSearch _),
+    "n_range_search" -> (nRangeSearch _), "n_rrf_hybrid" -> (nRrfHybrid _),
     "e_normalize" -> (eNormalize _), "e_quantize" -> (eQuantize _))
 
   val oracle: Map[String, String] = Map("n_brute_topk" -> nBruteTopkSql,
-    "n_range_search" -> nRangeSearchSql,
+    "n_range_search" -> nRangeSearchSql, "n_rrf_hybrid" -> nRrfHybridSql,
     "e_normalize" -> eNormalizeSql, "e_quantize" -> eQuantizeSql)
 }

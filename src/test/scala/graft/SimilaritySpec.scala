@@ -216,4 +216,36 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.select("vec_id").distinct().count() == n)
     assert(assigned.agg(max("cell")).collect().head.getInt(0) < Similarity.IvfCells)
   }
+
+  test("n_rrf_hybrid: K fused results per query, rank-ordered, dual-pool " +
+    "presence provably dominates single-pool, deterministic") {
+    val res = Similarity.nRrfHybrid(spark, sf01)
+    val rows = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val perQ = rows.groupBy(_._1)
+    assert(perQ.size == Similarity.HybridQueries)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.K, s"query $q: ${rs.length} results")
+      val byRn = rs.sortBy(_._4).map(_._3)
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b },
+        s"query $q: rrf not monotone in rank")
+    }
+    // with damp=60, pool=50 the score bands can't overlap: ANY doc in both
+    // pools (rrf >= 2/(60+50)) outranks ANY single-pool doc (rrf <= 1/61) —
+    // the no-calibration selling point of RRF, visible in the output bands
+    val dualFloor = 2.0 / (Similarity.RrfDamp + Similarity.RrfPoolN)
+    val singleCeil = 1.0 / (Similarity.RrfDamp + 1)
+    assert(dualFloor > singleCeil, "constants must separate the bands")
+    assert(rows.forall(r => r._3 > 0 && r._3 <= 2.0 / (Similarity.RrfDamp + 1)))
+    perQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      val firstSingle = sorted.indexWhere(_._3 <= singleCeil)
+      if (firstSingle >= 0)
+        assert(sorted.drop(firstSingle).forall(_._3 < dualFloor),
+          s"query $q: dual-pool doc ranked below a single-pool doc")
+    }
+    val again = Similarity.nRrfHybrid(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.toSeq == again.toSeq, "fusion must be deterministic")
+  }
 }
