@@ -418,11 +418,90 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------- m_phash_dedup
+  /** Perceptual-hash image dedup — the multimodal counterpart of d_simhash,
+    * over the REAL PPM decode path: aHash (resize to an 8×8 grid with the
+    * real nearest-neighbor kernel, threshold luma at the grid mean → 64
+    * bits), then the d_simhash chunk-pigeonhole blocking (4×16-bit chunks;
+    * hamming ≤ 3 ⇒ some chunk equal) and the native `hamming_distance`
+    * verify. aHash is what makes this PERCEPTUAL: the planted duplicates
+    * are re-encodes at 2× resolution with a +3 brightness shift and two
+    * corrupted blocks — byte-level hashing (d_exact on the payload) finds
+    * none of them, while aHash is invariant to both transforms by
+    * construction (scaling resamples the same block grid; a uniform
+    * brightness shift moves every luma AND the mean together) and the two
+    * corrupted blocks surface as hamming exactly 2.
+    *
+    * The test images are block-structured (an 8×8 pattern painted at
+    * 8m×8n resolution) so the scale-invariance claim is exact, not
+    * approximate — the spec asserts recall AND hamming values precisely.
+    * 100 TB shape: decode + hash are partition-local mapPartitions (the
+    * one imperative stage, per the multimodal charter), everything after
+    * is the audited d_simhash join geometry — blocking bounded by chunk
+    * buckets, no O(n²). */
+  def phashFrame(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      .flatMap { id =>
+        def bit(bx: Int, by: Int): Boolean =
+          (mix(id * 8191L + by * 8L + bx) & 1L) == 1L
+        def img(scale: Int, shift: Int, corrupt: Boolean): Array[Byte] = {
+          val w = 8 * (1 + (id % 2).toInt) * scale
+          val h = 8 * (1 + ((id / 2) % 2).toInt) * scale
+          encodePpm(w, h, (x, y) => {
+            val bx = x * 8 / w; val by = y * 8 / h
+            val inv = corrupt && ((bx == 0 && by == 0) || (bx == 7 && by == 7))
+            val v = (if (bit(bx, by) ^ inv) 200 else 50) + shift
+            (v, v, v)
+          })
+        }
+        val orig = Seq(id -> img(1, 0, corrupt = false))
+        if (id % 10 == 0)
+          orig :+ ((id + 3000000L) -> img(2, 3, corrupt = true))
+        else orig
+      }
+  }
+
+  /** Average hash: real resize to 8×8, luma thresholded at the grid mean. */
+  def aHash(bytes: Array[Byte]): Long = {
+    val g = resizePpmNearest(decodePpm(bytes), 8, 8)
+    val lum = Array.tabulate(64) { i =>
+      0.299 * (g.rgb(i * 3) & 0xFF) + 0.587 * (g.rgb(i * 3 + 1) & 0xFF) +
+        0.114 * (g.rgb(i * 3 + 2) & 0xFF)
+    }
+    val mean = lum.sum / 64
+    (0 until 64).foldLeft(0L)((acc, k) =>
+      if (lum(k) > mean) acc | (1L << k) else acc)
+  }
+
+  def mPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val hashes = phashFrame(spark, dir)
+      .mapPartitions(_.map { case (id, bytes) => (id, aHash(bytes)) })
+      .toDF("doc_id", "ahash")
+      // referenced twice by the chunk self-join (d_simhash convention)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = hashes.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("ahash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_id", "chunk_val")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("hamming_distance(x.ahash, y.ahash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_decode_stub" -> (mDecodeStub _), "m_resize_stub" -> (mResizeStub _),
     "m_frame_sample" -> (mFrameSample _),
     "m_image_decode" -> (mImageDecode _), "m_image_resize" -> (mImageResize _),
-    "m_audio_decode" -> (mAudioDecode _))
+    "m_audio_decode" -> (mAudioDecode _), "m_phash_dedup" -> (mPhashDedup _))
 
   val oracle: Map[String, String] = Map.empty
 }

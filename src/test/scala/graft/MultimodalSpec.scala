@@ -148,4 +148,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mAudioDecode(spark, sf).collect().map(_.toString).toSeq ==
       au.map(_.toString).toSeq)
   }
+
+  test("m_phash_dedup: every 2x-rescaled +3-brightness 2-block-corrupted " +
+    "copy found at hamming exactly 2; zero false positives") {
+    val pairs = Multimodal.mPhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val docIds = Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = docIds.filter(_ % 10 == 0)
+      .map(id => (id, id + 3000000L)).toSet
+    assert(planted.nonEmpty)
+    // recall 100%: block-aligned construction makes aHash scale/brightness
+    // invariance EXACT, so every planted pair must surface
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missed planted pairs: ${planted.diff(found).take(5)}")
+    // the two corrupted blocks are the only differing bits
+    pairs.filter(p => planted((p._1, p._2))).foreach { p =>
+      assert(p._3 == 2, s"pair $p: hamming ${p._3} != 2")
+    }
+    // precision 100%: distinct docs carry independent random 64-bit
+    // patterns — P(hamming<=3) is ~2^-45; any extra pair is a bug
+    val extras = found.diff(planted)
+    assert(extras.isEmpty, s"false-positive pairs: ${extras.take(5)}")
+    // the same copies are INVISIBLE to byte-level exact hashing — the
+    // perceptual claim, negatively controlled
+    val frame = Multimodal.phashFrame(spark, sf).collect().toMap
+    planted.take(5).foreach { case (a, b) =>
+      assert(!java.util.Arrays.equals(frame(a), frame(b)),
+        "copies must differ at byte level or the control is vacuous")
+      assert(Multimodal.aHash(frame(a)) != Multimodal.aHash(frame(b)),
+        "corrupted blocks must perturb the hash (hamming 2, not 0)")
+    }
+  }
 }
