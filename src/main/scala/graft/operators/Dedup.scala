@@ -656,9 +656,77 @@ object Dedup {
       |FROM all_docs JOIN c ON sha256(all_docs.text) = c.h
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------- d_url
+  /** URL canonicalization dedup — the web-corpus staple: the same page is
+    * crawled under cosmetically different URLs (default port, trailing
+    * slash, utm_* tracking params, fragments), and byte-level URL equality
+    * silently keeps every variant. The canonicalizer is a deterministic
+    * regexp_replace chain in the Java∩RE2 dialect subset (RE2 has no
+    * lookahead, so the port rule anchors on the following slash): strip
+    * fragment → strip utm_* params → strip the dangling separator → strip
+    * the default port → strip the trailing slash; then exact-group on the
+    * canonical form. Each synthetic doc carries one of TEN decoration
+    * variants of its group's URL (id mod 10 picks the variant), so every
+    * 10-doc group must collapse to ONE canonical page. Narrow projection +
+    * one partial-aggregated groupBy on the canonical string — the d_exact
+    * shuffle shape; at 100 TB the group key is a 32-byte hash of the
+    * canonical form (same trade as d_exact, documented there). */
+  def dUrl(spark: SparkSession, dir: String): DataFrame = {
+    val g = (col("doc_id") / 10).cast("long")
+    val base = concat(lit("https://ex"), g, lit(".com"))
+    val path = concat(lit("/p/"), g)
+    val m = col("doc_id") % 10
+    val url = concat(base,
+      when(m.isin(1, 6, 9), lit(":443")).otherwise(lit("")),
+      path,
+      when(m.isin(2, 6, 8), lit("/")).otherwise(lit("")),
+      when(m === 4, lit("?utm_source=feed"))
+        .when(m === 5, lit("?utm_medium=email#top"))
+        .when(m === 7, lit("?utm_source=a&utm_campaign=b"))
+        .when(m === 9, lit("/?utm_source=feed&utm_campaign=x#frag"))
+        .otherwise(lit("")),
+      when(m.isin(3, 8), lit("#section")).otherwise(lit("")))
+    val canon =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(url, "#.*$", ""),
+        "[?&]utm_[a-z]+=[^&#]*", ""),
+        "[?&]$", ""),
+        ":(443|80)/", "/"),
+        "/$", "")
+    docs(spark, dir).select(col("doc_id"), canon.as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("keep_id")
+  }
+
+  val dUrlSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  'https://ex' || (doc_id // 10) || '.com'
+      |  || CASE WHEN doc_id % 10 IN (1, 6, 9) THEN ':443' ELSE '' END
+      |  || '/p/' || (doc_id // 10)
+      |  || CASE WHEN doc_id % 10 IN (2, 6, 8) THEN '/' ELSE '' END
+      |  || CASE doc_id % 10
+      |       WHEN 4 THEN '?utm_source=feed'
+      |       WHEN 5 THEN '?utm_medium=email#top'
+      |       WHEN 7 THEN '?utm_source=a&utm_campaign=b'
+      |       WHEN 9 THEN '/?utm_source=feed&utm_campaign=x#frag'
+      |       ELSE '' END
+      |  || CASE WHEN doc_id % 10 IN (3, 8) THEN '#section' ELSE '' END AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(url, '#.*$', '', 'g'),
+      |    '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+      |    '[?&]$', '', 'g'),
+      |    ':(443|80)/', '/', 'g'),
+      |    '/$', '', 'g') AS url
+      |  FROM u)
+      |SELECT url, count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM c GROUP BY url ORDER BY keep_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_contam" -> (dContam _), "d_cluster" -> (dCluster _),
-    "d_lines" -> (dLines _), "d_soft" -> (dSoft _),
+    "d_lines" -> (dLines _), "d_soft" -> (dSoft _), "d_url" -> (dUrl _),
     "d_exact" -> (dExact _), "d_minhash" -> (dMinhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
     "d_embed_dup" -> (dEmbedDup _), "d_semantic" -> (dSemantic _),
@@ -667,5 +735,5 @@ object Dedup {
 
   val oracle: Map[String, String] = Map("d_exact" -> dExactSql,
     "d_incremental" -> dIncrementalSql, "d_lines" -> dLinesSql,
-    "d_soft" -> dSoftSql)
+    "d_soft" -> dSoftSql, "d_url" -> dUrlSql)
 }

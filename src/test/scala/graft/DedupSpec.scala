@@ -268,6 +268,23 @@ class DedupSpec extends SparkSpec {
     assert(falsePos == 0, s"$falsePos originals wrongly dropped")
   }
 
+  test("d_url: all ten decoration variants collapse to one canonical page " +
+    "per group; no cross-group merges") {
+    val res = operators.Dedup.dUrl(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(res.map(_._2).sum == nDocs, "every doc in exactly one group")
+    assert(res.length == math.ceil(nDocs / 10.0).toInt,
+      s"${res.length} canonical pages for $nDocs docs")
+    res.foreach { case (url, n, keep) =>
+      assert(n == 10 || keep / 10 == (nDocs - 1) / 10,
+        s"$url: $n variants (only the tail group may be short)")
+      assert(!url.contains("utm_") && !url.contains("#") &&
+        !url.contains(":443") && !url.endsWith("/"),
+        s"decoration survived canonicalization: $url")
+    }
+  }
+
   test("d_soft: every copy kept, each duplicate group carries unit total " +
     "mass, planted copies weighted 1/2") {
     val res = operators.Dedup.dSoft(spark, sf)
