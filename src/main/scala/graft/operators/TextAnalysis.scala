@@ -240,6 +240,44 @@ object TextAnalysis {
       |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
       |FROM inj ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- x_readability
+  /** Flesch reading-ease scoring — the classic document-difficulty signal
+    * quality filters and curriculum builders both consume (Flesch 1948;
+    * the C4/Gopher-era pipelines bucket on exactly this family): FRE =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with the
+    * standard vowel-group syllable estimate (runs of [aeiouy] in the
+    * lowered text — the portable approximation every large-scale pipeline
+    * uses, since true syllabification needs a dictionary). All three
+    * counts are regexp_extract_all cardinalities in the Java∩RE2 subset;
+    * sentences floor at 1 so headline-only docs don't divide by zero.
+    * Narrow projection fused into the scan — zero shuffle. */
+  def xReadability(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("double")
+    val sents = greatest(lit(1),
+      size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))).cast("double")
+    val sylls = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("double")
+    docs(spark, dir).select(col("doc_id"),
+        words.cast("int").as("n_words"),
+        sents.cast("int").as("n_sents"),
+        sylls.cast("int").as("n_sylls"),
+        round(lit(206.835) - lit(1.015) * (words / sents)
+          - lit(84.6) * (sylls / words), 4).as("fre"))
+      .orderBy("doc_id")
+  }
+
+  val xReadabilitySql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS INT) AS n_sents,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_sylls,
+      |  round(206.835
+      |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |               / greatest(1, len(regexp_extract_all(text, '[.!?]'))))
+      |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      |              / len(string_split(text, ' '))), 4) AS fre
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ x_sentences
   /** Sentence segmentation stats: count + first sentence per doc. */
   def xSentences(spark: SparkSession, dir: String): DataFrame = {
@@ -807,7 +845,7 @@ object TextAnalysis {
     "x_vocab_encode" -> (xVocabEncode _),
     "x_bpe_train" -> (xBpeTrain _),
     "x_normalize" -> (xNormalize _), "x_scrub" -> (xScrub _),
-    "x_pii" -> (xPii _),
+    "x_pii" -> (xPii _), "x_readability" -> (xReadability _),
     "x_sentences" -> (xSentences _), "x_top_ngrams" -> (xTopNgrams _),
     "x_unigram_lp" -> (xUnigramLp _),
     "x_gopher" -> (xGopher _), "x_repetition" -> (xRepetition _),
@@ -820,7 +858,7 @@ object TextAnalysis {
     "x_quality" -> xQualitySql, "x_tokcount" -> xTokcountSql,
     "x_docstats" -> xDocstatsSql,
     "x_normalize" -> xNormalizeSql, "x_scrub" -> xScrubSql,
-    "x_pii" -> xPiiSql,
+    "x_pii" -> xPiiSql, "x_readability" -> xReadabilitySql,
     "x_sentences" -> xSentencesSql, "x_top_ngrams" -> xTopNgramsSql,
     "x_unigram_lp" -> xUnigramLpSql,
     "x_gopher" -> xGopherSql, "x_repetition" -> xRepetitionSql,
