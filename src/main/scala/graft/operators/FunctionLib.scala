@@ -1185,8 +1185,39 @@ object FunctionLib {
         .as("est_distinct_users"))
   }
 
+  // ------------------------------------------------------------- a_kll_rollup
+  /** Re-aggregatable QUANTILE sketches (Spark 4.1's DataSketches KLL
+    * surface — the quantile twin of a_hll_rollup; reference
+    * approx_percentile_cont's t-digest is the one-shot form): per-day KLL
+    * sketches of the value distribution, MERGED into corpus quantiles —
+    * the rollup-table pattern that makes 100 TB percentile dashboards
+    * cheap: daily sketch rows are ~KB and mergeable with any grouping
+    * (day→week→month reuse the same sketches), while `percentile` /
+    * `approx_percentile` must re-touch raw events per question. Rows-only
+    * (sketch internals aren't portable to DuckDB); the spec bounds every
+    * estimate against the exact percentiles at KLL's documented rank
+    * error and proves the merge path agrees with a one-shot sketch. */
+  def aKllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("kll_sketch_agg_double(value)").as("sk"),
+        count(lit(1)).as("n_events"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      sum("n_events").as("n_events"),
+      round(expr(
+        "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"), 4)
+        .as("est_p50"),
+      round(expr(
+        "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.9)"), 4)
+        .as("est_p90"),
+      round(expr(
+        "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.99)"), 4)
+        .as("est_p99"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a_hll_rollup" -> (aHllRollup _),
+    "a_hll_rollup" -> (aHllRollup _), "a_kll_rollup" -> (aKllRollup _),
     "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
     "f_trig" -> (fTrig _), "f_bitwise" -> (fBitwise _),
     "f_datetime" -> (fDatetime _), "f_interval" -> (fInterval _),

@@ -90,6 +90,40 @@ class FunctionLibSpec extends SparkSpec {
       Tables.t(spark, sf01, "events").count())
   }
 
+  test("a_kll_rollup: merged daily quantile sketches land inside the exact " +
+    "rank-error band; sketch n is exact through the merge") {
+    val r = FunctionLib.aKllRollup(spark, sf01).collect().head
+    val ev = Tables.t(spark, sf01, "events")
+    def exactQ(p: Double): Double =
+      ev.agg(expr(s"percentile(value, $p)")).collect().head.getDouble(0)
+    // KLL's guarantee is on RANK, not value: the estimate must sit between
+    // the exact quantiles at p ± 3% (k=200 ⇒ ~1.65% rank error, doubled
+    // for headroom since merges compound it)
+    Seq(0.5 -> "est_p50", 0.9 -> "est_p90", 0.99 -> "est_p99").foreach {
+      case (p, c) =>
+        val est = r.getAs[Double](c)
+        val lo = exactQ(math.max(0.0, p - 0.03))
+        val hi = exactQ(math.min(1.0, p + 0.03))
+        assert(est >= lo && est <= hi, s"$c=$est outside rank band [$lo, $hi]")
+    }
+    assert(r.getAs[Long]("n_events") == ev.count())
+    // n is EXACT in a KLL sketch and must survive the daily→total merge;
+    // the one-shot sketch over raw values sits in the same rank band
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+    val merged = daily.agg(
+      expr("kll_sketch_get_n_double(kll_merge_agg_double(sk))").as("n"),
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.9)").as("q90"))
+      .collect().head
+    assert(merged.getAs[Long]("n") == ev.count(),
+      "sketch n must be exact through the merge")
+    val oneShot = ev.agg(expr(
+      "kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.9)"))
+      .collect().head.getDouble(0)
+    assert(oneShot >= exactQ(0.87) && oneShot <= exactQ(0.93),
+      s"one-shot sketch p90 $oneShot outside rank band")
+  }
+
   test("f_array set ops verified on a hand-computed row") {
     val r = FunctionLib.fArray(spark, sf).filter(col("vec_id") === 0).collect().head
     val a = r.getAs[String]("a").split(",").map(_.toInt)
