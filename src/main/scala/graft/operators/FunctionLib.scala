@@ -1216,8 +1216,39 @@ object FunctionLib {
         .as("est_p99"))
   }
 
+  // -------------------------------------------------------------- a_theta_ops
+  /** Distinct-count SET ALGEBRA via theta sketches (Spark 4.1 DataSketches
+    * theta surface) — the audience-overlap question neither plain
+    * COUNT(DISTINCT) nor HLL can answer from rollups: HLL unions but never
+    * intersects; theta sketches close the algebra (union / intersection /
+    * difference), so "users who clicked AND bought high-value" or
+    * "clicked but never bought" come from two pre-built per-segment
+    * sketch rows instead of a re-scan + self-join of raw events. Shape:
+    * one partial-aggregated pass builds both segment sketches
+    * (conditional inputs, same single scan), the set ops are scalar
+    * expressions on the two ~KB blobs. Rows-only (sketch binaries aren't
+    * DuckDB-portable); at cardinalities below the sketch's 2^lgK nominal
+    * capacity theta is provably EXACT, which the spec asserts literally
+    * against the three set-op counts. */
+  def aThetaOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+    val sketches = ev.agg(
+      expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)")
+        .as("csk"),
+      expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' AND value > 300" +
+        " THEN user_id END)").as("psk"))
+    sketches.select(
+      expr("theta_sketch_estimate(csk)").as("est_clickers"),
+      expr("theta_sketch_estimate(psk)").as("est_hi_buyers"),
+      expr("theta_sketch_estimate(theta_union(csk, psk))").as("est_either"),
+      expr("theta_sketch_estimate(theta_intersection(csk, psk))").as("est_both"),
+      expr("theta_sketch_estimate(theta_difference(csk, psk))")
+        .as("est_click_only"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_hll_rollup" -> (aHllRollup _), "a_kll_rollup" -> (aKllRollup _),
+    "a_theta_ops" -> (aThetaOps _),
     "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
     "f_trig" -> (fTrig _), "f_bitwise" -> (fBitwise _),
     "f_datetime" -> (fDatetime _), "f_interval" -> (fInterval _),

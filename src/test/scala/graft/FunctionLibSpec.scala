@@ -124,6 +124,28 @@ class FunctionLibSpec extends SparkSpec {
       s"one-shot sketch p90 $oneShot outside rank band")
   }
 
+  test("a_theta_ops: sketch set algebra EXACT below nominal capacity; " +
+    "union/intersection/difference partition consistently") {
+    val r = FunctionLib.aThetaOps(spark, sf01).collect().head
+    val ev = Tables.t(spark, sf01, "events")
+    val clickers = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val buyers = ev.filter(col("event_type") === "purchase" && col("value") > 300)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    // both audiences are far below the sketch's 2^12 nominal capacity, so
+    // theta runs in exact mode — estimates must equal the true counts
+    assert(r.getAs[Long]("est_clickers") == clickers.size.toLong)
+    assert(r.getAs[Long]("est_hi_buyers") == buyers.size.toLong)
+    assert(r.getAs[Long]("est_either") == clickers.union(buyers).size.toLong)
+    assert(r.getAs[Long]("est_both") == clickers.intersect(buyers).size.toLong)
+    assert(r.getAs[Long]("est_click_only") == clickers.diff(buyers).size.toLong)
+    // algebra self-consistency: |A∖B| + |A∩B| == |A|
+    assert(r.getAs[Long]("est_click_only") + r.getAs[Long]("est_both") ==
+      r.getAs[Long]("est_clickers"))
+    // the construction must be non-degenerate or the set ops prove nothing
+    assert(buyers.nonEmpty && buyers.size < clickers.size)
+  }
+
   test("f_array set ops verified on a hand-computed row") {
     val r = FunctionLib.fArray(spark, sf).filter(col("vec_id") === 0).collect().head
     val a = r.getAs[String]("a").split(",").map(_.toInt)
