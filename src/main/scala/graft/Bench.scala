@@ -25,7 +25,11 @@ object Bench {
     "d_cluster", "d_ngram_jaccard", "x_gopher", "x_repetition",
     "cb_h2o_gb", "p_e2e",
     "n_lsh_topk", "n_ivf_topk", "n_quant_topk", "n_pq_topk",
-    "n_ivfpq_topk")
+    "n_ivfpq_topk",
+    // round 9: one per new family — sliding windows, soft dedup, the
+    // third two-level-scan member, RRF fusion (BASELINE.md r9 records
+    // the 21-query shared subset for round-over-round comparison)
+    "e_hopping", "d_soft", "p_curriculum", "n_rrf_hybrid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
