@@ -832,6 +832,37 @@ class PlanAuditSpec extends SparkSpec {
       s"PII redaction shuffles beyond the presentation sort:\n$p")
   }
 
+  test("AQE skew join: a hot key's partition is split across tasks " +
+    "(skew=true), result unchanged") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    // one key carries ~all rows — the 100 TB boilerplate-join shape that
+    // stalls a sort-merge join on one reducer unless the engine splits it
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prior = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.range(200000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id"))
+          .as("k"), col("id").as("v"))
+      val dim = spark.range(300).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      val n = joined.count()
+      // 99% of fact rows carry k=7 (dim has it) + every 100th row k=id
+      // joins when id < 300 → 198000 + 3
+      assert(n == 198003L, s"skew join row count $n")
+      joined.collect()
+      val p = finalPlan(joined)
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join for splitting:\n$p")
+    } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
