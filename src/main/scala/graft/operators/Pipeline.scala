@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -415,6 +415,21 @@ object Pipeline {
       .repartitionByRange(32, asc("difficulty"), asc("doc_id"))
       .withColumn("pid", spark_partition_id())
 
+  /** The SQL ntile bucket of global rank `r` (1-based) among `n` rows in
+    * `k` buckets, as arithmetic: the first n%k buckets get ⌈n/k⌉ rows, the
+    * rest ⌊n/k⌋ (front-loaded remainder). When q = ⌊n/k⌋ = 0 (fewer rows
+    * than buckets) the cutoff equals n, so the otherwise-branch (and its
+    * division by q) is never taken. Factored for the exhaustive
+    * formula-equality spec — floor((r−1)k/n)+1 is a DIFFERENT function
+    * (it Bresenham-spreads the big buckets; n=10,k=4,r=6 gives 3 vs 2). */
+  private[graft] def ntileStage(r: Column, n: Column, k: Int): Column = {
+    val q = floor(n / lit(k)).cast("long")
+    val rem = n % lit(k)
+    val cutoff = rem * (q + lit(1L))
+    when(r <= cutoff, floor((r - 1) / (q + lit(1L))) + 1)
+      .otherwise(rem + floor((r - cutoff - 1) / q) + 1)
+  }
+
   def pCurriculum(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parted = curriculumParted(spark, dir).localCheckpoint(false)
@@ -426,16 +441,10 @@ object Pipeline {
       .select("pid", "off", "n")
     val wLocal = Window.partitionBy("pid")
       .orderBy(asc("difficulty"), asc("doc_id"))
-    val k = CurriculumStages
-    val q = expr(s"n div $k")
-    val rem = expr(s"n % $k")
-    val cutoff = rem * (q + lit(1L))
-    val r = col("off") + col("lrn")
     parted.withColumn("lrn", row_number().over(wLocal).cast("long"))
       .join(broadcast(offsets), "pid")
       .withColumn("stage",
-        when(r <= cutoff, floor((r - 1) / (q + lit(1L))) + 1)
-          .otherwise(rem + floor((r - cutoff - 1) / q) + 1))
+        ntileStage(col("off") + col("lrn"), col("n"), CurriculumStages))
       .select(col("doc_id"), round(col("difficulty"), 4).as("difficulty"),
         col("stage"))
       .orderBy("doc_id")

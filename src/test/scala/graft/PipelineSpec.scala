@@ -189,6 +189,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ntileStage formula equals Spark's ntile for every (n, k) up to 40x7 " +
+    "including the n < k degenerate path") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // one exhaustive frame: for each (n, k), rows r = 1..n; the corpus
+    // entry only ever exercises n >> k, so the short-corpus branch (q = 0)
+    // is proven here instead
+    (1 to 7).foreach { k =>
+      val rows = (1 to 40).flatMap(n => (1 to n).map(r => (n, r.toLong)))
+      val df = rows.toDF("n", "r")
+      val got = df.withColumn("stage",
+        Pipeline.ntileStage(col("r"), col("n"), k))
+        .collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+      (1 to 40).foreach { n =>
+        val expect = Seq.range(1, n + 1).toDF("r")
+          .withColumn("stage", ntile(k).over(Window.orderBy("r")).cast("long"))
+          .collect().map(x => x.getInt(0).toLong -> x.getLong(1)).toMap
+        (1 to n).foreach { r =>
+          assert(got((n, r.toLong)) == expect(r.toLong),
+            s"n=$n k=$k r=$r: ${got((n, r.toLong))} != ${expect(r.toLong)}")
+        }
+      }
+    }
+  }
+
   test("p_shard: assignment is a narrow projection, shards balanced, " +
     "every doc counted once") {
     val out = Pipeline.pShard(spark, sf).collect()
