@@ -460,16 +460,75 @@ object Pipeline {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- p_mix_report
+  /** Mixture accounting — the dataset card every training run publishes:
+    * per source, the raw corpus mass, the post-sampling survivors (the
+    * p_sample md5-threshold convention), the per-source epoch multiplier
+    * (the p_upsample convention), the EFFECTIVE token mass the loader will
+    * actually stream (survivor tokens × epochs), and each source's share
+    * of the final mix. This is the auditable answer to "what is this model
+    * actually trained on" — and because every input is deterministic
+    * (content-hash sampling, id-derived epochs), the report is exactly
+    * reproducible from the raw corpus at any time. One partial-aggregated
+    * shuffle on source; the share denominator is a ~#sources-row window,
+    * not a second corpus pass. */
+  def pMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
+    val thr = when(srcNum % 2 === 0, lit("3f")).otherwise(lit("bf"))
+    val epochs = when(srcNum % 4 === 0, lit(3))
+      .when(srcNum % 4 === 1, lit(2)).otherwise(lit(1))
+    val kept = substring(md5(col("text").cast("binary")), 1, 2) <= thr
+    val perSource = Tables.t(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        kept.as("kept"), epochs.as("epochs"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"), sum("toks").as("raw_toks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("toks")).otherwise(0L)).as("kept_toks"),
+        first("epochs").as("epochs"))
+      .withColumn("eff_toks", col("kept_toks") * col("epochs"))
+    perSource
+      .withColumn("share", round(col("eff_toks") /
+        sum("eff_toks").over(org.apache.spark.sql.expressions.Window
+          .partitionBy()), 6))
+      .select("source", "raw_docs", "raw_toks", "kept_docs", "kept_toks",
+        "epochs", "eff_toks", "share")
+      .orderBy("source")
+  }
+
+  val pMixReportSql: String =
+    """WITH d AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    substring(md5(text), 1, 2) <=
+      |      CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0
+      |           THEN '3f' ELSE 'bf' END AS kept,
+      |    CASE WHEN CAST(substring(source, 4, 10) AS INT) % 4 = 0 THEN 3
+      |         WHEN CAST(substring(source, 4, 10) AS INT) % 4 = 1 THEN 2
+      |         ELSE 1 END AS epochs
+      |  FROM documents),
+      |s AS (SELECT source, count(*) AS raw_docs,
+      |        CAST(sum(toks) AS BIGINT) AS raw_toks,
+      |        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |        CAST(sum(CASE WHEN kept THEN toks ELSE 0 END) AS BIGINT) AS kept_toks,
+      |        CAST(first(epochs) AS INT) AS epochs
+      |      FROM d GROUP BY source)
+      |SELECT source, raw_docs, raw_toks, kept_docs, kept_toks, epochs,
+      |  kept_toks * epochs AS eff_toks,
+      |  round(CAST(kept_toks * epochs AS DOUBLE)
+      |    / sum(kept_toks * epochs) OVER (), 6) AS share
+      |FROM s ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("p_e2e" -> (pE2e _), "p_sample" -> (pSample _),
       "p_upsample" -> (pUpsample _), "p_split_leakfree" -> (pSplitLeakfree _),
       "p_token_budget" -> (pTokenBudget _), "p_pack" -> (pPack _),
       "p_stratified" -> (pStratified _), "p_shard" -> (pShard _),
-      "p_curriculum" -> (pCurriculum _))
+      "p_curriculum" -> (pCurriculum _), "p_mix_report" -> (pMixReport _))
 
   val oracle: Map[String, String] = Map("p_e2e" -> pE2eSql,
     "p_sample" -> pSampleSql, "p_upsample" -> pUpsampleSql,
     "p_token_budget" -> pTokenBudgetSql, "p_pack" -> pPackSql,
     "p_stratified" -> pStratifiedSql, "p_shard" -> pShardSql,
-    "p_curriculum" -> pCurriculumSql)
+    "p_curriculum" -> pCurriculumSql, "p_mix_report" -> pMixReportSql)
 }

@@ -189,6 +189,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("p_mix_report: accounting consistent with the samplers it reports on " +
+    "— kept counts equal p_sample, epochs equal p_upsample, shares sum to 1") {
+    val rep = Pipeline.pMixReport(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // kept_docs per source must equal what p_sample actually keeps
+    val sampled = Pipeline.pSample(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rep.foreach { case (src, r) =>
+      assert(r.getAs[Long]("kept_docs") == sampled.getOrElse(src, 0L),
+        s"$src: kept_docs != p_sample survivors")
+    }
+    // epochs per source must equal p_upsample's max epoch index
+    val epochs = Pipeline.pUpsample(spark, sf).groupBy("source")
+      .agg(max("epoch")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    rep.foreach { case (src, r) =>
+      assert(r.getAs[Int]("epochs") == epochs(src), s"$src: epochs mismatch")
+    }
+    // effective mass = kept tokens x epochs; shares partition the mix
+    rep.values.foreach { r =>
+      assert(r.getAs[Long]("eff_toks") ==
+        r.getAs[Long]("kept_toks") * r.getAs[Int]("epochs"))
+    }
+    val shareSum = rep.values.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+  }
+
   test("ntileStage formula equals Spark's ntile for every (n, k) up to 40x7 " +
     "including the n < k degenerate path") {
     import org.apache.spark.sql.expressions.Window
