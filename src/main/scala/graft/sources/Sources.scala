@@ -66,6 +66,31 @@ object Sources {
   val srcCsvSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  // ---------------------------------------------------------------- src_orc
+  /** ORC round-trip — the second columnar format a Spark shop actually
+    * encounters (Hive-era warehouses are ORC): write customer through
+    * Spark's native vectorized ORC path with zlib compression, read it
+    * back, and hash-check the round trip against the oracle reading the
+    * original parquet — proving byte-faithful values across the format
+    * boundary. ORC shares parquet's scan virtues (column pruning,
+    * predicate pushdown on stripe/row-group stats, vectorized batches),
+    * so at 100 TB the choice is interop, not performance. */
+  def srcOrc(spark: SparkSession, dir: String): DataFrame = {
+    val out = ioDir("customer_orc")
+    Tables.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).option("compression", "zlib").orc(out)
+    spark.read.orc(out)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val srcOrcSql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |       round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // --------------------------------------------------------------- src_json
   /** NDJSON round-trip of supplier (doubles survive via full-precision
     * JSON encoding; values rounded on output for the oracle compare). */
@@ -563,6 +588,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
+    "src_orc" -> (srcOrc _),
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
     "src_arrow" -> (srcArrow _), "src_evolve" -> (srcEvolve _),
     "src_gzip" -> (srcGzip _), "src_path" -> (srcPath _),
@@ -575,6 +601,7 @@ object Sources {
 
   val oracle: Map[String, String] = Map(
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
+    "src_orc" -> srcOrcSql,
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,
     "src_arrow" -> srcArrowSql, "src_evolve" -> srcEvolveSql,
     "src_gzip" -> srcGzipSql, "src_path" -> srcPathSql,

@@ -863,6 +863,61 @@ class PlanAuditSpec extends SparkSpec {
     } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned " +
+    "fact scan at runtime (dynamicpruning in the plan)") {
+    import org.apache.spark.sql.functions.{avg, col}
+    // partitioned fact on disk — the 100 TB layout sink_partitioned writes;
+    // DPP is what makes `fact JOIN dim WHERE dim.pred` read only the
+    // partitions the dim rows name, without a static literal filter
+    val out = new java.io.File("target/ioqueries/orders_dpp").getAbsolutePath
+    val orders = Tables.t(spark, sf, "orders")
+    orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val fact = spark.read.parquet(out)
+    // the dim predicate must be on a NON-join column: a literal filter on
+    // the join key itself gets constraint-propagated into a STATIC
+    // partition filter (verified — Catalyst infers `status = F` without
+    // any runtime machinery), which is pruning but not DPP. Predicating on
+    // an aggregate makes the qualifying statuses unknowable until runtime.
+    val dim = orders.groupBy(col("o_orderstatus").as("st"))
+      .agg(avg("o_totalprice").as("avg_price"))
+      .filter(col("avg_price") > 100000.0)
+    val joined = fact.join(dim, fact("o_orderstatus") === dim("st"))
+    val n = joined.count()
+    val expect = orders.join(dim, orders("o_orderstatus") === dim("st")).count()
+    assert(n == expect, s"DPP join returned $n rows, expected $expect")
+    assert(n > 0, "degenerate: no status qualifies — lower the threshold")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"partitioned fact scan carries no dynamic pruning filter:\n$p")
+  }
+
+  test("runtime bloom filter: a selective dim filter is pushed to the fact " +
+    "side as might_contain before the shuffle") {
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // SMJ keeps the filter useful
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prior = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.t(spark, sf01, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val dim = Tables.t(spark, sf01, "orders")
+        .filter(col("o_totalprice") > 400000.0) // selective creation side
+        .select("o_orderkey")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      joined.collect()
+      val p = finalPlan(joined)
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$p")
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+        s"no bloom filter creation on the dim side:\n$p")
+    } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
