@@ -44,6 +44,27 @@ class SurveyConsistencySpec extends AnyFunSuite {
         s"${undocumented.toSeq.sorted.mkString(", ")}")
   }
 
+  test("no driver-gated query silently disappears: the registry covers " +
+    "the committed manifest") {
+    // round 8 lost 57 suites without any artifact noticing (ADVICE r8) —
+    // the manifest pins the suite list, so a vanishing entry fails HERE,
+    // in-repo, before any driver run. Intentional removals must edit
+    // scripts/registry_manifest.txt in the same commit (a reviewed,
+    // diffable act instead of a silent absence).
+    val manifest = Files.readAllLines(Paths.get("scripts/registry_manifest.txt"))
+    import scala.jdk.CollectionConverters._
+    val pinned = manifest.asScala.map(_.trim).filter(_.nonEmpty).toSet
+    assert(pinned.size > 200, s"manifest suspiciously small: ${pinned.size}")
+    val gone = pinned.diff(SparkEntry.queries.keySet)
+    assert(gone.isEmpty,
+      s"queries vanished from the registry (update the manifest if " +
+        s"intentional): ${gone.toSeq.sorted.mkString(", ")}")
+    val unpinned = SparkEntry.queries.keySet.diff(pinned)
+    assert(unpinned.isEmpty,
+      s"new queries not yet pinned — add to scripts/registry_manifest.txt: " +
+        s"${unpinned.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every oracle key has a query; oracle SQL is non-empty") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty,
