@@ -418,6 +418,128 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- m_video_decode
+  /** REAL video decode — Y4M (YUV4MPEG2), the uncompressed video container
+    * every ffmpeg pipeline can emit, and like PPM/WAV fully parseable
+    * without a codec library: a space-delimited ASCII stream header
+    * (`YUV4MPEG2 W.. H.. F..:.. ...`), then per frame a `FRAME` marker
+    * line followed by raw planar YUV 4:2:0 (Y = w·h bytes, U and V =
+    * (w/2)·(h/2) each). The decoder validates the magic, parses tagged
+    * header tokens (unknown tags skipped, per spec), walks frame markers,
+    * and checks every plane length. Completes the REAL-decoder triple:
+    * PPM image, WAV audio, Y4M video. */
+  final case class Y4mClip(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Array[Array[Byte]]) // luma planes only (chroma validated+skipped)
+
+  def encodeY4m(w: Int, h: Int, nFrames: Int,
+      luma: (Int, Int, Int) => Int): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val cw = w / 2; val ch = h / 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    var f = 0
+    while (f < nFrames) {
+      out.write(frameHdr)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out.write(luma(f, x, y) & 0xFF); x += 1 }
+        y += 1
+      }
+      // neutral chroma planes (128 = grey) — validated by length on decode
+      var i = 0
+      while (i < 2 * cw * ch) { out.write(128); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  def decodeY4m(bytes: Array[Byte]): Y4mClip = {
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, "no Y4M stream header")
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    val toks = header.split(" ")
+    require(toks.head == "YUV4MPEG2", s"bad Y4M magic: ${toks.head}")
+    var w = -1; var h = -1; var fn = 25; var fd = 1
+    toks.tail.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'F' =>
+          val p = t.drop(1).split(":"); fn = p(0).toInt; fd = p(1).toInt
+        case _ => () // Ip / A / C / X tags — valid, not needed here
+      }
+    }
+    require(w > 0 && h > 0, s"missing W/H in Y4M header: $header")
+    require(w % 2 == 0 && h % 2 == 0, "4:2:0 needs even dimensions")
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = nl + 1
+    while (i < bytes.length) {
+      var j = i
+      while (j < bytes.length && bytes(j) != '\n'.toByte) j += 1
+      val marker = new String(bytes, i, j - i, "US-ASCII")
+      require(marker.startsWith("FRAME"), s"expected FRAME marker, got '$marker'")
+      require(bytes.length - (j + 1) >= frameBytes,
+        s"truncated frame: ${bytes.length - j - 1} of $frameBytes bytes")
+      frames += java.util.Arrays.copyOfRange(bytes, j + 1, j + 1 + w * h)
+      i = j + 1 + frameBytes
+    }
+    Y4mClip(w, h, fn, fd, frames.toArray)
+  }
+
+  /** Per-doc deterministic clip: 3–6 frames of a moving gradient. */
+  def y4mFrame(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + 2 * (id % 3).toInt   // 8/10/12, even
+        val h = 8 + 2 * ((id / 3) % 2).toInt
+        val n = 3 + (id % 4).toInt
+        id -> encodeY4m(w, h, n,
+          (f, x, y) => ((mix(id) & 0x7F) + 4 * f + 2 * x + y).toInt & 0xFF)
+      })
+  }
+
+  /** m_video_decode: parse the Y4M container for real — stream header,
+    * frame markers, plane lengths — then per-clip stats a video pipeline
+    * filters on: frame count, fps, mean luma of first/last frame, and the
+    * mean absolute inter-frame luma delta (the scene-change signal).
+    * Decode is partition-local (the multimodal charter); rows-only +
+    * byte-exact round-trip and malformed-input specs. */
+  def mVideoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    y4mFrame(spark, dir)
+      .mapPartitions(_.map { case (id, payload) =>
+        val c = decodeY4m(payload)
+        def mean(p: Array[Byte]): Double = {
+          var s = 0L; var i = 0
+          while (i < p.length) { s += p(i) & 0xFF; i += 1 }
+          s.toDouble / p.length
+        }
+        var dsum = 0.0; var dn = 0
+        var f = 1
+        while (f < c.frames.length) {
+          val a = c.frames(f - 1); val b = c.frames(f)
+          var i = 0; var s = 0L
+          while (i < a.length) { s += math.abs((a(i) & 0xFF) - (b(i) & 0xFF)); i += 1 }
+          dsum += s.toDouble / a.length; dn += 1; f += 1
+        }
+        (id, c.width, c.height, c.frames.length,
+          c.fpsNum.toDouble / c.fpsDen,
+          mean(c.frames.head), mean(c.frames.last),
+          if (dn == 0) 0.0 else dsum / dn)
+      })
+      .toDF("doc_id", "width", "height", "n_frames", "fps",
+        "luma_first", "luma_last", "mean_frame_delta")
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("fps"), round(col("luma_first"), 4).as("luma_first"),
+        round(col("luma_last"), 4).as("luma_last"),
+        round(col("mean_frame_delta"), 4).as("mean_frame_delta"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------- m_phash_dedup
   /** Perceptual-hash image dedup — the multimodal counterpart of d_simhash,
     * over the REAL PPM decode path: aHash (resize to an 8×8 grid with the
@@ -501,7 +623,8 @@ object Multimodal {
     "m_decode_stub" -> (mDecodeStub _), "m_resize_stub" -> (mResizeStub _),
     "m_frame_sample" -> (mFrameSample _),
     "m_image_decode" -> (mImageDecode _), "m_image_resize" -> (mImageResize _),
-    "m_audio_decode" -> (mAudioDecode _), "m_phash_dedup" -> (mPhashDedup _))
+    "m_audio_decode" -> (mAudioDecode _), "m_phash_dedup" -> (mPhashDedup _),
+    "m_video_decode" -> (mVideoDecode _))
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -149,6 +149,54 @@ class MultimodalSpec extends SparkSpec {
       au.map(_.toString).toSeq)
   }
 
+  test("Y4M decoder round-trips a hand-built clip byte-exactly and rejects " +
+    "malformed streams") {
+    // hand-built 4x2, 2 frames: luma = f*16 + x + y
+    val clip = Multimodal.encodeY4m(4, 2, 2, (f, x, y) => f * 16 + x + y)
+    val dec = Multimodal.decodeY4m(clip)
+    assert(dec.width == 4 && dec.height == 2 && dec.frames.length == 2)
+    assert(dec.fpsNum == 25 && dec.fpsDen == 1)
+    for (f <- 0 until 2; y <- 0 until 2; x <- 0 until 4)
+      assert((dec.frames(f)(y * 4 + x) & 0xFF) == f * 16 + x + y,
+        s"luma mismatch at f=$f x=$x y=$y")
+    // malformed: bad magic, truncated frame, garbage marker
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("NOTY4M W4 H2\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(java.util.Arrays.copyOf(clip, clip.length - 3))
+    }
+    val garbage = clip.clone()
+    val fIdx = new String(clip, "ISO-8859-1").indexOf("FRAME")
+    garbage(fIdx) = 'X'.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeY4m(garbage) }
+  }
+
+  test("m_video_decode: real container walk — frame counts, fps, and the " +
+    "constant inter-frame delta of the synthetic motion") {
+    val rows = Multimodal.mVideoDecode(spark, sf).collect()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8 + 2 * (id % 3).toInt, s"doc $id width")
+      assert(r.getInt(2) == 8 + 2 * ((id / 3) % 2).toInt, s"doc $id height")
+      assert(r.getInt(3) == 3 + (id % 4).toInt, s"doc $id frame count")
+      assert(r.getDouble(4) == 25.0)
+      // luma = base + 4f + 2x + y (mod 256): wherever no wraparound occurs
+      // in the clip, consecutive frames differ by exactly 4 everywhere;
+      // wraparound rows make the delta larger, never smaller
+      assert(r.getDouble(7) >= 4.0 - 1e-9, s"doc $id delta ${r.getDouble(7)}")
+      // and last-frame mean luma exceeds first (same modulo caveat benign
+      // here: width<=12, height<=10, base<=127+4*5+2*11+9 < 256-ish; allow
+      // equality only if wraparound hit)
+      assert(r.getDouble(6) >= r.getDouble(5) - 64.0)
+    }
+    // determinism
+    assert(Multimodal.mVideoDecode(spark, sf).collect().map(_.toString).toSeq ==
+      rows.map(_.toString).toSeq)
+  }
+
   test("m_phash_dedup: every 2x-rescaled +3-brightness 2-block-corrupted " +
     "copy found at hamming exactly 2; zero false positives") {
     val pairs = Multimodal.mPhashDedup(spark, sf).collect()
