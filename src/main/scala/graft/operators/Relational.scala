@@ -440,6 +440,51 @@ object Relational {
       |                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------- w_run_distinct
+  /** Running COUNT(DISTINCT) over an ordered per-user window — "how many
+    * distinct event types has this user touched so far", the
+    * feature-engineering staple NO engine supports directly
+    * (`count(DISTINCT) OVER (ORDER BY ...)` is rejected by Spark and
+    * DuckDB alike, and the naive `collect_set` window holds every
+    * already-seen value in per-row state — memory-unbounded on a hot
+    * user). The scalable exact form is the FIRST-OCCURRENCE CUMSUM: flag
+    * each (user, type)'s earliest row, then running-sum the flags over
+    * the user's time order. One subtlety makes it ONE shuffle instead of
+    * two: the obvious first-occurrence flag (`row_number() == 1` over a
+    * (user, type) window) partitions by (user, type), which a user-only
+    * exchange cannot satisfy — Catalyst would insert a SECOND exchange
+    * for the running sum. Spelling the flag as a user-partitioned
+    * type-then-time-ordered `lag` comparison keys BOTH windows on
+    * user_id, so they share one exchange and differ only in sort
+    * (plan-audited). O(1) per-row state, any cardinality; both engines
+    * run the identical decomposition — hash-checked. */
+  def wRunDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val wType = Window.partitionBy("user_id")
+      .orderBy(asc("event_type"), asc("ts"), asc("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    ev(spark, dir)
+      .withColumn("first_seen",
+        when(coalesce(lag("event_type", 1).over(wType) =!= col("event_type"),
+          lit(true)), 1L).otherwise(0L))
+      .withColumn("run_distinct_types", sum("first_seen").over(wRun))
+      .select("user_id", "event_id", "event_type", "run_distinct_types")
+      .orderBy("event_id")
+  }
+
+  val wRunDistinctSql: String =
+    """SELECT user_id, event_id, event_type,
+      |  CAST(sum(first_seen) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS run_distinct_types
+      |FROM (SELECT *, CASE WHEN coalesce(lag(event_type, 1) OVER (
+      |        PARTITION BY user_id ORDER BY event_type, ts, event_id)
+      |        <> event_type, true)
+      |      THEN 1 ELSE 0 END AS first_seen
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   /** GROUP BY ALL + DISTINCT aggregates (reference group_by.slt:1945-1969,
     * aggregate.slt DISTINCT forms): the keys are inferred as every
     * non-aggregate select item — same text runs in both engines — and the
@@ -1498,6 +1543,7 @@ object Relational {
     "s_distinct_on" -> (sDistinctOn _), "srt_lineitem" -> (srtLineitem _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_named" -> viaSql(wNamedSql),
+    "w_run_distinct" -> (wRunDistinct _),
     "j_natural" -> viaSql(jNaturalSql), "srt_nulls" -> viaSql(srtNullsSql),
     "w_qualify" -> (wQualify _),
     "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
@@ -1536,6 +1582,7 @@ object Relational {
     "s_distinct_on" -> sDistinctOnSql, "srt_lineitem" -> srtLineitemSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_named" -> wNamedSql,
+    "w_run_distinct" -> wRunDistinctSql,
     "j_natural" -> jNaturalSql, "srt_nulls" -> srtNullsSql,
     "w_qualify" -> wQualifySql,
     "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,

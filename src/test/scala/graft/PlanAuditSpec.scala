@@ -918,6 +918,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("w_run_distinct: both windows share ONE user-keyed exchange — the " +
+    "lag-based flag avoids the (user,type) repartition") {
+    val df = Relational.wRunDistinct(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"first-occurrence flag forced a second hash exchange:\n$p")
+    assert(countOccurrences(p, "Scan parquet") == 1, p)
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
