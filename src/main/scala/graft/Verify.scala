@@ -36,8 +36,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Several operators persist() an intermediate that is referenced
+        // twice inside one query (minhash shingle sets, simhash/phash
+        // hash frames). Those entries are useless once the query's parquet
+        // is written, but live for the whole 222-query session otherwise
+        // (ADVICE r4/r9 flagged the accumulation). Dropping the cache
+        // between queries closes the class; each query still gets its
+        // within-query reuse.
+        spark.catalog.clearCache()
+      }
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         failures(name) = msg

@@ -662,10 +662,14 @@ object Dedup {
     * slash, utm_* tracking params, fragments), and byte-level URL equality
     * silently keeps every variant. The canonicalizer is a deterministic
     * regexp_replace chain in the Java∩RE2 dialect subset (RE2 has no
-    * lookahead, so the port rule anchors on the following slash): strip
+    * lookahead, so the port rule captures the char after the port — a
+    * slash or end-of-authority — instead of asserting it): strip
     * fragment → strip utm_* params → strip the dangling separator → strip
-    * the default port → strip the trailing slash; then exact-group on the
-    * canonical form. Each synthetic doc carries one of TEN decoration
+    * the SCHEME'S default port (443 only for https, 80 only for http —
+    * `https://h:80/p` is a distinct origin and is kept; the port is
+    * stripped with or without a following path) → strip the trailing
+    * slash; then exact-group on the canonical form. Each synthetic doc
+    * carries one of TEN decoration
     * variants of its group's URL (id mod 10 picks the variant), so every
     * 10-doc group must collapse to ONE canonical page. Narrow projection +
     * one partial-aggregated groupBy on the canonical string — the d_exact
@@ -687,11 +691,12 @@ object Dedup {
         .otherwise(lit("")),
       when(m.isin(3, 8), lit("#section")).otherwise(lit("")))
     val canon =
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         regexp_replace(url, "#.*$", ""),
         "[?&]utm_[a-z]+=[^&#]*", ""),
         "[?&]$", ""),
-        ":(443|80)/", "/"),
+        "^(https://[^/:]+):443(/|$)", "$1$2"),
+        "^(http://[^/:]+):80(/|$)", "$1$2"),
         "/$", "")
     docs(spark, dir).select(col("doc_id"), canon.as("url"))
       .groupBy("url")
@@ -714,11 +719,12 @@ object Dedup {
       |  || CASE WHEN doc_id % 10 IN (3, 8) THEN '#section' ELSE '' END AS url
       |  FROM documents),
       |c AS (SELECT doc_id,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |    regexp_replace(url, '#.*$', '', 'g'),
       |    '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
       |    '[?&]$', '', 'g'),
-      |    ':(443|80)/', '/', 'g'),
+      |    '^(https://[^/:]+):443(/|$)', '\1\2'),
+      |    '^(http://[^/:]+):80(/|$)', '\1\2'),
       |    '/$', '', 'g') AS url
       |  FROM u)
       |SELECT url, count(*) AS n_docs, min(doc_id) AS keep_id

@@ -608,7 +608,7 @@ object Multimodal {
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("ahash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_id", "chunk_val")))
-    chunks.as("x").join(chunks.as("y"),
+    val pairs = chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -617,6 +617,14 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+    // The persisted hash frame (corpus-sized: one long per image) must not
+    // outlive the query — ADVICE r9 flagged the session-lifetime leak in a
+    // long Verify run. Materialize the (tiny, dup-pairs-sized) result once
+    // via an eager localCheckpoint, then release the hash frame; the
+    // returned plan reads only the checkpointed blocks.
+    val out = pairs.localCheckpoint(eager = true)
+    hashes.unpersist(blocking = false)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -325,28 +325,61 @@ object Pipeline {
     * two-phase: (1) count per stratum (partial-aggregated, bytes of
     * traffic); (2) keep only rows whose 32-bit hash prefix falls under a
     * 3×K/n uniform-hash bound — a NARROW filter that passes ~3K rows per
-    * stratum — and rank just those. P(a stratum's bound admits < K of its
-    * n rows) is Chernoff-tiny (< e^-20 at K=10), and small strata (n ≤ 3K)
-    * degenerate to bound=1 = keep-all, so the result is deterministically
-    * identical to the naive rank (PipelineSpec proves equality; the DuckDB
-    * oracle IS the naive rank). The final window sorts ~3K rows per
-    * stratum instead of n. */
+    * stratum — and rank just those. Small strata (n ≤ 3K) degenerate to
+    * bound=1 = keep-all. For a large stratum the admitted count is
+    * ~Binomial(n, 3K/n) ≈ Poisson(3K); at K=10 that is Poisson(30), and
+    * P(admitted < 10) ≈ 1e-5 per stratum (Chernoff ≈ e^-6.7) — rare but
+    * NOT negligible on a corpus with millions of strata (ADVICE r9
+    * corrected the earlier e^-20 claim), so the plan carries a runtime
+    * GUARD instead of trusting the bound: per-stratum admitted counts are
+    * compared against min(K, n), and any shortfall stratum is re-ranked
+    * from the FULL corpus (its naive rank), restoring exact equality with
+    * the naive formulation for every input. The guard is declarative —
+    * the shortfall list is a per-stratum aggregate (bytes), broadcast
+    * into a semi-join against the corpus; when it is empty (the ~always
+    * case) AQE's empty-relation propagation collapses the fallback branch
+    * without ever scanning the corpus a second time, so the healthy-path
+    * plan is unchanged. PipelineSpec proves equality on the gate data AND
+    * on a forced-shortfall bound where the fallback must fire. The final
+    * window sorts ~3K rows per stratum instead of n. */
   val StratQuota = 10
-  def pStratified(spark: SparkSession, dir: String): DataFrame = {
+  def pStratified(spark: SparkSession, dir: String): DataFrame =
+    pStratifiedWithBound(spark, dir, 3.0)
+
+  /** The bound multiplier is a parameter only so the spec can force the
+    * admitted-candidate shortfall path (mult < 1 starves large strata). */
+  private[graft] def pStratifiedWithBound(
+      spark: SparkSession, dir: String, mult: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
-    val bound = least(lit(1.0), lit(3.0 * StratQuota) / col("n"))
+    val bound = least(lit(1.0), lit(mult * StratQuota) / col("n"))
     val candidates = docs.join(broadcast(counts), "source")
       .filter(conv(substring(col("h"), 1, 8), 16, 10).cast("double") <
         bound * 4294967296.0)
+    // Guard: strata whose admitted candidate count fell below min(K, n)
+    // cannot honor the exact-quota contract from candidates alone. LEFT
+    // join from counts so a stratum with ZERO admitted rows (absent from
+    // the candidates aggregate entirely) is still caught.
+    val admitted = candidates.groupBy("source").agg(count(lit(1)).as("adm"))
+    val short = counts.join(admitted, Seq("source"), "left")
+      .filter(coalesce(col("adm"), lit(0L)) <
+        least(lit(StratQuota.toLong), col("n")))
+      .select("source")
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
-    candidates.withColumn("r", row_number().over(w))
+    val healthy = candidates
+      .join(broadcast(short), Seq("source"), "left_anti")
+      .withColumn("r", row_number().over(w))
       .filter(col("r") <= StratQuota)
       .select(col("source"), col("r"), col("doc_id"))
-      .orderBy("source", "r")
+    val fallback = docs
+      .join(broadcast(short), Seq("source"), "left_semi")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= StratQuota)
+      .select(col("source"), col("r"), col("doc_id"))
+    healthy.unionAll(fallback).orderBy("source", "r")
   }
 
   /** Oracle = the naive full rank; the two-phase plan must select the

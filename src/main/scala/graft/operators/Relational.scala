@@ -456,8 +456,15 @@ object Relational {
     * for the running sum. Spelling the flag as a user-partitioned
     * type-then-time-ordered `lag` comparison keys BOTH windows on
     * user_id, so they share one exchange and differ only in sort
-    * (plan-audited). O(1) per-row state, any cardinality; both engines
-    * run the identical decomposition — hash-checked. */
+    * (plan-audited). The flag is NULL-SAFE on the type column: partition
+    * start is detected via `lag` on the never-null event_id (not via the
+    * lagged type being null), and the value comparison is `<=>` / IS
+    * DISTINCT FROM — so k NULL-typed events count as ONE distinct type,
+    * not k. The flagged set ("min-(ts,event_id) row of each distinct
+    * value, NULL included") is invariant to where each engine sorts NULLs
+    * in the type order, so Spark's NULLS FIRST vs DuckDB's NULLS LAST
+    * default cannot diverge. O(1) per-row state, any cardinality; both
+    * engines run the identical decomposition — hash-checked. */
   def wRunDistinct(spark: SparkSession, dir: String): DataFrame = {
     val wType = Window.partitionBy("user_id")
       .orderBy(asc("event_type"), asc("ts"), asc("event_id"))
@@ -465,8 +472,9 @@ object Relational {
       .rowsBetween(Long.MinValue, 0)
     ev(spark, dir)
       .withColumn("first_seen",
-        when(coalesce(lag("event_type", 1).over(wType) =!= col("event_type"),
-          lit(true)), 1L).otherwise(0L))
+        when(lag("event_id", 1).over(wType).isNull ||
+          !(lag("event_type", 1).over(wType) <=> col("event_type")),
+          1L).otherwise(0L))
       .withColumn("run_distinct_types", sum("first_seen").over(wRun))
       .select("user_id", "event_id", "event_type", "run_distinct_types")
       .orderBy("event_id")
@@ -478,11 +486,11 @@ object Relational {
       |    ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS run_distinct_types
-      |FROM (SELECT *, CASE WHEN coalesce(lag(event_type, 1) OVER (
-      |        PARTITION BY user_id ORDER BY event_type, ts, event_id)
-      |        <> event_type, true)
+      |FROM (SELECT *, CASE WHEN lag(event_id, 1) OVER w IS NULL
+      |        OR lag(event_type, 1) OVER w IS DISTINCT FROM event_type
       |      THEN 1 ELSE 0 END AS first_seen
-      |      FROM events)
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY event_type, ts, event_id))
       |ORDER BY event_id""".stripMargin
 
   /** GROUP BY ALL + DISTINCT aggregates (reference group_by.slt:1945-1969,

@@ -166,6 +166,34 @@ class PipelineSpec extends SparkSpec {
       "selection must be restart-stable")
   }
 
+  test("p_stratified guard: when the candidate bound starves a stratum " +
+    "below min(K, n) the full-rank fallback fires and the selection still " +
+    "equals the naive rank exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("r") <= Pipeline.StratQuota)
+      .select("source", "r", "doc_id").orderBy("source", "r")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // mult = 0 ⇒ bound 0 ⇒ ZERO admitted candidates in every stratum — the
+    // worst case (also covers the zero-admitted hole where a stratum is
+    // absent from the candidate aggregate entirely). Every stratum must take
+    // the fallback path and the result must be the naive rank.
+    val allShort = Pipeline.pStratifiedWithBound(spark, sf, 0.0)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(allShort == naive, "all-strata fallback diverged from naive rank")
+    // mult = 0.5 ⇒ bound K/(2n): large strata admit ~Poisson(5) < K=10 with
+    // high probability (shortfall), small strata keep bound=1 (healthy) —
+    // exercises the union of both branches on the same run. Deterministic
+    // for fixed data (md5-driven, no RNG).
+    val mixed = Pipeline.pStratifiedWithBound(spark, sf, 0.5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(mixed == naive, "mixed healthy+fallback run diverged from naive rank")
+  }
+
   test("p_curriculum: distributed two-phase ntile equals the naive " +
     "single-reducer ntile exactly; stage sizes front-load the remainder") {
     val got = Pipeline.pCurriculum(spark, sf)
