@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Tpch.queries ++ operators.Relational.queries ++
+    operators.Tpch.queries ++ operators.Job.queries ++
+      operators.Relational.queries ++
       operators.FunctionLib.queries ++ operators.NativeOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.ClickBench.queries ++
@@ -21,7 +22,8 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query key (same column names/rounding as
     * the Spark side — SURVEY.md §4). Keys absent here get rows-only checks. */
   def oracleSql: Map[String, String] =
-    operators.Tpch.oracle ++ operators.Relational.oracle ++
+    operators.Tpch.oracle ++ operators.Job.oracle ++
+      operators.Relational.oracle ++
       operators.FunctionLib.oracle ++ operators.NativeOps.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++ operators.ClickBench.oracle ++

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** JOB-style join-order-stress suite (reference benchmarks/src/imdb/ runs
+  * the Join Order Benchmark; query texts under
+  * /root/reference/benchmarks/queries/imdb/). JOB's whole point is that a
+  * bad join ORDER — not a bad operator — destroys these queries: each one
+  * is a 4–8-relation equi-join web whose dims carry highly selective
+  * predicates (equality on a tiny lookup, LIKE/NOT-LIKE stacks, date
+  * ranges) and whose output is a handful of MIN() columns, so essentially
+  * ALL the cost is in the join pyramid. The families are re-expressed on
+  * the TPC-H-ish schema with the same GEOMETRY: `orders` plays the `title`
+  * hub, `lineitem` aliases play the bridge facts (movie_companies /
+  * movie_keyword / cast_info — JOB joins several movie-keyed facts through
+  * one hub, which maps to multiple orderkey-keyed lineitem roles joined
+  * with the same transitive-closure predicates JOB spells out), and
+  * part/supplier/customer/nation/region play the filtered dims.
+  *
+  * Each query is ONE ANSI-SQL text executed verbatim by BOTH Spark and the
+  * DuckDB oracle (the Tpch.scala convention — zero dialect drift). The
+  * Spark side is deliberately plain `spark.sql` with no hints: the point
+  * at 100 TB is that Catalyst + AQE must get the order right from the
+  * DECLARATIVE form — selective dims collapse to broadcast builds at
+  * runtime (AQE converts the post-filter sides), the fact is never
+  * broadcast, and the transitive predicates give the optimizer the
+  * freedom to pick which bridge joins first. PlanAuditSpec pins exactly
+  * that: every job_* final plan has broadcast builds for the filtered
+  * dims, no cartesian/nested-loop, and the lineitem scans stay on probe
+  * sides.
+  */
+object Job {
+
+  /** Run the same SQL text on Spark (as the query) and DuckDB (as oracle). */
+  private def viaSql(q: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
+
+  /** imdb/1a.sql family: two selective dims (company_type kind, info_type
+    * info → p_type + n_name) each gating a bridge fact (movie_companies,
+    * movie_info_idx → lineitem l1/l2), both bridges joined through the hub
+    * AND to each other (the transitive closure JOB always writes out), a
+    * NOT LIKE + OR-of-LIKEs stack on the dim, MIN outputs. */
+  val job1aSql: String =
+    """SELECT min(o.o_orderdate) AS first_promo_order,
+      |       min(o.o_totalprice) AS min_order_price,
+      |       min(p.p_name) AS promo_part_name
+      |FROM part p, nation n, supplier s, lineitem l1, lineitem l2, orders o
+      |WHERE p.p_type = 'PROMO'
+      |  AND p.p_name NOT LIKE '%anvil%'
+      |  AND (p.p_name LIKE '%red%' OR p.p_name LIKE '%small%')
+      |  AND n.n_name = 'NATION_7'
+      |  AND p.p_partkey = l1.l_partkey
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND s.s_suppkey = l2.l_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
+  /** imdb/6a.sql family: one tiny equality dim (keyword = 'marvel-…' →
+    * p_brand), one mid-size dim under a multi-wildcard LIKE (name LIKE
+    * '%Downey%Robert%' → c_name), a range predicate on the hub
+    * (production_year > 2010 → o_orderdate), star join. */
+  val job6aSql: String =
+    """SELECT min(p.p_name) AS brand_part,
+      |       min(c.c_name) AS buyer_name,
+      |       min(o.o_orderdate) AS late_order
+      |FROM part p, customer c, orders o, lineitem l
+      |WHERE p.p_brand = 'Brand#13'
+      |  AND c.c_name LIKE '%00%7%'
+      |  AND o.o_orderdate > TIMESTAMP '1999-06-30 00:00:00'
+      |  AND p.p_partkey = l.l_partkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |  AND c.c_custkey = o.o_custkey""".stripMargin
+
+  /** imdb/10a.sql family: predicates on the BRIDGE fact itself (ci.note
+    * LIKE '%(voice)%' … → l_returnflag/l_linestatus), a country filter
+    * reached through a two-hop dim chain (company_name country_code →
+    * supplier→nation→region), a hub range — the family where filtering
+    * the fact FIRST (pushdown) decides the plan. */
+  val job10aSql: String =
+    """SELECT min(s.s_name) AS returned_supplier,
+      |       min(o.o_totalprice) AS returned_order_price
+      |FROM supplier s, nation n, region r, lineitem l, orders o, customer c
+      |WHERE l.l_returnflag = 'R' AND l.l_linestatus = 'F'
+      |  AND r.r_name = 'AMERICA'
+      |  AND c.c_mktsegment = 'AUTOMOBILE'
+      |  AND o.o_orderdate > TIMESTAMP '1999-01-01 00:00:00'
+      |  AND o.o_orderkey = l.l_orderkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND s.s_suppkey = l.l_suppkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND n.n_regionkey = r.r_regionkey""".stripMargin
+
+  /** imdb/11a.sql family: a NEGATED dim equality (country_code != '[pl]')
+    * + OR-of-LIKEs on another dim + NOT LIKE on a third + BETWEEN on the
+    * hub — the low-selectivity-mixture family where the optimizer must
+    * NOT broadcast-order by the weak negation but by the strong
+    * priority/date filters. */
+  val job11aSql: String =
+    """SELECT min(n.n_name) AS from_nation,
+      |       min(p.p_name) AS sequel_part,
+      |       min(o.o_orderdate) AS window_start
+      |FROM region r, nation n, customer c, orders o, lineitem l, part p
+      |WHERE r.r_name <> 'ASIA'
+      |  AND (c.c_name LIKE '%111%' OR c.c_name LIKE '%222%')
+      |  AND p.p_name NOT LIKE '%gizmo%'
+      |  AND o.o_orderpriority = '1-URGENT'
+      |  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                        AND TIMESTAMP '1997-12-31 00:00:00'
+      |  AND r.r_regionkey = n.n_regionkey
+      |  AND n.n_nationkey = c.c_nationkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |  AND l.l_partkey = p.p_partkey""".stripMargin
+
+  /** imdb/16b.sql family: the LONG chain — eight relations, two bridge
+    * facts, dims at both ends (region→nation→supplier on one side,
+    * part on the other), customer joined off the hub; only two predicates
+    * are selective, so join ORDER is everything. */
+  val job16bSql: String =
+    """SELECT min(s.s_name) AS chain_supplier,
+      |       min(c.c_name) AS chain_customer,
+      |       min(o.o_totalprice) AS chain_min_price
+      |FROM region r, nation n, supplier s, customer c, orders o,
+      |     lineitem l1, lineitem l2, part p
+      |WHERE r.r_name = 'EUROPE'
+      |  AND p.p_type = 'STANDARD'
+      |  AND r.r_regionkey = n.n_regionkey
+      |  AND n.n_nationkey = s.s_nationkey
+      |  AND s.s_suppkey = l1.l_suppkey
+      |  AND l1.l_orderkey = o.o_orderkey
+      |  AND o.o_custkey = c.c_custkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND l2.l_partkey = p.p_partkey
+      |  AND l1.l_orderkey = l2.l_orderkey""".stripMargin
+
+  /** imdb/17a.sql family: a PREFIX LIKE on a large dim (n.name LIKE 'B%'
+    * → c_name prefix) + two selective equality dims, and the full
+    * transitive triangle between the two bridges and the hub (JOB 17a
+    * writes all three pairwise movie_id equalities — kept verbatim so the
+    * optimizer sees the redundant edge). */
+  val job17aSql: String =
+    """SELECT min(c.c_name) AS prefix_customer,
+      |       min(s.s_name) AS brand_supplier
+      |FROM customer c, nation n, part p, supplier s, orders o,
+      |     lineitem l1, lineitem l2
+      |WHERE n.n_name = 'NATION_3'
+      |  AND p.p_brand = 'Brand#21'
+      |  AND c.c_name LIKE 'Customer#0000001%'
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_partkey = p.p_partkey
+      |  AND l2.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_1a" -> viaSql(job1aSql), "job_6a" -> viaSql(job6aSql),
+    "job_10a" -> viaSql(job10aSql), "job_11a" -> viaSql(job11aSql),
+    "job_16b" -> viaSql(job16bSql), "job_17a" -> viaSql(job17aSql))
+
+  val oracle: Map[String, String] = Map(
+    "job_1a" -> job1aSql, "job_6a" -> job6aSql, "job_10a" -> job10aSql,
+    "job_11a" -> job11aSql, "job_16b" -> job16bSql, "job_17a" -> job17aSql)
+}
