@@ -665,7 +665,87 @@ object ClickBench {
       |       round((SELECT count(*) FROM p) /
       |             nullif((SELECT count(*) FROM c), 0), 4) AS click_to_purchase""".stripMargin
 
+  // ------------------------------------------------- main-43 sweep (round 10)
+  // The remaining ClickBench MAIN-suite shapes with no named cb_* twin
+  // (reference benchmarks/queries/clickbench/queries/q0–q42): host
+  // extraction + group (q28), LIKE-heavy counts (q20–q22), wide-scan
+  // top-N sort (q23/q26), repeated-aggregate chains (q29), derived group
+  // keys (q35). One shared ANSI text per query, verbatim on both engines.
+
+  /** Run the same SQL text on Spark (as the query) and DuckDB (as oracle). */
+  private def viaSql(q: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
+
+  /** ClickBench main q28: extract the referer HOST with one regex, group on
+    * it, AVG(length)/COUNT/MIN, HAVING, top-N by the statistic. The referer
+    * is synthesized deterministically from doc_id (the d_url convention —
+    * no URL column in the testdata); `regexp_extract` group-1 is the same
+    * call in Spark and DuckDB, and the pattern uses `[.]` instead of an
+    * escaped dot so the text survives both parsers' string-literal rules.
+    * One narrow projection + one partial-aggregated groupBy on the host —
+    * scan-dominated at any scale; ties on the rounded avg are broken by
+    * host (§4 determinism). */
+  val cbUrlHostSql: String =
+    """WITH h AS (SELECT doc_id,
+      |   'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      |   || 'site' || CAST(doc_id % 37 AS STRING) || '.example.com/p/'
+      |   || CAST(doc_id AS STRING) AS referer
+      |   FROM documents)
+      |SELECT regexp_extract(referer, '^https?://(?:www[.])?([^/]+)/.*$', 1) AS k,
+      |       round(avg(length(referer)), 4) AS l, count(*) AS c,
+      |       min(referer) AS min_ref
+      |FROM h GROUP BY k HAVING count(*) > 10 ORDER BY l DESC, k LIMIT 25""".stripMargin
+
+  /** ClickBench main q20 (`WHERE "URL" LIKE '%google%'` → COUNT): the
+    * LIKE-heavy full-scan count. `%x%` contains-LIKE compiles to a codegen
+    * substring probe on both engines; the scan reads ONE column. */
+  val cbLikeCountSql: String =
+    "SELECT count(*) AS c FROM documents WHERE text LIKE '%spark%'"
+
+  /** ClickBench main q21/q22 family: contains-LIKE filter + group with
+    * MIN / COUNT / COUNT(DISTINCT) mixed in one pass, top-N by count. */
+  val cbLikeTopnSql: String =
+    """SELECT lang, min(source) AS min_src, count(*) AS c,
+      |       count(DISTINCT source) AS u
+      |FROM documents WHERE text LIKE '%join%' AND lang <> ''
+      |GROUP BY lang ORDER BY c DESC, lang LIMIT 10""".stripMargin
+
+  /** ClickBench main q23 (`SELECT * … LIKE … ORDER BY EventTime LIMIT 10`):
+    * the wide-scan top-N — every column materialized but only through a
+    * TakeOrderedAndProject (bounded heap per partition + driver merge of
+    * 10-row heads, NO global sort; plan-audited). event_id tiebreak makes
+    * the head deterministic across engines. */
+  val cbWideSortSql: String =
+    "SELECT * FROM events WHERE props LIKE '%9%' ORDER BY ts, event_id LIMIT 10"
+
+  /** ClickBench main q29 (SUM("ResolutionWidth"), SUM(…+1), … ten sums):
+    * the repeated-aggregate chain — one scan, ten accumulators, exercising
+    * common-subexpression handling in the aggregate codegen. Integer-floored
+    * measure keeps the sums order-exact across engines (§4); BIGINT casts
+    * pin the output type across DuckDB's HUGEINT sum. */
+  val cbSumChainSql: String = {
+    val terms = (0 to 9).map(k =>
+      s"CAST(sum(CAST(floor(value) AS BIGINT) + $k) AS BIGINT) AS s$k")
+    s"SELECT ${terms.mkString(", ")} FROM events"
+  }
+
+  /** ClickBench main q35 (GROUP BY "ClientIP", "ClientIP" - 1, …): derived
+    * expressions as extra group keys — functionally dependent on user_id,
+    * so the optimizer must not let them widen the shuffle key's
+    * cardinality; still one partial-aggregated exchange. */
+  val cbDerivedGrpSql: String =
+    """SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2,
+      |       user_id - 3 AS u3, count(*) AS c
+      |FROM events GROUP BY user_id, user_id - 1, user_id - 2, user_id - 3
+      |ORDER BY c DESC, user_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cb_url_host" -> viaSql(cbUrlHostSql),
+    "cb_like_count" -> viaSql(cbLikeCountSql),
+    "cb_like_topn" -> viaSql(cbLikeTopnSql),
+    "cb_wide_sort" -> viaSql(cbWideSortSql),
+    "cb_sum_chain" -> viaSql(cbSumChainSql),
+    "cb_derived_grp" -> viaSql(cbDerivedGrpSql),
     "cb_funnel" -> (cbFunnel _), "cb_bitmap_uniq" -> (cbBitmapUniq _),
     "cb_retention" -> (cbRetention _),
     "cb_median_grp" -> (cbMedianGrp _),
@@ -682,6 +762,9 @@ object ClickBench {
     "cb_top_by_uniq" -> (cbTopByUniq _), "job_like" -> (jobLike _))
 
   val oracle: Map[String, String] = Map(
+    "cb_url_host" -> cbUrlHostSql, "cb_like_count" -> cbLikeCountSql,
+    "cb_like_topn" -> cbLikeTopnSql, "cb_wide_sort" -> cbWideSortSql,
+    "cb_sum_chain" -> cbSumChainSql, "cb_derived_grp" -> cbDerivedGrpSql,
     "cb_median_grp" -> cbMedianGrpSql, "cb_funnel" -> cbFunnelSql,
     "cb_bitmap_uniq" -> cbBitmapUniqSql, "cb_retention" -> cbRetentionSql,
     "cb_stddev_topn" -> cbStddevTopnSql,

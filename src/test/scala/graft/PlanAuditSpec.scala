@@ -983,6 +983,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("cb_wide_sort: the wide-scan top-N runs as TakeOrderedAndProject " +
+    "(bounded per-partition heaps), never a global sort") {
+    import graft.operators.ClickBench
+    val df = ClickBench.queries("cb_wide_sort")(spark, sf01)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"wide top-N lost its bounded-heap shape:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"LIMIT 10 must not trigger a distributed global sort:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
