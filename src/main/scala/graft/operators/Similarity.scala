@@ -633,26 +633,72 @@ object Similarity {
     * `topk_pairs` aggregate (partial-aggregated map-side, ≤ N rows per
     * query per partition on the shuffle); fusion is a full-outer join of
     * two q×N-row manifests — negligible at any scale, and INDEPENDENT of
-    * the rankers feeding it: at 100 TB the keyword pool comes from an
-    * inverted-index join and the vector pool from the IVFPQ tier
-    * (n_ivfpq_topk), and this fusion stage is unchanged. Absent-from-pool
-    * contributes 0 — the standard top-N RRF truncation. */
+    * the rankers feeding it: at 100 TB the vector pool comes from the
+    * IVFPQ tier (n_ivfpq_topk) and this fusion stage is unchanged.
+    * Absent-from-pool contributes 0 — the standard top-N RRF truncation.
+    *
+    * The keyword pool runs as an INVERTED-INDEX join ([[kwTopInverted]]):
+    * corpus words exploded into postings, query terms broadcast onto
+    * them, shared-word counts partial-aggregated per (query, doc) — the
+    * scale shape, O(matching pairs) instead of the O(corpus × queries)
+    * nested intersect of the naive form ([[kwTopExact]], kept as the
+    * spec's equality baseline). The DuckDB oracle IS the naive intersect,
+    * so the gate hash proves the two formulations agree end-to-end;
+    * SimilaritySpec proves pool-level equality directly plus the
+    * precondition that makes it exact (every query has ≥ PoolN nonzero-
+    * overlap candidates — an inverted index cannot see zero-overlap
+    * docs, which is also the correct IR semantics at scale). */
   val RrfDamp = 60
   val RrfPoolN = 50
   val HybridQueries = 5
-  def nRrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+
+  private[graft] def hybridWordFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.t(spark, dir, "documents")
       .select(col("doc_id"),
         array_distinct(split(lower(col("text")), " ")).as("words"))
     val kwQ = d.filter(col("doc_id") < HybridQueries)
       .select(col("doc_id").as("qid"), col("words").as("qwords"))
-    val kwTop = topK(
+    (d, kwQ)
+  }
+
+  /** Naive keyword pool: corpus × queries nested intersect. Correct but
+    * O(|corpus| × |queries|) compute — the equality baseline the spec
+    * holds [[kwTopInverted]] against, not the shipped path. */
+  private[graft] def kwTopExact(d: DataFrame, kwQ: DataFrame): DataFrame =
+    topK(
       d.crossJoin(broadcast(kwQ))
         .filter(col("doc_id") =!= col("qid"))
         .select(col("qid"), col("doc_id").as("vid"),
           size(array_intersect(col("words"), col("qwords")))
             .cast("double").as("cos")), RrfPoolN)
       .select(col("qid"), col("vid"), col("rn").as("rk"))
+
+  /** Inverted-index keyword pool — the scale path: explode corpus words
+    * into postings, broadcast the (query, term) list onto them (terms ≤
+    * queries × vocab-per-doc — model-sized), count shared words per
+    * (query, doc) with a partial-aggregated groupBy, then the same
+    * bounded-heap top-N. Work is proportional to MATCHING (query, doc,
+    * word) triples, never corpus × queries; `words` is array_distinct'd
+    * so the match count equals the intersect size exactly. At 100 TB the
+    * postings frame is a prebuilt table (write once, serve many) and the
+    * broadcast join becomes a postings-key lookup — same plan shape;
+    * plan-audited: broadcast hash join on the term, partial_count, no
+    * cartesian/nested-loop anywhere in the pool. */
+  private[graft] def kwTopInverted(d: DataFrame, kwQ: DataFrame): DataFrame =
+    topK(
+      d.select(col("doc_id"), explode(col("words")).as("word"))
+        .join(broadcast(
+          kwQ.select(col("qid"), explode(col("qwords")).as("word"))), "word")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(count(lit(1)).cast("double").as("cos"))
+        .select(col("qid"), col("doc_id").as("vid"), col("cos")), RrfPoolN)
+      .select(col("qid"), col("vid"), col("rn").as("rk"))
+
+  def nRrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val (d, kwQ) = hybridWordFrames(spark, dir)
+    val kwTop = kwTopInverted(d, kwQ)
     val corpus = emb(spark, dir)
       .join(d.select(col("doc_id").as("vec_id")), "vec_id")
     val vq = emb(spark, dir).filter(col("vec_id") < HybridQueries)

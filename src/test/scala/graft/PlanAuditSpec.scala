@@ -995,6 +995,22 @@ class PlanAuditSpec extends SparkSpec {
       s"LIMIT 10 must not trigger a distributed global sort:\n$p")
   }
 
+  test("n_rrf_hybrid keyword pool: inverted-index join — broadcast hash " +
+    "join on the term, partial-aggregated counts, no corpus×queries " +
+    "nested loop") {
+    val (d, kwQ) = Similarity.hybridWordFrames(spark, sf01)
+    val df = Similarity.kwTopInverted(d, kwQ)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"keyword pool degenerated to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query terms not broadcast onto the postings:\n$p")
+    assert(p.contains("partial_count"),
+      s"shared-word counts not partial-aggregated:\n$p")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>

@@ -248,4 +248,34 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(rows.toSeq == again.toSeq, "fusion must be deterministic")
   }
+
+  test("n_rrf_hybrid keyword pool: the inverted-index formulation equals " +
+    "the naive corpus×queries intersect exactly, and the precondition " +
+    "that makes it exact holds on the gate data") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf, sf01)) {
+      val (d, kwQ) = Similarity.hybridWordFrames(spark, dir)
+      // precondition: an inverted index can only see docs sharing >= 1
+      // word with the query; equality with the naive pool (which ranks
+      // zero-overlap docs too) needs >= PoolN nonzero-overlap candidates
+      // per query. Assert it so data drift fails loudly HERE, not as a
+      // mystery oracle mismatch.
+      val nonzero = d.crossJoin(broadcast(kwQ))
+        .filter(col("doc_id") =!= col("qid") &&
+          size(array_intersect(col("words"), col("qwords"))) > 0)
+        .groupBy("qid").count().collect()
+      assert(nonzero.length == Similarity.HybridQueries)
+      nonzero.foreach { r =>
+        assert(r.getLong(1) >= Similarity.RrfPoolN,
+          s"$dir query ${r.get(0)}: only ${r.getLong(1)} nonzero-overlap " +
+            "candidates — inverted pool would diverge from naive")
+      }
+      val exact = Similarity.kwTopExact(d, kwQ).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(identity[(Long, Long, Int)])
+      val inverted = Similarity.kwTopInverted(d, kwQ).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(identity[(Long, Long, Int)])
+      assert(exact.toSeq == inverted.toSeq,
+        s"$dir: inverted pool diverged from the naive intersect")
+    }
+  }
 }
