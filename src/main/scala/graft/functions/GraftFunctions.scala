@@ -23,6 +23,7 @@ object GraftFunctions {
     "cosine_similarity" -> (c => CosineSimilarity(c(0), c(1))),
     "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
     "gcd" -> (c => Gcd(c(0), c(1))),
+    "z_interleave" -> (c => ZInterleave(c(0), c(1))),
     "lcm" -> (c => Lcm(c(0), c(1))),
     "date_bin_us" -> (c => DateBin(c(0), c(1), c(2))),
     "rolling_fingerprint" -> (c => RollingFingerprint(c(0))),

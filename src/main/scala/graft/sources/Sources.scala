@@ -417,8 +417,10 @@ object Sources {
   // ------------------------------------------------------------- sink_zorder
   /** Z-order clustered layout — multi-dimensional data skipping for scans
     * that filter on MORE than one column: bucketize each clustering dim to
-    * 10 bits, bit-interleave the buckets into one z-value (a codegen'd
-    * `aggregate()` fold — no UDF), then `repartitionByRange + sort` on it.
+    * 10 bits, bit-interleave the buckets into one z-value (the native
+    * `z_interleave` Catalyst expression — codegen'd magic-mask bit
+    * spreading; the earlier `aggregate()` HOF spelling was CodegenFallback,
+    * which Spark 4.1 never compiles), then `repartitionByRange + sort` on it.
     * Every output file then covers a small HYPER-RECTANGLE of the dim
     * space instead of a full-range stripe, so parquet file/row-group
     * min-max stats prune 2-D predicates that a single-column sort can only
@@ -435,7 +437,7 @@ object Sources {
     * of a round-robin layout's and that a 2-D slice predicate touches few
     * files. */
   val ZorderFiles = 16
-  private def zorderDims(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def zorderDims(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
         expr("CAST(substring(source, 4, 10) AS INT)").as("srcnum"))
@@ -446,13 +448,11 @@ object Sources {
         hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       least(lit(1023L), floor((x - lo).cast("double") * 1024.0 /
         (hi - lo + 1).cast("double")).cast("long"))
+    graft.functions.GraftFunctions.register(spark)
     d.crossJoin(broadcast(mm))
       .withColumn("cb", bucket10(col("n_chars"), col("c_lo"), col("c_hi")))
       .withColumn("sb", bucket10(col("srcnum"), col("s_lo"), col("s_hi")))
-      .withColumn("zval", expr(
-        """aggregate(sequence(0, 9), 0L, (acc, i) -> acc
-          |  + shiftleft(shiftright(cb, i) & 1L, i + i)
-          |  + shiftleft(shiftright(sb, i) & 1L, i + i + 1))""".stripMargin))
+      .withColumn("zval", expr("z_interleave(cb, sb)"))
       .select("doc_id", "n_chars", "srcnum", "zval")
   }
 

@@ -13,6 +13,29 @@ class NativeExpressionsSpec extends SparkSpec {
     spark.sql(s"SELECT $sql AS v").collect().head
   }
 
+  test("z_interleave equals the HOF aggregate fold it replaced, for the " +
+    "full 10-bit bucket range and beyond") {
+    GraftFunctions.register(spark)
+    // the old sink_zorder spelling, kept verbatim as the equality oracle
+    val fold =
+      """aggregate(sequence(0, 9), 0L, (acc, i) -> acc
+        |  + shiftleft(shiftright(cb, i) & 1L, i + i)
+        |  + shiftleft(shiftright(sb, i) & 1L, i + i + 1))""".stripMargin
+    val pairs = spark.range(0, 2000).selectExpr(
+      "CAST(pmod(hash(id), 1024) AS BIGINT) AS cb",
+      "CAST(pmod(hash(id + 7919), 1024) AS BIGINT) AS sb")
+    val diff = pairs.selectExpr(s"($fold) AS a", "z_interleave(cb, sb) AS b")
+      .where("a <> b").count()
+    assert(diff == 0L, "native interleave diverged from the fold")
+    // boundary values
+    assert(one("z_interleave(0L, 0L)").getLong(0) == 0L)
+    assert(one("z_interleave(1023L, 0L)").getLong(0) == 0x55555L)
+    assert(one("z_interleave(0L, 1023L)").getLong(0) == 0xAAAAAL)
+    // 32-bit capacity: bit 31 of each arg lands at 62/63
+    assert(one("z_interleave(2147483648L, 2147483648L)").getLong(0) ==
+      (1L << 62 | 1L << 63))
+  }
+
   test("gcd/lcm edge cases match number theory") {
     assert(one("gcd(0L, 0L)").getLong(0) == 0L)
     assert(one("gcd(0L, 7L)").getLong(0) == 7L)

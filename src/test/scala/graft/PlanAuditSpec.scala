@@ -1011,6 +1011,24 @@ class PlanAuditSpec extends SparkSpec {
       s"shared-word counts not partial-aggregated:\n$p")
   }
 
+  test("sink_zorder z-value projection: whole path codegen — the native " +
+    "z_interleave replaced the interpreted HOF fold (VERDICT r9)") {
+    val df = graft.sources.Sources.zorderDims(spark, sf)
+    df.collect()
+    val fallbacks = df.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+          if !e.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction] =>
+          e.prettyName
+      })
+    }.flatten.distinct
+    assert(fallbacks.isEmpty,
+      s"interpreted expressions in the z-value projection: $fallbacks")
+    assert(finalPlan(df).contains("z_interleave"),
+      s"native interleave missing from plan:\n${finalPlan(df)}")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     Seq(Tpch.q1(spark, sf), Tpch.q6(spark, sf),
       TextAnalysis.xTokcount(spark, sf)).foreach { df =>
