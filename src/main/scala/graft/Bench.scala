@@ -33,6 +33,18 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_QUERIES: comma-separated override of the headline set —
+    // used by the scale-stress protocol (BASELINE.md) to run only the
+    // heavy entries against a ScaleGen 10× directory. Unknown names fail
+    // loudly (the Verify convention); the driver never sets this.
+    val headline: Seq[String] = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) =>
+        val names = qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = names.toSet.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+        names
+      case None => Headline
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,12 +69,12 @@ object Bench {
     // multi-second and one-time per plan shape — profiled 3/4 of the first
     // d_minhash run. Steady-state is what a long-lived cluster sees.
     val warmDir = "/root/testdata/sf0.001"
-    Headline.foreach(n => runOnce(n, warmDir))
+    headline.foreach(n => runOnce(n, warmDir))
     // …then once at the TARGET sf: AQE finalizes different physical shapes
     // there (broadcast vs shuffle, coalesced partition counts), each with its
     // own one-time janino compile — without this pass the first measured run
     // absorbs those compiles and the recorded spread hits 50–90%.
-    Headline.foreach { n => spark.catalog.clearCache(); runOnce(n, sfDir) }
+    headline.foreach { n => spark.catalog.clearCache(); runOnce(n, sfDir) }
 
     // min of three runs: JIT deoptimization storms and GC pauses add seconds
     // of one-sided noise on a shared JVM; the minimum is the steady state.
@@ -76,7 +88,7 @@ object Bench {
     // outlier. clearCache first so operators with internal persist()
     // (minhash family) are timed cold — measuring cache hits would flatter
     // them; System.gc() so one query's garbage is not another's pause.
-    val results = Headline.map { n =>
+    val results = headline.map { n =>
       def cold(): Double = {
         spark.catalog.clearCache(); System.gc(); runOnce(n, sfDir)
       }
@@ -146,7 +158,13 @@ object Bench {
             "serve_store" -> (() =>
               noop(Similarity.ivfpqServeFromStore(spark, dir, ivfpqStore, c, books)))))
       })
-    val buildServe: Seq[(String, (Double, Double))] = tiers.flatMap {
+    // With an explicit SPARK_GRAFT_QUERIES override (scale-stress runs),
+    // the build/serve decomposition only runs if an ANN tier was asked for
+    // — the stress protocol measures named heavy entries, not the tiers.
+    val wantTiers = sys.env.get("SPARK_GRAFT_QUERIES").forall(_ =>
+      headline.exists(n => n.startsWith("n_ivf") || n.startsWith("n_pq")))
+    val buildServe: Seq[(String, (Double, Double))] =
+      (if (wantTiers) tiers else Seq.empty[(String, String => TierParts)]).flatMap {
       case (tier, mk) =>
         // warm codegen for this tier's plan shapes on the tiny SF
         val (wCached, wSetup, wServes) = mk(warmDir)

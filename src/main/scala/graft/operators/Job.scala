@@ -156,12 +156,97 @@ object Job {
       |  AND l2.l_suppkey = s.s_suppkey
       |  AND s.s_nationkey = n.n_nationkey""".stripMargin
 
+  /** imdb/13a.sql family: the DIM-HEAVY star — nine relations of which
+    * FIVE are small dims under equality predicates (country_code, ct.kind,
+    * two info_types, kind_type → two regions + priority + container-ish
+    * p_type + mktsegment here), reached through two separate dim CHAINS
+    * that meet at the fact (customer side region≠supplier side region —
+    * the q7-dual-chain geometry with JOB's all-equality dim mixture). The
+    * planner win is collapsing all five dims to broadcast builds and
+    * never shuffling the fact more than once. */
+  val job13aSql: String =
+    """SELECT min(o.o_totalprice) AS cross_region_price,
+      |       min(p.p_name) AS cross_region_part,
+      |       min(s.s_name) AS asian_supplier
+      |FROM region r1, region r2, nation n1, nation n2, customer c,
+      |     supplier s, orders o, lineitem l, part p
+      |WHERE r1.r_name = 'EUROPE'
+      |  AND r2.r_name = 'ASIA'
+      |  AND c.c_mktsegment = 'MACHINERY'
+      |  AND o.o_orderpriority = '2-HIGH'
+      |  AND p.p_type = 'MEDIUM'
+      |  AND r1.r_regionkey = n1.n_regionkey
+      |  AND n1.n_nationkey = c.c_nationkey
+      |  AND r2.r_regionkey = n2.n_regionkey
+      |  AND n2.n_nationkey = s.s_nationkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |  AND l.l_suppkey = s.s_suppkey
+      |  AND l.l_partkey = p.p_partkey""".stripMargin
+
+  /** imdb/25c.sql family: the IN-LIST mixture — predicates are
+    * mid-selectivity IN lists on both the bridge fact (ci.note IN
+    * (writer…) → l_returnflag + l_linestatus pairs) and two dims
+    * (keyword IN (murder…), mi.info IN (Horror…) → p_brand + p_size
+    * lists), plus one strong equality (n.gender → o_orderstatus). The
+    * optimizer has to rank several same-shaped IN filters by actual
+    * selectivity rather than syntax. */
+  val job25cSql: String =
+    """SELECT min(p.p_name) AS violent_part,
+      |       min(s.s_name) AS writer_supplier,
+      |       min(o.o_totalprice) AS min_budget
+      |FROM lineitem l, part p, supplier s, nation n, orders o
+      |WHERE l.l_returnflag IN ('R', 'A')
+      |  AND l.l_linestatus = 'F'
+      |  AND p.p_brand IN ('Brand#3', 'Brand#7', 'Brand#13', 'Brand#19',
+      |                    'Brand#22', 'Brand#23', 'Brand#25')
+      |  AND p.p_size IN (1, 5, 9, 14, 23, 36, 45)
+      |  AND n.n_name IN ('NATION_2', 'NATION_11', 'NATION_17')
+      |  AND o.o_orderstatus = 'F'
+      |  AND l.l_partkey = p.p_partkey
+      |  AND l.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND l.l_orderkey = o.o_orderkey""".stripMargin
+
+  /** imdb/33a.sql family: the HUB SELF-JOIN — JOB 33a joins TWO complete
+    * title trees (t1, t2 each with company + rating chains) through
+    * movie_link. Mapped as two orders of the SAME customer (the link
+    * relation = customer, the o1<o2 inequality = link asymmetry), each
+    * hub carrying its own lineitem→part tree with different dim filters.
+    * This is the one family where the planner must keep two symmetric
+    * join pyramids separate until the link — collapsing them early (a
+    * fact-fact join before either tree is reduced) is the classic JOB
+    * planning failure. */
+  val job33aSql: String =
+    """SELECT min(o1.o_totalprice) AS first_price,
+      |       min(o2.o_totalprice) AS second_price,
+      |       min(p1.p_name) AS promo_part,
+      |       min(p2.p_name) AS economy_part
+      |FROM nation nl, customer c, orders o1, orders o2,
+      |     lineitem l1, lineitem l2, part p1, part p2
+      |WHERE nl.n_name = 'NATION_5'
+      |  AND o1.o_orderpriority = '1-URGENT'
+      |  AND o2.o_orderpriority = '2-HIGH'
+      |  AND p1.p_type = 'PROMO'
+      |  AND p2.p_type = 'ECONOMY'
+      |  AND nl.n_nationkey = c.c_nationkey
+      |  AND o1.o_custkey = c.c_custkey
+      |  AND o2.o_custkey = c.c_custkey
+      |  AND o1.o_orderkey < o2.o_orderkey
+      |  AND o1.o_orderkey = l1.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND o2.o_orderkey = l2.l_orderkey
+      |  AND l2.l_partkey = p2.p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "job_1a" -> viaSql(job1aSql), "job_6a" -> viaSql(job6aSql),
     "job_10a" -> viaSql(job10aSql), "job_11a" -> viaSql(job11aSql),
-    "job_16b" -> viaSql(job16bSql), "job_17a" -> viaSql(job17aSql))
+    "job_16b" -> viaSql(job16bSql), "job_17a" -> viaSql(job17aSql),
+    "job_13a" -> viaSql(job13aSql), "job_25c" -> viaSql(job25cSql),
+    "job_33a" -> viaSql(job33aSql))
 
   val oracle: Map[String, String] = Map(
     "job_1a" -> job1aSql, "job_6a" -> job6aSql, "job_10a" -> job10aSql,
-    "job_11a" -> job11aSql, "job_16b" -> job16bSql, "job_17a" -> job17aSql)
+    "job_11a" -> job11aSql, "job_16b" -> job16bSql, "job_17a" -> job17aSql,
+    "job_13a" -> job13aSql, "job_25c" -> job25cSql, "job_33a" -> job33aSql)
 }

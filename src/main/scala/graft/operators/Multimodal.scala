@@ -560,7 +560,23 @@ object Multimodal {
     * 100 TB shape: decode + hash are partition-local mapPartitions (the
     * one imperative stage, per the multimodal charter), everything after
     * is the audited d_simhash join geometry — blocking bounded by chunk
-    * buckets, no O(n²). */
+    * buckets, no O(n²).
+    *
+    * Hot-chunk caveat (same as d_simhash's): a POPULAR 16-bit chunk value
+    * makes a hot join key — the canonical case is uniform images (a flat
+    * color hashes to aHash 0, so ALL uniform images share all four chunk
+    * buckets and the bucket joins go quadratic in their count). That is
+    * partly inherent — uniform images ARE mutual near-dups, so the output
+    * itself is O(k²) pairs — but the join-side skew is handled the same
+    * way d_simhash's is: AQE skew-join splits the oversized bucket
+    * partitions (audited in PlanAuditSpec for the shared geometry), and
+    * the `distinct()` collapses the 4× chunk multiplicity before the
+    * hamming verify. A corpus-scale deployment should additionally
+    * pre-aggregate EXACT hash duplicates (groupBy ahash → representative +
+    * member list) so k identical images cost one representative in the
+    * pair join and k−1 membership rows, not k² join rows;
+    * MultimodalSpec's uniform-image skew test pins the correctness side
+    * (exactly C(k,2)·hamming-0 pairs, no chunk double-count). */
   def phashFrame(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     Tables.t(spark, dir, "documents").select("doc_id").as[Long]
@@ -596,19 +612,15 @@ object Multimodal {
       if (lum(k) > mean) acc | (1L << k) else acc)
   }
 
-  def mPhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-    val hashes = phashFrame(spark, dir)
-      .mapPartitions(_.map { case (id, bytes) => (id, aHash(bytes)) })
-      .toDF("doc_id", "ahash")
-      // referenced twice by the chunk self-join (d_simhash convention)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Chunk-pigeonhole pair generation over a (doc_id, ahash) frame —
+    * factored from [[mPhashDedup]] so the uniform-image (hot-chunk) skew
+    * spec can drive it with a planted hash frame directly. */
+  private[graft] def phashPairs(hashes: DataFrame): DataFrame = {
     val chunks = hashes.select(col("doc_id"), col("ahash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("ahash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_id", "chunk_val")))
-    val pairs = chunks.as("x").join(chunks.as("y"),
+    chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -617,6 +629,17 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  def mPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val hashes = phashFrame(spark, dir)
+      .mapPartitions(_.map { case (id, bytes) => (id, aHash(bytes)) })
+      .toDF("doc_id", "ahash")
+      // referenced twice by the chunk self-join (d_simhash convention)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = phashPairs(hashes)
     // The persisted hash frame (corpus-sized: one long per image) must not
     // outlive the query — ADVICE r9 flagged the session-lifetime leak in a
     // long Verify run. Materialize the (tiny, dup-pairs-sized) result once

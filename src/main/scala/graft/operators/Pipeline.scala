@@ -227,10 +227,17 @@ object Pipeline {
     * and it never touches the corpus), broadcast-joined back as offsets.
     * start(doc) = bucket_offset + within_bucket_cum − toks; window_id =
     * floor(start / L). Sizing rule: B ≈ √n balances the two levels (both
-    * 10^5 at 10^10 docs); a deeper corpus recurses the summary level the
-    * same way. PlanAuditSpec pins: corpus window hash-partitioned by
-    * bucket, offsets broadcast, exactly one single-partition window (the
-    * summary). The DuckDB oracle is the naive global cumsum — same
+    * 10^5 at 10^10 docs). Two levels are ALL this implementation ships,
+    * and all any realistic corpus needs: the single-partition summary is
+    * n/B ≈ √n rows of 16 B, so a 10^10-doc corpus (≈40 PB of raw text at
+    * 4 KB/doc) puts ~10^5 rows ≈ 1.6 MB through the summary task — five
+    * orders of magnitude below where a third level would start to matter
+    * (√n ≈ 10^8 rows ⇒ n ≈ 10^16 docs). No recursive level is implemented;
+    * this bound is the claim. PlanAuditSpec pins: corpus window hash-partitioned by
+    * bucket, offsets broadcast, and the one intentionally-single-partition
+    * summary window keyed on lit(0) (spelled as a hash partitioning so the
+    * WindowExec no-partition WARN stays meaningful). The DuckDB oracle is
+    * the naive global cumsum — same
     * result, which is the point: the two-level scan is a pure plan
     * transformation. */
   val PackWindow = 2048
@@ -245,7 +252,11 @@ object Pipeline {
         size(split(col("text"), " ")).cast("long").as("toks"))
     val withCum = d.withColumn("cum", sum("toks").over(w))
     val bucketTotals = d.groupBy("bucket").agg(sum("toks").as("btoks"))
+    // summaryKey: the frame is the n/B-row bucket summary — one partition
+    // is the design, and the non-foldable key keeps the WindowExec
+    // no-partition WARN meaningful elsewhere (see Tables.summaryKey).
     val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.Tables.summaryKey(col("bucket")))
       .orderBy("bucket").rowsBetween(Long.MinValue, -1)
     val offsets = bucketTotals
       .withColumn("boff", coalesce(sum("btoks").over(wb), lit(0L)))
@@ -466,11 +477,17 @@ object Pipeline {
   def pCurriculum(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parted = curriculumParted(spark, dir).localCheckpoint(false)
-    val wOff = Window.orderBy("pid").rowsBetween(Long.MinValue, -1)
+    // summaryKey(pid): the frame is the 32-row partition summary, so a
+    // single partition is the DESIGN; the non-foldable key keeps
+    // WindowExec's "No Partition Defined" WARN reserved for genuinely
+    // accidental corpus-wide windows (see Tables.summaryKey).
+    val wOff = Window.partitionBy(graft.Tables.summaryKey(col("pid")))
+      .orderBy("pid").rowsBetween(Long.MinValue, -1)
     val offsets = parted.groupBy("pid").agg(count(lit(1)).as("pn"))
       .withColumn("off", coalesce(sum("pn").over(wOff), lit(0L)))
       .withColumn("n", sum("pn").over(
-        Window.orderBy("pid").rowsBetween(Long.MinValue, Long.MaxValue)))
+        Window.partitionBy(graft.Tables.summaryKey(col("pid")))
+          .orderBy("pid").rowsBetween(Long.MinValue, Long.MaxValue)))
       .select("pid", "off", "n")
     val wLocal = Window.partitionBy("pid")
       .orderBy(asc("difficulty"), asc("doc_id"))
@@ -524,7 +541,7 @@ object Pipeline {
     perSource
       .withColumn("share", round(col("eff_toks") /
         sum("eff_toks").over(org.apache.spark.sql.expressions.Window
-          .partitionBy()), 6))
+          .partitionBy(graft.Tables.summaryKey(col("epochs")))), 6))
       .select("source", "raw_docs", "raw_toks", "kept_docs", "kept_toks",
         "epochs", "eff_toks", "share")
       .orderBy("source")

@@ -543,7 +543,8 @@ object TextAnalysis {
     val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("w")).limit(VocabSize)
       .select(col("w"),
-        row_number().over(Window.orderBy(desc("c"), asc("w"))).as("id"))
+        row_number().over(Window.partitionBy(graft.Tables.summaryKey(col("c")))
+          .orderBy(desc("c"), asc("w"))).as("id"))
     tok.join(broadcast(vocab), Seq("w"), "left")
       .select(col("doc_id"), col("i"), coalesce(col("id"), lit(0)).as("id"))
       .groupBy("doc_id")

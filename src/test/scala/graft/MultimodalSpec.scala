@@ -229,4 +229,39 @@ class MultimodalSpec extends SparkSpec {
         "corrupted blocks must perturb the hash (hamming 2, not 0)")
     }
   }
+
+  test("m_phash_dedup hot chunk: planted uniform images (all four chunk " +
+    "buckets shared) dedup correctly — C(k,2) hamming-0 pairs, no chunk " +
+    "double-count") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // k uniform images: flat color → every luma equals the grid mean →
+    // aHash 0 for all of them → one hot 16-bit bucket per chunk holding
+    // all k rows. Plus decoys with well-separated random patterns.
+    val k = 40
+    val uniformHash = {
+      val px = Multimodal.encodePpm(8, 8, (_, _) => (120, 120, 120))
+      Multimodal.aHash(px)
+    }
+    assert(uniformHash == 0L, "flat image must hash to 0 (no luma > mean)")
+    val uniform = (1L to k.toLong).map(id => (id, uniformHash))
+    val decoys = (1001L to 1040L).map(id =>
+      (id, scala.util.hashing.MurmurHash3.stringHash(id.toString).toLong * 0x9E3779B97F4A7C15L))
+    val hashes = (uniform ++ decoys).toDF("doc_id", "ahash")
+    val pairs = Multimodal.phashPairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every uniform pair surfaces exactly once (distinct collapses the 4x
+    // chunk multiplicity) at hamming 0
+    val uniformPairs = pairs.filter(p => p._1 <= k && p._2 <= k)
+    assert(uniformPairs.length == k * (k - 1) / 2,
+      s"expected C($k,2)=${k * (k - 1) / 2} uniform pairs, got ${uniformPairs.length}")
+    assert(uniformPairs.forall(_._3 == 0), "uniform pairs must be hamming 0")
+    // no uniform-decoy or decoy-decoy pair sneaks in through the hot bucket
+    assert(pairs.length == uniformPairs.length ||
+      pairs.filterNot(p => p._1 <= k && p._2 <= k)
+        .forall(p => java.lang.Long.bitCount(
+          hashes.filter(col("doc_id") === p._1).head.getLong(1) ^
+            hashes.filter(col("doc_id") === p._2).head.getLong(1)) <= 3),
+      "non-uniform pair reported outside the hamming<=3 contract")
+  }
 }
