@@ -238,15 +238,84 @@ object Job {
       |  AND o2.o_orderkey = l2.l_orderkey
       |  AND l2.l_partkey = p2.p_partkey""".stripMargin
 
+  /** imdb/4a.sql family: the RANGE mixture — one tiny equality dim
+    * (it.info='rating' → n_name), one LIKE dim (keyword '%sequel%' →
+    * p_name), a VALUE range on the bridge fact itself (mi_idx.info > '5.0'
+    * → l_quantity > 30) and a range on the hub (production_year > 2005 →
+    * o_orderdate). Four different predicate classes in one star — the
+    * family that punishes a planner ranking them by class instead of
+    * selectivity. */
+  val job4aSql: String =
+    """SELECT min(o.o_totalprice) AS rated_price,
+      |       min(p.p_name) AS sequel_part
+      |FROM nation n, supplier s, part p, lineitem l, orders o
+      |WHERE n.n_name = 'NATION_9'
+      |  AND p.p_name LIKE '%red%'
+      |  AND l.l_quantity > 30
+      |  AND o.o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND l.l_suppkey = s.s_suppkey
+      |  AND l.l_partkey = p.p_partkey
+      |  AND o.o_orderkey = l.l_orderkey""".stripMargin
+
+  /** imdb/8a.sql family: LIKE + NOT LIKE stacks on BOTH a dim and a large
+    * dim (mc.note like/not-like, n1.name like/not-like → part and customer
+    * here), equality pairs on a bridge (ci.note → l_returnflag/linestatus),
+    * a tiny equality dim, seven relations with two bridge roles — the
+    * widest predicate mixture in the suite's first half. */
+  val job8aSql: String =
+    """SELECT min(c.c_name) AS pseudonym_customer,
+      |       min(o.o_totalprice) AS dubbed_price
+      |FROM customer c, nation n, orders o, lineitem l1, lineitem l2,
+      |     supplier s, part p
+      |WHERE l1.l_returnflag = 'N' AND l1.l_linestatus = 'O'
+      |  AND p.p_name LIKE '%blue%' AND p.p_name NOT LIKE '%anvil%'
+      |  AND c.c_name LIKE '%1%' AND c.c_name NOT LIKE '%9%'
+      |  AND n.n_name = 'NATION_12'
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l2.l_partkey = p.p_partkey
+      |  AND l2.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
+  /** imdb/20a.sql family: the SAME dim table TWICE under different
+    * predicates (comp_cast_type cct1='cast' / cct2 LIKE '%complete%' →
+    * nation n1 equality gating the customer chain, nation n2 prefix-LIKE
+    * gating the supplier chain) + a keyword IN list + an OR-of-LIKEs with
+    * a NOT LIKE on the part name + a hub range. The alias-disambiguation
+    * stress: the planner must treat the two nation scans as independent
+    * filters with independent selectivities. */
+  val job20aSql: String =
+    """SELECT min(o.o_totalprice) AS complete_price,
+      |       min(p.p_name) AS hero_part
+      |FROM nation n1, nation n2, customer c, supplier s, orders o,
+      |     lineitem l, part p
+      |WHERE n1.n_name = 'NATION_3'
+      |  AND n2.n_name LIKE 'NATION_1%'
+      |  AND p.p_brand IN ('Brand#2', 'Brand#4', 'Brand#8', 'Brand#16')
+      |  AND (p.p_name LIKE '%blue%' OR p.p_name LIKE '%red%')
+      |  AND p.p_name NOT LIKE '%gizmo%'
+      |  AND o.o_orderdate > TIMESTAMP '1995-01-01 00:00:00'
+      |  AND n1.n_nationkey = c.c_nationkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |  AND l.l_partkey = p.p_partkey
+      |  AND l.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n2.n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "job_1a" -> viaSql(job1aSql), "job_6a" -> viaSql(job6aSql),
     "job_10a" -> viaSql(job10aSql), "job_11a" -> viaSql(job11aSql),
     "job_16b" -> viaSql(job16bSql), "job_17a" -> viaSql(job17aSql),
     "job_13a" -> viaSql(job13aSql), "job_25c" -> viaSql(job25cSql),
-    "job_33a" -> viaSql(job33aSql))
+    "job_33a" -> viaSql(job33aSql), "job_4a" -> viaSql(job4aSql),
+    "job_8a" -> viaSql(job8aSql), "job_20a" -> viaSql(job20aSql))
 
   val oracle: Map[String, String] = Map(
     "job_1a" -> job1aSql, "job_6a" -> job6aSql, "job_10a" -> job10aSql,
     "job_11a" -> job11aSql, "job_16b" -> job16bSql, "job_17a" -> job17aSql,
-    "job_13a" -> job13aSql, "job_25c" -> job25cSql, "job_33a" -> job33aSql)
+    "job_13a" -> job13aSql, "job_25c" -> job25cSql, "job_33a" -> job33aSql,
+    "job_4a" -> job4aSql, "job_8a" -> job8aSql, "job_20a" -> job20aSql)
 }
