@@ -762,12 +762,14 @@ object ClickBench {
     * shape. The total order (count desc + full key tiebreak) makes the
     * page deterministic; Spark executes LIMIT+OFFSET as a single
     * bounded-heap top-(offset+limit) with the head dropped, never a global
-    * sort. */
+    * sort. Offset 40 (not the reference's 1000) so the page is non-empty
+    * at the sf0.001 smoke gate too (60 groups there); the plan shape is
+    * offset-magnitude-independent. */
   val cbPagingSql: String =
     """SELECT user_id, event_type, count(*) AS pv
       |FROM events WHERE event_type <> 'error'
       |GROUP BY user_id, event_type
-      |ORDER BY pv DESC, user_id, event_type LIMIT 10 OFFSET 100""".stripMargin
+      |ORDER BY pv DESC, user_id, event_type LIMIT 10 OFFSET 40""".stripMargin
 
   /** ClickBench main q42 (DATE_TRUNC('minute', …) + COUNT + paging): the
     * per-minute time series — date-range filter, minute truncation as the
