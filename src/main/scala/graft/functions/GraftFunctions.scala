@@ -35,6 +35,7 @@ object GraftFunctions {
     "l2_normalize" -> (c => L2Normalize(c(0))),
     "quantize_int8" -> (c => QuantizeInt8(c(0))),
     "stopword_hits" -> (c => StopwordHits(c(0), c(1))),
+    "rep_stats" -> (c => RepStats(c(0))),
     "cosine_similarity_int" -> (c => CosineSimilarityInt(c(0), c(1))),
     "pq_score" -> (c => PqScore(c(0), c(1))),
     "pq_encode" -> (c => PqEncode(c(0), c(1), c(2))),

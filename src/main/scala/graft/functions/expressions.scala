@@ -964,3 +964,78 @@ object PqTable {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(table)
   }
 }
+
+/** `rep_stats(text)` — the four per-document repetition statistics the
+  * x_repetition quality gate needs, in ONE pass over the UTF-8 bytes:
+  * struct(n_words, n_distinct, top_word_c, top_bigram_c) under the exact
+  * `split(text, ' ')` tokenization (single-space delimiter, empty tokens
+  * from leading/consecutive/trailing spaces INCLUDED — Spark's limit=-1
+  * split semantics, which the DuckDB oracle's string_split shares).
+  *
+  * Round 10: the 1000×-scale stress showed the previous decomposition —
+  * posexplode → per-doc lead() window → two (doc_id, gram) groupBys —
+  * going disk-spill-bound on the exploded-token sort (250M rows from 5M
+  * docs) in a single JVM. The statistics are PER-DOCUMENT, so no shuffle
+  * is needed at all: this kernel reduces each text to four ints inside
+  * whole-stage codegen (a static call, HashMap bounded by the doc's
+  * distinct grams), and x_repetition becomes a narrow projection whose
+  * only exchange is the presentation sort. Scanning bytes for 0x20 is
+  * UTF-8-safe (a space byte never occurs inside a multi-byte sequence). */
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rep_stats(string) got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_word_c", IntegerType, nullable = false),
+    StructField("top_bigram_c", IntegerType, nullable = false)))
+  override def prettyName: String = "rep_stats"
+  override protected def nullSafeEval(t: Any): Any =
+    RepStats.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepStats.compute($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RepStats {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = text.getBytes
+    val n = bytes.length
+    val wordCounts = new java.util.HashMap[UTF8String, Integer]()
+    val bigramCounts = new java.util.HashMap[UTF8String, Integer]()
+    val inc = new java.util.function.BiFunction[Integer, Integer, Integer] {
+      override def apply(a: Integer, b: Integer): Integer = a + b
+    }
+    var nWords = 0
+    var maxWord = 0
+    var maxBigram = 0
+    var prev: UTF8String = null
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val w = UTF8String.fromBytes(bytes, start, i - start)
+        nWords += 1
+        val c: Int = wordCounts.merge(w, 1, inc)
+        if (c > maxWord) maxWord = c
+        if (prev != null) {
+          val bg = UTF8String.concat(prev, Space, w)
+          val cb: Int = bigramCounts.merge(bg, 1, inc)
+          if (cb > maxBigram) maxBigram = cb
+        }
+        prev = w
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, wordCounts.size, maxWord, maxBigram))
+  }
+}

@@ -448,11 +448,16 @@ object TextAnalysis {
   // ----------------------------------------------------------- x_repetition
   /** Repetition detection (the Gopher/C4 dup-ngram family): per-doc distinct
     * ratio, most-frequent-word fraction, most-frequent-bigram fraction, and
-    * the repetition keep flag. Spark shape: posexplode → window-lead bigram
-    * → two partial-aggregated counts keyed on (doc_id, gram) — the shuffles
-    * carry (doc_id, gram, count) triples, never documents, and every stage
-    * is codegen (no lambda HOFs). Oracle forms the same bigrams by list
-    * index in DuckDB. */
+    * the repetition keep flag. Spark shape (round 10): ONE narrow
+    * projection — the native `rep_stats` kernel ([[graft.functions.RepStats]])
+    * reduces each text to struct(n_words, n_distinct, top_word_c,
+    * top_bigram_c) in a single byte pass inside whole-stage codegen, so the
+    * operator has zero exchanges before the presentation sort at any corpus
+    * size. (The previous explode → lead-window → two grouped counts shape
+    * was partial-aggregated but its exploded-token sort went spill-bound at
+    * the 1000× stress scale — BASELINE.md r10; per-document statistics
+    * never needed a shuffle.) Oracle forms the same bigrams by list index
+    * in DuckDB — unchanged, still hash-checks this plan. */
   val RepMaxTopWordFrac = 0.15
   val RepMaxTopBigramFrac = 0.10
   val RepMinDistinctRatio = 0.30
@@ -461,31 +466,29 @@ object TextAnalysis {
     repetitionOn(docs(spark, dir).select("doc_id", "text"))
 
   def repetitionOn(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = d.withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) > 1)
-      .select(col("doc_id"), col("words"),
-        size(col("words")).as("n_words"),
-        size(array_distinct(col("words"))).as("n_distinct"))
-    val tok = base.select(col("doc_id"), col("n_words"),
-      posexplode(col("words")).as(Seq("pos", "w")))
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val topWord = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_word_c"))
-    val topBigram = tok
-      .withColumn("nxt", lead("w", 1).over(byDoc))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_bigram_c"))
-    base.select(col("doc_id"), col("n_words"), col("n_distinct"))
-      .join(topWord, "doc_id").join(topBigram, "doc_id")
-      .select(col("doc_id"), col("n_words"),
-        round(col("n_distinct").cast("double") / col("n_words"), 4)
+    // Round 10: previously posexplode → per-doc lead() window → two
+    // (doc_id, gram) groupBys — correct and partial-aggregated, but the
+    // exploded-token sort (50× the corpus row count) went disk-spill-bound
+    // at the 1000× stress scale. The statistics are PER-DOCUMENT, so the
+    // native rep_stats kernel reduces each text to four ints inside
+    // whole-stage codegen and the operator is a narrow projection: zero
+    // exchanges before the presentation sort, identical output (the DuckDB
+    // oracle is unchanged and still hash-checks it).
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    // n_words > 1 ⟺ the text contains a space (split-on-' ' yields
+    // spaces+1 tokens) — filtering on instr BEFORE the kernel keeps the
+    // predicate off rep_stats: spelling it s.n_words > 1 lets predicate
+    // pushdown substitute the alias and re-evaluate the whole kernel per
+    // row inside the scan filter (profiled 2× the kernel cost at the
+    // 1000× stress scale).
+    d.filter(instr(col("text"), " ") > 0)
+      .select(col("doc_id"), expr("rep_stats(text)").as("s"))
+      .select(col("doc_id"), col("s.n_words").as("n_words"),
+        round(col("s.n_distinct").cast("double") / col("s.n_words"), 4)
           .as("distinct_ratio"),
-        round(col("top_word_c").cast("double") / col("n_words"), 4)
+        round(col("s.top_word_c").cast("double") / col("s.n_words"), 4)
           .as("top_word_frac"),
-        round(col("top_bigram_c").cast("double") / (col("n_words") - 1), 4)
+        round(col("s.top_bigram_c").cast("double") / (col("s.n_words") - 1), 4)
           .as("top_bigram_frac"))
       .withColumn("rep_ok",
         col("distinct_ratio") >= RepMinDistinctRatio &&

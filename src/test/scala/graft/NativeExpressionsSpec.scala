@@ -175,4 +175,39 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(row.getAs[Long]("g") == graft.functions.Gcd.compute(6L, nk))
     assert(row.getAs[Int]("hd") == java.lang.Long.bitCount(6L ^ nk))
   }
+
+  test("rep_stats: exact counts under split-on-single-space semantics, " +
+    "empty tokens from leading/consecutive/trailing spaces included") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    def stats(s: String): (Int, Int, Int, Int) = {
+      val r = Seq(s).toDF("text")
+        .selectExpr("rep_stats(text) AS s")
+        .selectExpr("s.n_words", "s.n_distinct", "s.top_word_c", "s.top_bigram_c")
+        .collect().head
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }
+    assert(stats("a b a b") == ((4, 2, 2, 2)))       // bigram "a b" twice
+    assert(stats("a  b") == ((3, 3, 1, 1)))           // [a, "", b]
+    assert(stats("a b ") == ((3, 3, 1, 1)))           // trailing empty kept
+    assert(stats(" a") == ((2, 2, 1, 1)))             // leading empty kept
+    assert(stats("x") == ((1, 1, 1, 0)))              // no bigram
+    assert(stats("") == ((1, 1, 1, 0)))               // split("") -> [""]
+    assert(stats("w w w w w") == ((5, 1, 5, 4)))      // degenerate repeat
+    // cross-check vs Spark's own split-based decomposition on random docs
+    val words = Seq("a", "b", "cc", "", "d")
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { _ =>
+      val doc = Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.length)))
+        .mkString(" ")
+      val exp = Seq(doc).toDF("text")
+        .selectExpr("split(text, ' ') AS ws")
+        .selectExpr("size(ws) AS nw", "size(array_distinct(ws)) AS nd",
+          "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) AS tw")
+        .collect().head
+      val (nw, nd, tw, _) = stats(doc)
+      assert((nw, nd, tw) == ((exp.getInt(0), exp.getInt(1), exp.getInt(2))),
+        s"mismatch vs split decomposition on: '$doc'")
+    }
+  }
 }

@@ -226,13 +226,21 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
-  test("x_repetition gram counts are partial-aggregated before the shuffle") {
+  test("x_repetition is a narrow projection — the rep_stats kernel leaves " +
+    "only the presentation sort's exchange") {
     val df = TextAnalysis.xRepetition(spark, sf)
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
-    // both count aggregates must show map-side partial + final pairs
-    assert(countOccurrences(p, "partial_count") >= 2,
-      s"gram counts shuffle raw tokens (no map-side combine):\n$p")
+    assert(p.contains("rep_stats"),
+      s"native kernel missing from the plan:\n$p")
+    // the per-doc statistics need NO shuffle: the only exchange is the
+    // ORDER BY doc_id range partitioning (the r10 kernel replaced the
+    // exploded-token sort that went spill-bound at the 1000× stress scale)
+    assert(countOccurrences(p, "Exchange") == 1 &&
+      p.contains("Exchange rangepartitioning(doc_id"),
+      s"expected exactly the presentation-sort exchange:\n$p")
+    assert(!p.toLowerCase.contains("explode"),
+      s"token explode resurfaced:\n$p")
   }
 
   test("d_cluster contraction round: constant shuffle count, no cartesian, bounded lineage") {
