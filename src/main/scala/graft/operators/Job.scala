@@ -305,17 +305,52 @@ object Job {
       |  AND l.l_suppkey = s.s_suppkey
       |  AND s.s_nationkey = n2.n_nationkey""".stripMargin
 
+  /** imdb/15a.sql family: FOUR bridge facts on one hub (aka_title +
+    * movie_info + movie_keyword + movie_companies → four lineitem roles)
+    * with the FULL pairwise transitive closure written out — six redundant
+    * orderkey equalities beyond the four hub edges. The planner stress is
+    * redundant-constraint handling: the closure must not confuse join-order
+    * enumeration or produce duplicate join conditions, and the four
+    * same-table fact roles must each keep their own pushed predicate. */
+  val job15aSql: String =
+    """SELECT min(o.o_totalprice) AS internet_price,
+      |       min(p1.p_name) AS aka_part
+      |FROM part p1, part p2, supplier s, nation n, orders o,
+      |     lineitem l1, lineitem l2, lineitem l3, lineitem l4
+      |WHERE n.n_name = 'NATION_7'
+      |  AND p1.p_type = 'SMALL'
+      |  AND p2.p_brand = 'Brand#5'
+      |  AND l3.l_returnflag = 'A'
+      |  AND l4.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |  AND o.o_orderdate > TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND o.o_orderkey = l4.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l4.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l4.l_orderkey
+      |  AND l3.l_orderkey = l4.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l2.l_partkey = p2.p_partkey
+      |  AND l3.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "job_1a" -> viaSql(job1aSql), "job_6a" -> viaSql(job6aSql),
     "job_10a" -> viaSql(job10aSql), "job_11a" -> viaSql(job11aSql),
     "job_16b" -> viaSql(job16bSql), "job_17a" -> viaSql(job17aSql),
     "job_13a" -> viaSql(job13aSql), "job_25c" -> viaSql(job25cSql),
     "job_33a" -> viaSql(job33aSql), "job_4a" -> viaSql(job4aSql),
-    "job_8a" -> viaSql(job8aSql), "job_20a" -> viaSql(job20aSql))
+    "job_8a" -> viaSql(job8aSql), "job_20a" -> viaSql(job20aSql),
+    "job_15a" -> viaSql(job15aSql))
 
   val oracle: Map[String, String] = Map(
     "job_1a" -> job1aSql, "job_6a" -> job6aSql, "job_10a" -> job10aSql,
     "job_11a" -> job11aSql, "job_16b" -> job16bSql, "job_17a" -> job17aSql,
     "job_13a" -> job13aSql, "job_25c" -> job25cSql, "job_33a" -> job33aSql,
-    "job_4a" -> job4aSql, "job_8a" -> job8aSql, "job_20a" -> job20aSql)
+    "job_4a" -> job4aSql, "job_8a" -> job8aSql, "job_20a" -> job20aSql,
+    "job_15a" -> job15aSql)
 }
