@@ -1024,6 +1024,24 @@ class PlanAuditSpec extends SparkSpec {
       s"order-priority predicates not pushed to both hub scans:\n$p")
   }
 
+  test("job_15a: each of the four same-table fact roles keeps its OWN " +
+    "pushed predicate; the redundant closure edges don't degenerate the web") {
+    import graft.operators.Job
+    val df = Job.queries("job_15a")(spark, sf01)
+    df.collect()
+    val p = plan(df)
+    // l3's returnflag and l4's shipdate must each reach a lineitem scan —
+    // four scans of one table, two with distinct pushed filters
+    assert(p.contains("EqualTo(l_returnflag,A)"),
+      s"l3's returnflag predicate not pushed to its role's scan:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate,"),
+      s"l4's shipdate predicate not pushed to its role's scan:\n$p")
+    val fp = finalPlan(df)
+    assert(!fp.contains("CartesianProduct") &&
+      !fp.contains("BroadcastNestedLoopJoin"),
+      s"redundant closure edges degenerated the join web:\n$fp")
+  }
+
   test("cb_point_lookup: the equality predicate reaches the parquet scan " +
     "for row-group pruning — no full-scan filter") {
     import graft.operators.ClickBench
