@@ -1339,6 +1339,38 @@ object Relational {
       .orderBy("table_name", "ordinal_position")
   }
 
+  // ------------------------------------------------------------ ddl_describe
+  /** DESCRIBE TABLE — the user-facing spelling of column introspection
+    * (reference sqllogictest/test_files/describe.slt). Unlike
+    * ddl_info_schema (rows-only: the FULL type surface doesn't map 1:1
+    * across engines), this one is HASH-CHECKED: over region + lineitem the
+    * type alphabet is exactly {bigint, int, double, string, timestamp-ish},
+    * which the oracle maps from DuckDB's information_schema spellings with
+    * one CASE. The timestamp spelling is taken from Spark's OWN loaded
+    * type (the parquet generation decides ntz-ness — the Tables.normalizeTs
+    * lesson), so the oracle mirrors the engine's real DESCRIBE output
+    * rather than assuming a generation. */
+  def ddlDescribe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("DESCRIBE TABLE region")
+      .select(lit("region").as("table_name"), col("col_name"), col("data_type"))
+      .unionAll(spark.sql("DESCRIBE TABLE lineitem")
+        .select(lit("lineitem").as("table_name"), col("col_name"), col("data_type")))
+      .orderBy("table_name", "col_name")
+  }
+
+  val ddlDescribeSql: String =
+    """SELECT table_name, column_name AS col_name,
+      |  CASE data_type WHEN 'BIGINT' THEN 'bigint'
+      |                 WHEN 'INTEGER' THEN 'int'
+      |                 WHEN 'DOUBLE' THEN 'double'
+      |                 WHEN 'VARCHAR' THEN 'string'
+      |                 WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+      |  END AS data_type
+      |FROM information_schema.columns
+      |WHERE table_name IN ('region', 'lineitem')
+      |ORDER BY table_name, col_name""".stripMargin
+
   // ------------------------------------------------------------- g_pivot
   /** PIVOT: revenue by order-year × priority class via the dedicated
     * `RelationalGroupedDataset.pivot` operator (explicit value list — the
@@ -1573,6 +1605,7 @@ object Relational {
     "ddl_view" -> (ddlView _), "ddl_insert" -> (ddlInsert _),
     "ddl_function" -> (ddlFunction _),
     "ddl_info_schema" -> (ddlInfoSchema _),
+    "ddl_describe" -> (ddlDescribe _),
     "set_config" -> (setConfig _), "ident_norm" -> (identNorm _),
     "s_wildcard" -> (sWildcard _),
     "s_limit_offset" -> (sLimitOffset _))
@@ -1612,5 +1645,5 @@ object Relational {
     "ddl_function" -> ddlFunctionSql,
     "set_config" -> setConfigSql, "ident_norm" -> identNormSql,
     "s_wildcard" -> sWildcardSql,
-    "s_limit_offset" -> sLimitOffsetSql)
+    "s_limit_offset" -> sLimitOffsetSql, "ddl_describe" -> ddlDescribeSql)
 }

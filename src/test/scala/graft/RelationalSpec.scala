@@ -380,4 +380,16 @@ class RelationalSpec extends SparkSpec {
     assert(byTable("documents").exists(r =>
       r.getString(1) == "text" && r.getString(3) == "string"))
   }
+
+  test("ddl_describe mirrors DESCRIBE TABLE column/type output for " +
+    "region and lineitem") {
+    val rows = Relational.ddlDescribe(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.count(_._1 == "region") == 2)
+    assert(rows.count(_._1 == "lineitem") == 11)
+    assert(rows.contains(("region", "r_name", "string")))
+    assert(rows.contains(("lineitem", "l_orderkey", "bigint")))
+    assert(rows.exists { case (t, c, ty) =>
+      t == "lineitem" && c == "l_shipdate" && ty.startsWith("timestamp") })
+  }
 }
