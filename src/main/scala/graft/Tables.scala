@@ -22,11 +22,15 @@ object Tables {
     * EliminateWindowPartitions, and `c * 0` is folded to 0 by
     * ReorderAssociativeOperator when `c` is an Aggregate output (both
     * verified against Spark 4.1 with planChangeLog, round 10), which
-    * resurrects the WARN. Pass a NON-NULLABLE column (grouping key /
-    * count) — a null `c` would hash to its own partition and break the
-    * single-frame prefix-sum contract. */
-  def summaryKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.pmod(c, org.apache.spark.sql.functions.lit(1))
+    * resurrects the WARN. The constant-0 contract is ENFORCED in code, not
+    * by a docstring (ADVICE r10): `c` is coalesced to 0 (a null would hash
+    * to its own partition) and truncated to LONG (pmod(1.5, 1) = 0.5 would
+    * silently split the single summary partition), so ANY input column —
+    * nullable, fractional — still lands every row in one frame. */
+  def summaryKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit, pmod}
+    pmod(coalesce(c.cast("long"), lit(0L)), lit(1L))
+  }
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")

@@ -980,7 +980,13 @@ object PqTable {
   * whole-stage codegen (a static call, HashMap bounded by the doc's
   * distinct grams), and x_repetition becomes a narrow projection whose
   * only exchange is the presentation sort. Scanning bytes for 0x20 is
-  * UTF-8-safe (a space byte never occurs inside a multi-byte sequence). */
+  * UTF-8-safe (a space byte never occurs inside a multi-byte sequence).
+  *
+  * HEAP BOUND (ADVICE r10): the two gram maps are O(distinct grams) ≈
+  * O(doc bytes) of transient heap in ONE task — unlike the shuffle-based
+  * decomposition, this cannot spill. Callers must bound input length;
+  * TextAnalysis.repetitionOn routes docs over RepKernelMaxBytes (64 MiB)
+  * through the spill-capable decomposition instead. */
 case class RepStats(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -562,21 +562,17 @@ object Multimodal {
     * is the audited d_simhash join geometry — blocking bounded by chunk
     * buckets, no O(n²).
     *
-    * Hot-chunk caveat (same as d_simhash's): a POPULAR 16-bit chunk value
-    * makes a hot join key — the canonical case is uniform images (a flat
-    * color hashes to aHash 0, so ALL uniform images share all four chunk
-    * buckets and the bucket joins go quadratic in their count). That is
-    * partly inherent — uniform images ARE mutual near-dups, so the output
-    * itself is O(k²) pairs — but the join-side skew is handled the same
-    * way d_simhash's is: AQE skew-join splits the oversized bucket
-    * partitions (audited in PlanAuditSpec for the shared geometry), and
-    * the `distinct()` collapses the 4× chunk multiplicity before the
-    * hamming verify. A corpus-scale deployment should additionally
-    * pre-aggregate EXACT hash duplicates (groupBy ahash → representative +
-    * member list) so k identical images cost one representative in the
-    * pair join and k−1 membership rows, not k² join rows;
-    * MultimodalSpec's uniform-image skew test pins the correctness side
-    * (exactly C(k,2)·hamming-0 pairs, no chunk double-count). */
+    * Hot-chunk handling (same class as d_simhash's): a POPULAR 16-bit
+    * chunk value makes a hot join key — the canonical case is uniform
+    * images (a flat color hashes to aHash 0, so ALL uniform images share
+    * all four chunk buckets). [[phashPairs]] pre-aggregates EXACT hash
+    * duplicates (groupBy ahash → sorted member list) so k identical images
+    * cost ONE row in the chunk join, their C(k,2) hamming-0 pairs coming
+    * from a per-group expansion instead of k² join rows; residual
+    * distinct-hash skew is split by AQE skew-join (audited in
+    * PlanAuditSpec for the shared geometry). MultimodalSpec's
+    * uniform-image skew test pins the correctness side (exactly
+    * C(k,2)·hamming-0 pairs, no chunk double-count). */
   def phashFrame(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     Tables.t(spark, dir, "documents").select("doc_id").as[Long]
@@ -614,21 +610,49 @@ object Multimodal {
 
   /** Chunk-pigeonhole pair generation over a (doc_id, ahash) frame —
     * factored from [[mPhashDedup]] so the uniform-image (hot-chunk) skew
-    * spec can drive it with a planted hash frame directly. */
+    * spec can drive it with a planted hash frame directly.
+    *
+    * EXACT-duplicate pre-aggregation (ADVICE r10 — previously only a
+    * deployment note): images are grouped by ahash first, so the chunk
+    * self-join runs over DISTINCT hashes — k byte-identical-hash images
+    * cost ONE row per chunk bucket instead of k, collapsing the former
+    * ~4k²/2 hot-bucket join rows to 4 per chunk. Their C(k,2) hamming-0
+    * pairs (inherent output — identical images ARE mutual dups) are
+    * enumerated per group with a slice/explode expansion that never enters
+    * the join; cross-group pairs expand member lists only AFTER the
+    * hamming≤3 filter on the distinct-hash pair, i.e. exactly the rows the
+    * output needs. The per-group member array is bounded by the group
+    * size — at any k where that array is a concern, the C(k,2) output
+    * itself dominates it quadratically. */
   private[graft] def phashPairs(hashes: DataFrame): DataFrame = {
-    val chunks = hashes.select(col("doc_id"), col("ahash"),
+    val groups = hashes.groupBy("ahash")
+      .agg(sort_array(collect_list("doc_id")).as("members"))
+    // intra-group: identical hashes are hamming-0 pairs by definition —
+    // sorted members make doc_a < doc_b structural
+    val intra = groups.filter(size(col("members")) >= 2)
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("members"), col("i") + lit(2),
+          size(col("members")))).as("doc_b"),
+        lit(0).as("hamming"))
+    // cross-group: chunk-pigeonhole join over distinct hashes only
+    val chunks = groups.select(col("ahash"), col("members"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("ahash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_id", "chunk_val")))
-    chunks.as("x").join(chunks.as("y"),
+    val cross = chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.chunk_val") === col("y.chunk_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.ahash") < col("y.ahash"))
+      .select(col("x.members").as("ma"), col("y.members").as("mb"),
         expr("hamming_distance(x.ahash, y.ahash)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
+      .distinct()
+      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
+      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    intra.unionAll(cross).orderBy("doc_a", "doc_b")
   }
 
   def mPhashDedup(spark: SparkSession, dir: String): DataFrame = {

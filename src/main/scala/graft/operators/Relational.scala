@@ -1346,16 +1346,20 @@ object Relational {
     * across engines), this one is HASH-CHECKED: over region + lineitem the
     * type alphabet is exactly {bigint, int, double, string, timestamp-ish},
     * which the oracle maps from DuckDB's information_schema spellings with
-    * one CASE. The timestamp spelling is taken from Spark's OWN loaded
-    * type (the parquet generation decides ntz-ness — the Tables.normalizeTs
-    * lesson), so the oracle mirrors the engine's real DESCRIBE output
-    * rather than assuming a generation. */
+    * one CASE. Timestamp flavor is GENERATION-DEPENDENT (the parquet
+    * writer decides ntz-ness — the Tables.normalizeTs lesson), so both
+    * sides collapse `timestamp`/`timestamp_ntz`/`timestamp_ltz` to the
+    * one label `timestamp`: the hash gate then survives an instant-typed
+    * regeneration instead of spuriously failing on the flavor spelling
+    * (ADVICE r10 — the previous oracle hardcoded 'timestamp_ntz'). */
   def ddlDescribe(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(spark, dir)
+    val tsNorm = when(col("data_type").startsWith("timestamp"),
+      lit("timestamp")).otherwise(col("data_type")).as("data_type")
     spark.sql("DESCRIBE TABLE region")
-      .select(lit("region").as("table_name"), col("col_name"), col("data_type"))
+      .select(lit("region").as("table_name"), col("col_name"), tsNorm)
       .unionAll(spark.sql("DESCRIBE TABLE lineitem")
-        .select(lit("lineitem").as("table_name"), col("col_name"), col("data_type")))
+        .select(lit("lineitem").as("table_name"), col("col_name"), tsNorm))
       .orderBy("table_name", "col_name")
   }
 
@@ -1365,7 +1369,7 @@ object Relational {
       |                 WHEN 'INTEGER' THEN 'int'
       |                 WHEN 'DOUBLE' THEN 'double'
       |                 WHEN 'VARCHAR' THEN 'string'
-      |                 WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+      |                 WHEN 'TIMESTAMP' THEN 'timestamp'
       |  END AS data_type
       |FROM information_schema.columns
       |WHERE table_name IN ('region', 'lineitem')

@@ -462,10 +462,22 @@ object TextAnalysis {
   val RepMaxTopBigramFrac = 0.10
   val RepMinDistinctRatio = 0.30
 
+  /** Texts longer than this bypass the rep_stats kernel for the
+    * spill-capable decomposition: the kernel's per-doc gram HashMaps are
+    * O(distinct grams) ≈ O(doc bytes) of EXECUTOR HEAP inside one task
+    * (ADVICE r10) — fine for web documents (64 MiB of text ⇒ a few hundred
+    * MB transient, inside any executor slot) but a single pathological
+    * multi-GB doc must not OOM the executor. Above the line, the explode/
+    * groupBy shape spills to disk instead. */
+  val RepKernelMaxBytes: Int = 64 << 20
+
   def xRepetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOn(docs(spark, dir).select("doc_id", "text"))
 
-  def repetitionOn(d: DataFrame): DataFrame = {
+  def repetitionOn(d: DataFrame): DataFrame =
+    repetitionOn(d, RepKernelMaxBytes)
+
+  def repetitionOn(d: DataFrame, kernelMaxBytes: Int): DataFrame = {
     // Round 10: previously posexplode → per-doc lead() window → two
     // (doc_id, gram) groupBys — correct and partial-aggregated, but the
     // exploded-token sort (50× the corpus row count) went disk-spill-bound
@@ -473,7 +485,11 @@ object TextAnalysis {
     // native rep_stats kernel reduces each text to four ints inside
     // whole-stage codegen and the operator is a narrow projection: zero
     // exchanges before the presentation sort, identical output (the DuckDB
-    // oracle is unchanged and still hash-checks it).
+    // oracle is unchanged and still hash-checks it). Docs over
+    // [[RepKernelMaxBytes]] take the spill path ([[repStatsSpill]]) —
+    // bounded kernel heap without changing any result; at gate scale the
+    // branch is empty and AQE collapses it (the p_stratified guard
+    // pattern).
     graft.functions.GraftFunctions.register(d.sparkSession)
     // n_words > 1 ⟺ the text contains a space (split-on-' ' yields
     // spaces+1 tokens) — filtering on instr BEFORE the kernel keeps the
@@ -481,20 +497,56 @@ object TextAnalysis {
     // pushdown substitute the alias and re-evaluate the whole kernel per
     // row inside the scan filter (profiled 2× the kernel cost at the
     // 1000× stress scale).
-    d.filter(instr(col("text"), " ") > 0)
+    val base = d.filter(instr(col("text"), " ") > 0)
+    val viaKernel = base.filter(octet_length(col("text")) <= kernelMaxBytes)
       .select(col("doc_id"), expr("rep_stats(text)").as("s"))
       .select(col("doc_id"), col("s.n_words").as("n_words"),
-        round(col("s.n_distinct").cast("double") / col("s.n_words"), 4)
+        col("s.n_distinct").as("n_distinct"),
+        col("s.top_word_c").as("top_word_c"),
+        col("s.top_bigram_c").as("top_bigram_c"))
+    val viaSpill =
+      repStatsSpill(base.filter(octet_length(col("text")) > kernelMaxBytes))
+    viaKernel.unionAll(viaSpill)
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_distinct").cast("double") / col("n_words"), 4)
           .as("distinct_ratio"),
-        round(col("s.top_word_c").cast("double") / col("s.n_words"), 4)
+        round(col("top_word_c").cast("double") / col("n_words"), 4)
           .as("top_word_frac"),
-        round(col("s.top_bigram_c").cast("double") / (col("s.n_words") - 1), 4)
+        round(col("top_bigram_c").cast("double") / (col("n_words") - 1), 4)
           .as("top_bigram_frac"))
       .withColumn("rep_ok",
         col("distinct_ratio") >= RepMinDistinctRatio &&
         col("top_word_frac") <= RepMaxTopWordFrac &&
         col("top_bigram_frac") <= RepMaxTopBigramFrac)
       .orderBy("doc_id")
+  }
+
+  /** The spill-capable rep-stats decomposition for oversized docs:
+    * posexplode the tokens (split-on-single-space, empties included —
+    * the kernel's exact tokenization), bigrams via a per-doc lead()
+    * window, gram counts via partial-aggregated groupBys. ~50× more rows
+    * in flight than the kernel, but every stage spills to disk — the
+    * pre-r10 shape, kept as the escape hatch the kernel's per-doc heap
+    * bound needs (ADVICE r10). TextAnalysisSpec forces the whole corpus
+    * through this path and asserts equality with the kernel. */
+  private[graft] def repStatsSpill(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ", -1)).as(Seq("i", "w")))
+    val wc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").cast("int").as("n_words"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        max("c").cast("int").as("top_word_c"))
+    val byPos = Window.partitionBy("doc_id").orderBy("i")
+    val bc = toks.withColumn("nx", lead("w", 1).over(byPos))
+      .filter(col("nx").isNotNull)
+      .select(col("doc_id"), concat(col("w"), lit(" "), col("nx")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").cast("int").as("top_bigram_c"))
+    // the caller's instr-filter guarantees ≥2 tokens ⇒ ≥1 bigram per doc
+    wc.join(bc, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("top_word_c"), col("top_bigram_c"))
   }
 
   val xRepetitionSql: String =

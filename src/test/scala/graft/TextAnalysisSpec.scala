@@ -139,6 +139,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r(1L).getAs[Double]("top_bigram_frac") - 0.5063) < 1e-4)
   }
 
+  test("x_repetition spill path (docs over RepKernelMaxBytes) equals the " +
+    "rep_stats kernel on the whole corpus") {
+    val d = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    // kernelMaxBytes = -1 forces EVERY doc through repStatsSpill (octet
+    // length is always > -1); the default routes every gate-scale doc
+    // through the kernel — the two paths must agree row-for-row
+    val viaSpill = TextAnalysis.repetitionOn(d, kernelMaxBytes = -1)
+      .collect().map(_.toSeq)
+    val viaKernel = TextAnalysis.repetitionOn(d).collect().map(_.toSeq)
+    assert(viaSpill.nonEmpty && viaSpill.length == viaKernel.length)
+    assert(viaSpill.sameElements(viaKernel),
+      viaSpill.zip(viaKernel).find { case (a, b) => a != b }.toString)
+  }
+
   test("x_boilerplate finds exactly the planted cross-document footer") {
     val rows = TextAnalysis.xBoilerplate(spark, sf).collect()
     val planted = Tables.t(spark, sf, "documents")
