@@ -29,7 +29,9 @@ object Bench {
     // round 9: one per new family — sliding windows, soft dedup, the
     // third two-level-scan member, RRF fusion (BASELINE.md r9 records
     // the 21-query shared subset for round-over-round comparison)
-    "e_hopping", "d_soft", "p_curriculum", "n_rrf_hybrid")
+    "e_hopping", "d_soft", "p_curriculum", "n_rrf_hybrid",
+    // round 11: the production-shaped IVF config (kernel assignment path)
+    "n_ivf_big")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -40,6 +40,7 @@ object GraftFunctions {
     "pq_score" -> (c => PqScore(c(0), c(1))),
     "pq_encode" -> (c => PqEncode(c(0), c(1), c(2))),
     "pq_table" -> (c => PqTable(c(0), c(1), c(2))),
+    "nearest_centroid" -> (c => NearestCentroid(c(0), c(1), c(2))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {

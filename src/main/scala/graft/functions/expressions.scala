@@ -802,6 +802,89 @@ object PqScore {
   }
 }
 
+/** `nearest_centroid(vec, cents, cells)` — argmax-cosine cell assignment
+  * for IVF-family coarse quantizers at PRODUCTION cell counts: `cents` is
+  * the centroid model flattened cell-major (cents[cell*d + j], d implied by
+  * length/cells), the result is the index of the max-cosine centroid, ties
+  * to the HIGHEST index — bit-identical semantics (double-promoted
+  * accumulation, zero-norm → 0.0, tie order) to the inline
+  * greatest(struct(cosine_similarity…)) chain Similarity.assignTo uses
+  * below its cell threshold. The inline chain inlines one expression per
+  * cell and exceeds JVM codegen limits at the √n cells a large corpus
+  * wants (VERDICT r10); this is one fused cells×d loop in generated code —
+  * cell count changes a loop bound, not the expression tree. */
+case class NearestCentroid(vec: Expression, cents: Expression, cells: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = cells
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cents.dataType, cells.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _), IntegerType)
+        if cells.foldable => TypeCheckResult.TypeCheckSuccess
+      case (v, c, n) => TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid(array<float> vec, array<float> cents, " +
+          s"int-literal cells) got $v, $c, $n")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(v: Any, c: Any, n: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, n) =>
+      s"${ev.value} = graft.functions.NearestCentroid.compute($v, $c, $n);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, cents = s, cells = t)
+}
+
+object NearestCentroid {
+  def compute(vec: ArrayData, cents: ArrayData, cells: Int): Int = {
+    if (cells <= 0 || cents.numElements() == 0 ||
+        cents.numElements() % cells != 0)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: model length ${cents.numElements()} must be a " +
+          s"positive multiple of cells=$cells")
+    val d = cents.numElements() / cells
+    // same pairwise semantics as cosine_similarity: iterate min(|vec|, d)
+    val m = math.min(vec.numElements(), d)
+    var nx = 0.0
+    var i = 0
+    while (i < m) {
+      val xv = vec.getFloat(i).toDouble
+      nx += xv * xv
+      i += 1
+    }
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var cell = 0
+    while (cell < cells) {
+      val base = cell * d
+      var dot = 0.0
+      var ny = 0.0
+      var j = 0
+      while (j < m) {
+        val xv = vec.getFloat(j).toDouble
+        val yv = cents.getFloat(base + j).toDouble
+        dot += xv * yv
+        ny += yv * yv
+        j += 1
+      }
+      val s = if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+      // >= : ties take the highest cell, matching greatest(struct(s, c))
+      if (s >= bestScore) { bestScore = s; best = cell }
+      cell += 1
+    }
+    best
+  }
+}
+
 /** Shared shape validation for the PQ corpus-side kernels: `books` is the
   * trained codebook flattened seg-major — books[((seg*k)+code)*d + dim] —
   * so d and k are implied by the vector length and m. */

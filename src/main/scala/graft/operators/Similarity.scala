@@ -55,6 +55,19 @@ object Similarity {
   val LshMaxHamming = 2
   val IvfCells = 16
   val IvfNprobe = 3
+  /** Above this many centroids, [[assignTo]] switches from the inline
+    * greatest()-chain (one expression per cell — exceeds JVM codegen
+    * limits at production cell counts) to the native `nearest_centroid`
+    * kernel, where cell count is a loop bound (VERDICT r10). 16 keeps the
+    * default config on its long-audited inline plan; both paths are
+    * equality-tested in SimilaritySpec. */
+  val AssignInlineMaxCells = 16
+  /** The production-shaped IVF config the n_ivf_big gate entry exercises:
+    * past the inline-assignment threshold, so the driver gate covers the
+    * kernel path, not just the 16-cell toy (VERDICT r10 #7). Sizing rule
+    * unchanged (cells ≈ √n, nprobe sets the scanned fraction). */
+  val BigIvfCells = 64
+  val BigIvfNprobe = 8
 
   private def emb(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -185,10 +198,11 @@ object Similarity {
   private def localizeModel(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.collectAsList(), df.schema)
 
-  /** Coarse quantizer seeds: the IvfCells lowest-id vectors act as centroids
+  /** Coarse quantizer seeds: the `cells` lowest-id vectors act as centroids
     * (a deterministic sample — IVF training normally samples the corpus). */
-  private def centroids(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir).filter(col("vec_id") < IvfCells)
+  private def centroids(spark: SparkSession, dir: String,
+      cells: Int = IvfCells): DataFrame =
+    emb(spark, dir).filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
 
   /** Nearest-centroid assignment of the corpus to `cents` (cell, cv) as a
@@ -200,22 +214,45 @@ object Similarity {
     * map-side but still EXCHANGED every (vec_id, embedding) row for its
     * final aggregate — a full-corpus embedding shuffle in the index-BUILD
     * path, the single heaviest avoidable movement at 100 TB (plan audit
-    * now pins the no-Exchange shape). The argmax is one `greatest()` over
-    * (score, cell) structs — each child evaluated once, linear tree (a
-    * folded when-chain would reference its accumulator twice per level:
-    * 2^cells expression blowup). Ties take the HIGHEST cell
-    * (deterministic struct order; max_by's tie order was
-    * engine-internal). */
-  private[graft] def assignTo(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    * now pins the no-Exchange shape). Two spellings by model size, both
+    * narrow and codegen'd (VERDICT r10 #1):
+    *  - ≤ [[AssignInlineMaxCells]]: one `greatest()` over (score, cell)
+    *    structs — each child evaluated once, linear tree (a folded
+    *    when-chain would reference its accumulator twice per level:
+    *    2^cells expression blowup). Ties take the HIGHEST cell
+    *    (deterministic struct order; max_by's tie order was
+    *    engine-internal).
+    *  - above it: the native `nearest_centroid` kernel over the
+    *    cell-major-flattened model — the inline chain inlines one
+    *    cosine expression per cell and trips JVM codegen limits at the
+    *    √n ≈ tens-of-thousands cells a 1B-vector corpus wants; the kernel
+    *    makes cell count a LOOP BOUND. Same double-promoted math, same
+    *    ties-to-highest-cell order (equality-tested in SimilaritySpec). */
+  private[graft] def assignTo(corpus: DataFrame, cents: DataFrame,
+      inlineMaxCells: Int = AssignInlineMaxCells): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val model = cents.select(col("cell"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
     require(model.length >= 2, s"centroid model too small: ${model.length}")
-    val best = greatest(model.map { case (cell, cv) =>
-      struct(call_function("cosine_similarity", col("embedding"),
-        typedLit(cv)).as("s"), lit(cell).as("c"))
-    }: _*)
-    corpus.select(col("vec_id"), col("embedding"), best.getField("c").as("cell"))
+    val best =
+      if (model.length <= inlineMaxCells)
+        greatest(model.map { case (cell, cv) =>
+          struct(call_function("cosine_similarity", col("embedding"),
+            typedLit(cv)).as("s"), lit(cell).as("c"))
+        }: _*).getField("c")
+      else {
+        val sorted = model.sortBy(_._1)
+        val d = sorted.head._2.length
+        require(sorted.forall(_._2.length == d),
+          "centroid model is ragged — all cells must share one dimension")
+        // kernel returns the argmax INDEX over the flattened model; the
+        // ascending sort makes index order = cell order, so ties-to-
+        // highest-index is ties-to-highest-cell, like the inline form
+        val idx = call_function("nearest_centroid", col("embedding"),
+          typedLit(sorted.flatMap(_._2).toSeq), lit(sorted.length))
+        element_at(typedLit(sorted.map(_._1).toSeq), idx + 1)
+      }
+    corpus.select(col("vec_id"), col("embedding"), best.as("cell"))
   }
 
   /** One Lloyd refinement: each cell's centroid becomes the per-dimension
@@ -237,11 +274,11 @@ object Similarity {
     * (see [[localizeModel]]) so corpus assignment and query-side probing
     * share one materialized model with no cache entry to leak. Lloyd
     * empty-cell rule: a cell that captured no vectors keeps its previous
-    * centroid — the quantizer always has exactly IvfCells rows, so cell ids
+    * centroid — the quantizer always has exactly `cells` rows, so cell ids
     * never misalign downstream (ADVICE r4). */
   private[graft] def ivfQuantizer(spark: SparkSession, dir: String,
-      iters: Int = QuantIters): DataFrame = {
-    var c = localizeModel(centroids(spark, dir))
+      iters: Int = QuantIters, cells: Int = IvfCells): DataFrame = {
+    var c = localizeModel(centroids(spark, dir, cells))
     var i = 0
     while (i < iters) {
       val refined = refine(assignTo(emb(spark, dir), c))
@@ -258,25 +295,26 @@ object Similarity {
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
     assignTo(emb(spark, dir), ivfQuantizer(spark, dir))
 
-  /** The IvfNprobe nearest cells per query — (qid, qv, cell). The window
+  /** The `nprobe` nearest cells per query — (qid, qv, cell). The window
     * runs over queries × cells rows (tiny — the model side), never the
     * corpus. */
   private[graft] def ivfProbes(spark: SparkSession, dir: String,
-      c: DataFrame): DataFrame = {
+      c: DataFrame, nprobe: Int = IvfNprobe): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("qcos"), asc("cell"))
     queriesDf(spark, dir).crossJoin(broadcast(c))
       .select(col("qid"), col("qv"), col("cell"),
         expr("cosine_similarity(qv, cv)").as("qcos"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= IvfNprobe)
+      .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
   }
 
   private[graft] def ivfCandidates(spark: SparkSession, dir: String,
-      iters: Int = QuantIters): DataFrame = {
-    val c = ivfQuantizer(spark, dir, iters)
+      iters: Int = QuantIters, cells: Int = IvfCells,
+      nprobe: Int = IvfNprobe): DataFrame = {
+    val c = ivfQuantizer(spark, dir, iters, cells)
     val assigned = assignTo(emb(spark, dir), c)
-    assigned.join(ivfProbes(spark, dir, c), "cell")
+    assigned.join(ivfProbes(spark, dir, c, nprobe), "cell")
       .filter(col("vec_id") =!= col("qid"))
   }
 
@@ -285,11 +323,23 @@ object Similarity {
   def nIvfTopk(spark: SparkSession, dir: String): DataFrame =
     nIvfTopkWith(spark, dir, QuantIters)
 
-  /** The parameterized form — `iters` Lloyd rounds of quantizer training. */
-  def nIvfTopkWith(spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    val (c, assigned) = ivfBuild(spark, dir, iters)
-    ivfServe(spark, dir, c, assigned)
+  /** The parameterized form — `iters` Lloyd rounds of quantizer training,
+    * `cells`/`nprobe` the production sizing knobs (VERDICT r10 #1). */
+  def nIvfTopkWith(spark: SparkSession, dir: String, iters: Int,
+      cells: Int = IvfCells, nprobe: Int = IvfNprobe): DataFrame = {
+    val (c, assigned) = ivfBuild(spark, dir, iters, cells)
+    ivfServe(spark, dir, c, assigned, nprobe)
   }
+
+  // -------------------------------------------------------------- n_ivf_big
+  /** The IVF tier at its production-shaped config — [[BigIvfCells]] cells /
+    * [[BigIvfNprobe]] probes, past [[AssignInlineMaxCells]] so the DRIVER
+    * GATE exercises the `nearest_centroid` kernel-assignment path end-to-
+    * end, not just the 16-cell inline toy (VERDICT r10 #7). Rows-only
+    * (approximate — not DuckDB-portable); SimilaritySpec pins recall
+    * floors and inline≡kernel assignment equality. */
+  def nIvfBig(spark: SparkSession, dir: String): DataFrame =
+    nIvfTopkWith(spark, dir, QuantIters, BigIvfCells, BigIvfNprobe)
 
   // -------------------------------------------------- build / serve split
   /** INDEX BUILD for the IVF tier: train the coarse quantizer (`iters`
@@ -300,8 +350,8 @@ object Similarity {
     * iterations, benchmarks/src/util/run.rs) — a production user asks
     * "what does a query cost against a BUILT index". */
   private[graft] def ivfBuild(spark: SparkSession, dir: String,
-      iters: Int = QuantIters): (DataFrame, DataFrame) = {
-    val c = ivfQuantizer(spark, dir, iters)
+      iters: Int = QuantIters, cells: Int = IvfCells): (DataFrame, DataFrame) = {
+    val c = ivfQuantizer(spark, dir, iters, cells)
     (c, assignTo(emb(spark, dir), c))
   }
 
@@ -309,9 +359,10 @@ object Similarity {
     * inside them, top-k. The probe set (queries × nprobe rows) is the
     * broadcast side; the stored index never shuffles. */
   private[graft] def ivfServe(spark: SparkSession, dir: String,
-      c: DataFrame, assigned: DataFrame): DataFrame =
+      c: DataFrame, assigned: DataFrame,
+      nprobe: Int = IvfNprobe): DataFrame =
     topK(assigned
-      .join(broadcast(ivfProbes(spark, dir, c)), "cell")
+      .join(broadcast(ivfProbes(spark, dir, c, nprobe)), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"), cos.as("cos")), K)
 
@@ -399,7 +450,6 @@ object Similarity {
   val PqSegments = 8
   val PqCodebook = 16
   private val PqDim = 64
-  private val PqSubDim = PqDim / PqSegments
 
   /** Train the per-segment PQ codebooks [Jégou et al. 2011] and return them
     * FLATTENED seg-major — books(((seg*K)+code)*D + dim) — the layout
@@ -421,16 +471,19 @@ object Similarity {
     * segs×K×D values and code ids can never misalign `pq_score`'s
     * seg-major indexing (ADVICE r4). */
   private[graft] def pqTrain(spark: SparkSession, dir: String,
-      iters: Int = QuantIters): Array[Double] = {
-    val (k, d) = (PqCodebook, PqSubDim)
+      iters: Int = QuantIters, segments: Int = PqSegments,
+      codebook: Int = PqCodebook): Array[Double] = {
+    require(segments > 0 && PqDim % segments == 0,
+      s"segments=$segments must divide the corpus dimension $PqDim")
+    val (k, d) = (codebook, PqDim / segments)
     // seeds: segment s of corpus vector c → centroid (s, c), like IVF's
     // deterministic lowest-id sample
     val seeds = emb(spark, dir).filter(col("vec_id") < k).orderBy("vec_id")
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0))
     require(seeds.length == k, s"corpus has fewer than $k seed vectors")
-    val books = new Array[Double](PqSegments * k * d)
-    for (code <- 0 until k; seg <- 0 until PqSegments; j <- 0 until d)
+    val books = new Array[Double](segments * k * d)
+    for (code <- 0 until k; seg <- 0 until segments; j <- 0 until d)
       books((seg * k + code) * d + j) = seeds(code)(seg * d + j)
     var i = 0
     while (i < iters) {
@@ -438,7 +491,7 @@ object Similarity {
       val means = emb(spark, dir)
         .select(col("embedding").cast("array<double>").as("v"))
         .withColumn("codes",
-          call_function("pq_encode", col("v"), flat, lit(PqSegments)))
+          call_function("pq_encode", col("v"), flat, lit(segments)))
         .select(posexplode(col("codes")).as(Seq("seg", "code")), col("v"))
         .select(col("seg"), col("code"),
           posexplode(expr(s"slice(v, seg * $d + 1, $d)")).as(Seq("pos", "x")))
@@ -467,10 +520,12 @@ object Similarity {
   def nPqTopk(spark: SparkSession, dir: String): DataFrame =
     nPqTopkWith(spark, dir, QuantIters)
 
-  /** The parameterized form — `iters` Lloyd rounds of codebook training. */
-  def nPqTopkWith(spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    val (books, codes) = pqBuild(spark, dir, iters)
-    pqServe(spark, dir, books, codes)
+  /** The parameterized form — `iters` Lloyd rounds of codebook training,
+    * `segments`/`codebook` the compression knobs (VERDICT r10 #1). */
+  def nPqTopkWith(spark: SparkSession, dir: String, iters: Int,
+      segments: Int = PqSegments, codebook: Int = PqCodebook): DataFrame = {
+    val (books, codes) = pqBuild(spark, dir, iters, segments, codebook)
+    pqServe(spark, dir, books, codes, segments)
   }
 
   /** INDEX BUILD for the PQ tier: train the codebooks and encode the whole
@@ -478,30 +533,32 @@ object Similarity {
     * native `pq_encode`. The codes frame is what production stores;
     * see [[ivfBuild]] for why BENCH times build and serve separately. */
   private[graft] def pqBuild(spark: SparkSession, dir: String,
-      iters: Int = QuantIters): (Array[Double], DataFrame) = {
+      iters: Int = QuantIters, segments: Int = PqSegments,
+      codebook: Int = PqCodebook): (Array[Double], DataFrame) = {
     GraftFunctions.register(spark)
-    val books = pqTrain(spark, dir, iters)
+    val books = pqTrain(spark, dir, iters, segments, codebook)
     // structural by construction (empty cells keep their centroid); cheap
     // last line of defense for the seg-major indexing contract (ADVICE r4)
-    require(books.length == PqSegments * PqCodebook * PqSubDim,
+    require(books.length == segments * codebook * (PqDim / segments),
       s"PQ codebook misshapen: ${books.length}")
     val flat = typedLit(books.toVector)
     val codes = emb(spark, dir).select(col("vec_id"),
       call_function("pq_encode", col("embedding").cast("array<double>"),
-        flat, lit(PqSegments)).as("codes"))
+        flat, lit(segments)).as("codes"))
     (books, codes)
   }
 
   /** QUERY SERVE for the PQ tier: each query precomputes its m×k table of
     * partial dot products (`pq_table`), scoring is `pq_score` ADC over the
-    * stored codes — 8 table loads per corpus vector. */
+    * stored codes — m table loads per corpus vector. */
   private[graft] def pqServe(spark: SparkSession, dir: String,
-      books: Array[Double], codes: DataFrame): DataFrame = {
+      books: Array[Double], codes: DataFrame,
+      segments: Int = PqSegments): DataFrame = {
     GraftFunctions.register(spark)
     val flat = typedLit(books.toVector)
     val qTables = queriesDf(spark, dir).select(col("qid"),
       call_function("pq_table", col("qv").cast("array<double>"),
-        flat, lit(PqSegments)).as("qtab"))
+        flat, lit(segments)).as("qtab"))
     topK(codes.join(broadcast(qTables), codes("vec_id") =!= qTables("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
@@ -524,44 +581,53 @@ object Similarity {
   def nIvfpqTopk(spark: SparkSession, dir: String): DataFrame =
     nIvfpqTopkWith(spark, dir, QuantIters)
 
-  /** The parameterized form — `iters` Lloyd rounds for both quantizers. */
-  def nIvfpqTopkWith(spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    val (c, books, index) = ivfpqBuild(spark, dir, iters)
-    ivfpqServe(spark, dir, c, books, index)
+  /** The parameterized form — `iters` Lloyd rounds for both quantizers,
+    * plus the full production knob set (VERDICT r10 #1): `cells`/`nprobe`
+    * size the coarse pruning, `segments`/`codebook` the code compression. */
+  def nIvfpqTopkWith(spark: SparkSession, dir: String, iters: Int,
+      cells: Int = IvfCells, nprobe: Int = IvfNprobe,
+      segments: Int = PqSegments, codebook: Int = PqCodebook): DataFrame = {
+    val (c, books, index) = ivfpqBuild(spark, dir, iters, cells, segments, codebook)
+    ivfpqServe(spark, dir, c, books, index, nprobe, segments)
   }
 
   /** INDEX BUILD for IVFADC: coarse quantizer + codebooks trained, corpus
     * assigned to cells AND encoded to codes in one narrow pass — the
     * (cell, vec_id, codes) frame production stores bucketed by cell. */
   private[graft] def ivfpqBuild(spark: SparkSession, dir: String,
-      iters: Int = QuantIters): (DataFrame, Array[Double], DataFrame) = {
-    val c = ivfQuantizer(spark, dir, iters)
-    val (books, _) = pqBuild(spark, dir, iters)
+      iters: Int = QuantIters, cells: Int = IvfCells,
+      segments: Int = PqSegments, codebook: Int = PqCodebook)
+      : (DataFrame, Array[Double], DataFrame) = {
+    val c = ivfQuantizer(spark, dir, iters, cells)
+    val (books, _) = pqBuild(spark, dir, iters, segments, codebook)
     val flat = typedLit(books.toVector)
     val index = assignTo(emb(spark, dir), c)
       .select(col("cell"), col("vec_id"),
         call_function("pq_encode", col("embedding").cast("array<double>"),
-          flat, lit(PqSegments)).as("codes"))
+          flat, lit(segments)).as("codes"))
     (c, books, index)
   }
 
   /** The per-(query, cell) probe frame with precomputed ADC tables. */
   private def ivfpqProbes(spark: SparkSession, dir: String,
-      c: DataFrame, books: Array[Double]): DataFrame = {
+      c: DataFrame, books: Array[Double], nprobe: Int = IvfNprobe,
+      segments: Int = PqSegments): DataFrame = {
     GraftFunctions.register(spark)
     val flat = typedLit(books.toVector)
-    ivfProbes(spark, dir, c)
+    ivfProbes(spark, dir, c, nprobe)
       .select(col("qid"), col("cell"),
         call_function("pq_table", col("qv").cast("array<double>"),
-          flat, lit(PqSegments)).as("qtab"))
+          flat, lit(segments)).as("qtab"))
   }
 
   /** QUERY SERVE for IVFADC: probe cells, broadcast the per-(query, cell)
     * ADC tables, `pq_score` only the codes in probed cells. */
   private[graft] def ivfpqServe(spark: SparkSession, dir: String,
-      c: DataFrame, books: Array[Double], index: DataFrame): DataFrame = {
+      c: DataFrame, books: Array[Double], index: DataFrame,
+      nprobe: Int = IvfNprobe, segments: Int = PqSegments): DataFrame = {
     GraftFunctions.register(spark)
-    topK(index.join(broadcast(ivfpqProbes(spark, dir, c, books)), "cell")
+    topK(index.join(broadcast(
+        ivfpqProbes(spark, dir, c, books, nprobe, segments)), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
@@ -750,7 +816,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_brute_topk" -> (nBruteTopk _), "n_lsh_topk" -> (nLshTopk _),
-    "n_ivf_topk" -> (nIvfTopk _), "n_quant_topk" -> (nQuantTopk _),
+    "n_ivf_topk" -> (nIvfTopk _), "n_ivf_big" -> (nIvfBig _),
+    "n_quant_topk" -> (nQuantTopk _),
     "n_pq_topk" -> (nPqTopk _), "n_ivfpq_topk" -> (nIvfpqTopk _),
     "n_range_search" -> (nRangeSearch _), "n_rrf_hybrid" -> (nRrfHybrid _),
     "e_normalize" -> (eNormalize _), "e_quantize" -> (eQuantize _))

@@ -146,6 +146,22 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(zero.getDouble(0) == 0.0)
   }
 
+  test("nearest_centroid: argmax cell, ties to highest index, shape errors loud") {
+    // 2 cells of dim 2: cell 0 = (1,0), cell 1 = (0,1)
+    val m = "array(1.0F, 0.0F, 0.0F, 1.0F)"
+    assert(one(s"nearest_centroid(array(0.9F, 0.1F), $m, 2)").getInt(0) == 0)
+    assert(one(s"nearest_centroid(array(0.1F, 0.9F), $m, 2)").getInt(0) == 1)
+    // exact tie (45°) → highest cell, the greatest(struct) order
+    assert(one(s"nearest_centroid(array(1.0F, 1.0F), $m, 2)").getInt(0) == 1)
+    // zero-norm query: every score is 0.0 → ties all the way → highest
+    assert(one(s"nearest_centroid(array(0.0F, 0.0F), $m, 2)").getInt(0) == 1)
+    // model length not a multiple of cells fails loudly, not garbage
+    val e = intercept[Exception](
+      one(s"nearest_centroid(array(1.0F, 0.0F), array(1.0F, 0.0F, 1.0F), 2)"))
+    assert(e.getMessage.contains("nearest_centroid") ||
+      e.getCause != null && e.getCause.getMessage.contains("nearest_centroid"))
+  }
+
   test("date_bin_us aligns to origin, incl. pre-origin timestamps") {
     val r = one(
       "date_bin_us(3600000000L, TIMESTAMP '1995-01-01 10:47:33', TIMESTAMP '1995-01-01 00:30:00')")

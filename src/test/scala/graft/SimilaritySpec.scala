@@ -278,4 +278,93 @@ class SimilaritySpec extends SparkSpec {
         s"$dir: inverted pool diverged from the naive intersect")
     }
   }
+
+  test("ivf assignment: the nearest_centroid kernel path equals the inline " +
+    "greatest chain cell-for-cell (same math, same tie order)") {
+    val c = Similarity.ivfQuantizer(spark, sf01)
+    val corpus = Tables.t(spark, sf01, "embeddings")
+      .select("vec_id", "embedding")
+    def cells(inlineMax: Int): Map[Long, Int] =
+      Similarity.assignTo(corpus, c, inlineMax).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val inline = cells(inlineMax = Int.MaxValue)
+    val kernel = cells(inlineMax = 0)
+    assert(inline.nonEmpty && inline.size == kernel.size)
+    val diff = inline.collect { case (id, cl) if kernel(id) != cl =>
+      (id, cl, kernel(id)) }
+    assert(diff.isEmpty, s"paths diverge on ${diff.take(5)}")
+  }
+
+  test("n_ivf_big (64 cells / nprobe 8): the gate config exercises the " +
+    "kernel assignment — k per query, recall floor, pruning holds") {
+    assert(Similarity.BigIvfCells > Similarity.AssignInlineMaxCells,
+      "n_ivf_big must exercise the kernel path")
+    val n = Tables.t(spark, sf01, "embeddings").count()
+    val candPerQuery = Similarity.ivfCandidates(spark, sf01,
+        cells = Similarity.BigIvfCells, nprobe = Similarity.BigIvfNprobe)
+      .groupBy("qid").count().collect().map(_.getAs[Long]("count"))
+    val candFrac = candPerQuery.sum.toDouble / (candPerQuery.length * n)
+    assert(candFrac < 0.30, s"64-cell IVF scans too much: $candFrac")
+    val rows = Similarity.nIvfBig(spark, sf01).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.values.foreach(rs => assert(rs.length == Similarity.K))
+    val recall = recallOf(rows)
+    info(f"64-cell IVF recall@${Similarity.K} = $recall%.3f, scanned $candFrac%.3f")
+    assert(recall >= 0.5, s"64-cell IVF recall $recall < 0.5")
+  }
+
+  test("IVF at 256 cells (production shape, VERDICT r10): trains and " +
+    "serves on the 2000-vector corpus; assignment stays a zero-shuffle " +
+    "kernel projection") {
+    val big = "/root/testdata/sf0.1"
+    val cells = 256
+    val nprobe = 32
+    val c = Similarity.ivfQuantizer(spark, big, iters = 1, cells = cells)
+    assert(c.count() == cells, "quantizer must hold exactly `cells` rows")
+    val corpus = Tables.t(spark, big, "embeddings")
+      .select("vec_id", "embedding")
+    val assigned = Similarity.assignTo(corpus, c)
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(p.contains("nearest_centroid"),
+      s"256-cell assignment must use the kernel path:\n$p")
+    assert(!p.contains("Exchange"),
+      s"256-cell index-build assignment shuffles the corpus:\n$p")
+    // full coverage, one cell per vector
+    assert(assigned.count() == corpus.count())
+    // serve: recall floor vs brute force on the same corpus
+    val bruteBig = Similarity.nBruteTopk(spark, big).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+    val served = Similarity.nIvfTopkWith(spark, big, 1, cells, nprobe)
+      .collect()
+    val byQ = served.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.values.foreach(rs => assert(rs.length == Similarity.K))
+    val hits = bruteBig.map { case (q, truth) =>
+      byQ.getOrElse(q, Array.empty).map(_.getAs[Long]("vid"))
+        .count(truth).toDouble / truth.size }
+    val recall = hits.sum / hits.size
+    info(f"256-cell/32-probe recall@${Similarity.K} = $recall%.3f " +
+      f"(scanning ~${nprobe.toDouble / cells}%.3f of cells)")
+    assert(recall >= 0.5, s"256-cell IVF recall $recall < 0.5")
+  }
+
+  test("PQ sizing knobs (segments/codebook): finer quantization raises " +
+    "recall; both configs keep k per query") {
+    val coarse = Similarity.nPqTopkWith(spark, sf01, 1).collect()
+    val fine = Similarity.nPqTopkWith(spark, sf01, 1,
+      segments = 16, codebook = 32).collect()
+    Seq(coarse, fine).foreach { rows =>
+      val byQ = rows.groupBy(_.getAs[Long]("qid"))
+      assert(byQ.size == Similarity.NumQueries)
+      byQ.values.foreach(rs => assert(rs.length == Similarity.K))
+    }
+    val (rc, rf) = (recallOf(coarse), recallOf(fine))
+    info(f"PQ recall: 8x16 = $rc%.3f, 16x32 = $rf%.3f")
+    // 16 segments of 4 dims x 32 centroids quantizes far finer than
+    // 8x8x16 — on ANY corpus the distortion falls, so recall must rise
+    assert(rf > rc, s"finer PQ config must beat coarser: $rf vs $rc")
+  }
 }
