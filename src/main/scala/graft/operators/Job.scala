@@ -338,7 +338,229 @@ object Job {
       |  AND l3.l_suppkey = s.s_suppkey
       |  AND s.s_nationkey = n.n_nationkey""".stripMargin
 
+  /** imdb/2a.sql family: the MINIMAL star — five relations, ONE selective
+    * tiny-dim equality (keyword='character-name-in-title') plus one
+    * mid-dim equality (country_code='[de]'), bridge + hub with the
+    * closure edge. The suite's baseline anchor: nothing to rank, the
+    * planner just must not do anything silly with the unfiltered hub. */
+  val job2aSql: String =
+    """SELECT min(o.o_orderdate) AS keyword_order
+      |FROM nation n, customer c, orders o, lineitem l, part p
+      |WHERE n.n_name = 'NATION_4'
+      |  AND p.p_brand = 'Brand#9'
+      |  AND n.n_nationkey = c.c_nationkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |  AND l.l_partkey = p.p_partkey""".stripMargin
+
+  /** imdb/7a.sql family: the DISJUNCTIVE-MIXED predicate — JOB 7a's
+    * `(n.gender='m' OR (n.gender='f' AND n.name LIKE 'B%'))` is an
+    * OR-of-ANDs ACROSS columns (not the OR-of-LIKEs on one column the
+    * 11a/20a families have): the optimizer can't turn it into an IN list
+    * or push either branch alone — selectivity must be estimated for the
+    * union. Plus a BETWEEN on the dim's name (name_pcode_cf BETWEEN) and
+    * ranges at both ends of a region→nation→customer→orders→lineitem→
+    * supplier chain. */
+  val job7aSql: String =
+    """SELECT min(c.c_name) AS of_customer,
+      |       min(o.o_orderdate) AS biography_order
+      |FROM region r, nation n, customer c, orders o, lineitem l, supplier s
+      |WHERE c.c_name BETWEEN 'Customer#000000100' AND 'Customer#000000999'
+      |  AND (c.c_mktsegment = 'BUILDING'
+      |       OR (c.c_mktsegment = 'MACHINERY' AND c.c_name LIKE '%5%'))
+      |  AND r.r_name = 'EUROPE'
+      |  AND s.s_acctbal > 1000
+      |  AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                        AND TIMESTAMP '1997-12-31 00:00:00'
+      |  AND r.r_regionkey = n.n_regionkey
+      |  AND n.n_nationkey = c.c_nationkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |  AND l.l_suppkey = s.s_suppkey""".stripMargin
+
+  /** imdb/9a.sql family: the TWO-AXIS bridge — cast_info joins the movie
+    * axis (t, mc) on movie_id AND the person axis (n, an) on person_id,
+    * with the person-side closure written out. Here lineitem l1 carries
+    * the hub/part axis while l2 attaches ONLY through the supplier axis
+    * (l1.l_suppkey = l2.l_suppkey — JOB's an.person_id = ci.person_id),
+    * the one join in the suite keyed on neither fact's hub. A
+    * supplier-axis fact-fact join has quadratic per-supplier fan-out, so
+    * the planner must reduce l2 by its shipdate filter BEFORE the axis
+    * join — exactly 9a's aka_name trap. */
+  val job9aSql: String =
+    """SELECT min(s.s_name) AS axis_supplier,
+      |       min(p.p_name) AS voiced_part,
+      |       min(o.o_totalprice) AS min_price
+      |FROM supplier s, nation n, lineitem l1, lineitem l2, orders o,
+      |     part p, customer c
+      |WHERE l1.l_returnflag = 'N' AND l1.l_linestatus = 'O'
+      |  AND n.n_name IN ('NATION_1', 'NATION_4', 'NATION_9')
+      |  AND p.p_name LIKE '%red%'
+      |  AND c.c_mktsegment = 'AUTOMOBILE'
+      |  AND l2.l_shipdate > TIMESTAMP '2001-01-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND l1.l_partkey = p.p_partkey
+      |  AND o.o_custkey = c.c_custkey
+      |  AND l1.l_suppkey = s.s_suppkey
+      |  AND l2.l_suppkey = s.s_suppkey
+      |  AND l1.l_suppkey = l2.l_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
+  /** imdb/14a.sql family: TYPED same-table facts — movie_info and
+    * movie_info_idx are the same shape keyed by the same hub, but each is
+    * gated by its OWN type dim (it1='countries' with an IN list on the
+    * value, it2='rating' with a VALUE RANGE on the fact itself). Two
+    * lineitem roles each with a private part dim — one under an IN list,
+    * one under equality — plus the l2-side value range and a hub range:
+    * per-role predicates must stay on their role (the job_15a audit
+    * class) AND rank correctly across classes. */
+  val job14aSql: String =
+    """SELECT min(o.o_totalprice) AS rating_price,
+      |       min(p1.p_name) AS nordic_part
+      |FROM part p1, part p2, lineitem l1, lineitem l2, orders o,
+      |     nation n, supplier s
+      |WHERE p1.p_type IN ('STANDARD', 'SMALL', 'MEDIUM')
+      |  AND p2.p_brand = 'Brand#21'
+      |  AND l2.l_quantity < 25
+      |  AND o.o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+      |  AND n.n_name = 'NATION_14'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l2.l_partkey = p2.p_partkey
+      |  AND l1.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
+  /** imdb/22a.sql family: the WIDEST flat mixture — eleven relations in
+    * the original, every predicate class at once: a negated dim equality,
+    * LIKE + NOT LIKE on a mid dim, IN lists on a dim and the fact, a
+    * value range on the second fact, a kind-IN on the hub's status, a hub
+    * date range, and the full three-way closure between both facts and
+    * the hub. The ranking problem 11a poses, at twice the width. */
+  val job22aSql: String =
+    """SELECT min(c.c_name) AS foreign_customer,
+      |       min(p1.p_name) AS violent_part,
+      |       min(o.o_totalprice) AS low_rating_price
+      |FROM region r, nation n1, nation n2, customer c, supplier s,
+      |     orders o, lineitem l1, lineitem l2, part p1, part p2
+      |WHERE n1.n_name <> 'NATION_0'
+      |  AND c.c_name LIKE '%1%' AND c.c_name NOT LIKE '%88%'
+      |  AND p1.p_brand IN ('Brand#3', 'Brand#7', 'Brand#13', 'Brand#19')
+      |  AND l1.l_returnflag IN ('A', 'R')
+      |  AND p2.p_type IN ('PROMO', 'ECONOMY')
+      |  AND l2.l_extendedprice < 2000
+      |  AND o.o_orderstatus IN ('F', 'O')
+      |  AND o.o_orderdate > TIMESTAMP '1996-01-01 00:00:00'
+      |  AND r.r_regionkey = n1.n_regionkey
+      |  AND n1.n_nationkey = c.c_nationkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l2.l_partkey = p2.p_partkey
+      |  AND l2.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n2.n_nationkey""".stripMargin
+
+  /** imdb/29a.sql family: the SEVENTEEN-relation web — JOB's largest
+    * geometry (aka_name, complete_cast, two cct dims, char_name,
+    * cast_info, company_name, three info/keyword dims, five movie-keyed
+    * facts with the full pairwise closure, name, person_info, role_type,
+    * title). Mapped at full width: FIVE lineitem roles on one hub with
+    * all 15 orderkey equalities (10 pairwise + 5 hub edges) written out,
+    * each role carrying its own dim chain — two part dims (equality /
+    * LIKE with an IS NOT NULL + OR-of-LIKEs guard, 29a's mi.info
+    * pattern), two supplier→nation chains (one reaching region), the
+    * customer→nation→region chain off the hub, per-role fact predicates
+    * (returnflag IN, quantity range, shipdate range) and a hub BETWEEN.
+    * Seventeen relations, every join equi, no hints: the stress is pure
+    * enumeration scale — AQE must still find broadcast builds for every
+    * filtered dim and keep all five fact roles on probe sides. */
+  val job29aSql: String =
+    """SELECT min(p1.p_name) AS voiced_part,
+      |       min(s1.s_name) AS voicing_supplier,
+      |       min(o.o_totalprice) AS voiced_price
+      |FROM orders o, lineitem l1, lineitem l2, lineitem l3, lineitem l4,
+      |     lineitem l5, part p1, part p2, supplier s1, nation n1,
+      |     region r1, supplier s2, nation n2, region r2, customer c,
+      |     nation n3, region r3
+      |WHERE p1.p_type = 'PROMO'
+      |  AND p2.p_name IS NOT NULL
+      |  AND (p2.p_name LIKE '%red%' OR p2.p_name LIKE '%blue%')
+      |  AND l3.l_returnflag IN ('N', 'A')
+      |  AND l4.l_quantity > 10
+      |  AND l5.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |  AND r1.r_name = 'EUROPE'
+      |  AND r2.r_name = 'ASIA'
+      |  AND c.c_mktsegment = 'HOUSEHOLD'
+      |  AND o.o_orderdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+      |                        AND TIMESTAMP '2000-12-31 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND o.o_orderkey = l4.l_orderkey
+      |  AND o.o_orderkey = l5.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l4.l_orderkey
+      |  AND l1.l_orderkey = l5.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l4.l_orderkey
+      |  AND l2.l_orderkey = l5.l_orderkey
+      |  AND l3.l_orderkey = l4.l_orderkey
+      |  AND l3.l_orderkey = l5.l_orderkey
+      |  AND l4.l_orderkey = l5.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l2.l_partkey = p2.p_partkey
+      |  AND l3.l_suppkey = s1.s_suppkey
+      |  AND s1.s_nationkey = n1.n_nationkey
+      |  AND n1.n_regionkey = r1.r_regionkey
+      |  AND l4.l_suppkey = s2.s_suppkey
+      |  AND s2.s_nationkey = n2.n_nationkey
+      |  AND n2.n_regionkey = r2.r_regionkey
+      |  AND o.o_custkey = c.c_custkey
+      |  AND c.c_nationkey = n3.n_nationkey
+      |  AND n3.n_regionkey = r3.r_regionkey""".stripMargin
+
+  /** imdb/32a.sql family: the LINK geometry — movie_link attaches a
+    * SECOND hub through a different key column (ml.movie_id = t1.id,
+    * ml.linked_movie_id = t2.id), so two title trees meet through a
+    * shared mid-level key rather than a shared dim row (job_33a's
+    * customer link). Mapped as two order trees linked by a SHARED PART:
+    * l1.l_partkey = l2.l_partkey with the keyword dim (p_brand equality)
+    * gating only the first tree — asymmetric trees, and the link key is
+    * neither hub's key. The distinct-trees guard (32a's t1 ≠ t2, implicit
+    * in movie_link's two columns) is spelled on the LINEITEM pair
+    * (l1.l_orderkey <> l2.l_orderkey — identical semantics, each side
+    * equals its hub's key): a lesson found building this family — Spark's
+    * ReorderJoin treats a LONE non-equi edge (o1 <> o2) as a joinable
+    * connection and plans a fact-sized BroadcastNestedLoopJoin for it,
+    * the exact degeneration the suite audit forbids; anchoring the guard
+    * on a pair that ALSO shares an equi edge keeps it a post-join
+    * filter. */
+  val job32aSql: String =
+    """SELECT min(p.p_name) AS link_part,
+      |       min(o1.o_orderdate) AS first_order,
+      |       min(o2.o_orderdate) AS linked_order
+      |FROM part p, orders o1, orders o2, lineitem l1, lineitem l2,
+      |     customer c
+      |WHERE p.p_brand = 'Brand#17'
+      |  AND o1.o_orderpriority = '1-URGENT'
+      |  AND c.c_mktsegment = 'FURNITURE'
+      |  AND o1.o_orderkey = l1.l_orderkey
+      |  AND l1.l_partkey = p.p_partkey
+      |  AND l2.l_partkey = p.p_partkey
+      |  AND l1.l_partkey = l2.l_partkey
+      |  AND o2.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey <> l2.l_orderkey
+      |  AND o2.o_custkey = c.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_2a" -> viaSql(job2aSql), "job_7a" -> viaSql(job7aSql),
+    "job_9a" -> viaSql(job9aSql), "job_14a" -> viaSql(job14aSql),
+    "job_22a" -> viaSql(job22aSql), "job_29a" -> viaSql(job29aSql),
+    "job_32a" -> viaSql(job32aSql),
     "job_1a" -> viaSql(job1aSql), "job_6a" -> viaSql(job6aSql),
     "job_10a" -> viaSql(job10aSql), "job_11a" -> viaSql(job11aSql),
     "job_16b" -> viaSql(job16bSql), "job_17a" -> viaSql(job17aSql),
@@ -348,6 +570,9 @@ object Job {
     "job_15a" -> viaSql(job15aSql))
 
   val oracle: Map[String, String] = Map(
+    "job_2a" -> job2aSql, "job_7a" -> job7aSql, "job_9a" -> job9aSql,
+    "job_14a" -> job14aSql, "job_22a" -> job22aSql,
+    "job_29a" -> job29aSql, "job_32a" -> job32aSql,
     "job_1a" -> job1aSql, "job_6a" -> job6aSql, "job_10a" -> job10aSql,
     "job_11a" -> job11aSql, "job_16b" -> job16bSql, "job_17a" -> job17aSql,
     "job_13a" -> job13aSql, "job_25c" -> job25cSql, "job_33a" -> job33aSql,

@@ -10,6 +10,29 @@ class ClickBenchSpec extends SparkSpec {
     }
   }
 
+  test("cb_h2o_gb_sums: each grouping-sets rung matches its direct groupBy " +
+    "(the ladder is one shuffle, not six scans glued together)") {
+    import org.apache.spark.sql.functions._
+    val rows = ClickBench.cbH2oGbSums(spark, sf01).collect()
+    val gids = rows.map(_.getAs[Int]("gid")).toSet
+    // six rungs: q1 (id1)=31, q2 (id1,id2)=15, q3 (id3)=55, q4 (id4)=59,
+    // q5 (id6)=62, q10 (all six)=0
+    assert(gids == Set(31, 15, 55, 59, 62, 0), s"unexpected rungs: $gids")
+    // the q1 rung must equal a plain GROUP BY id1 sum
+    val rung1 = rows.filter(_.getAs[Int]("gid") == 31)
+      .map(r => r.getAs[String]("id1") -> r.getAs[Long]("sum_v1")).toMap
+    val direct = Tables.t(spark, sf01, "events")
+      .groupBy(col("event_type"))
+      .agg(sum(floor(col("value")).cast("long")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rung1 == direct, s"q1 rung diverges: $rung1 vs $direct")
+    // grouped-away keys are sentinels on the q1 rung
+    rows.filter(_.getAs[Int]("gid") == 31).foreach { r =>
+      assert(r.getAs[String]("id2") == "ALL" && r.getAs[Int]("id4") == -1 &&
+        r.getAs[Long]("id6") == -1L)
+    }
+  }
+
   test("cb_quantiles are ordered p50 <= p90 <= p99") {
     ClickBench.cbQuantiles(spark, sf).collect().foreach { r =>
       assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
