@@ -31,7 +31,8 @@ object Bench {
     // the 21-query shared subset for round-over-round comparison)
     "e_hopping", "d_soft", "p_curriculum", "n_rrf_hybrid",
     // round 11: the production-shaped IVF config (kernel assignment path)
-    "n_ivf_big")
+    // and the incremental-dedup delta entry
+    "n_ivf_big", "d_minhash_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,7 +130,43 @@ object Bench {
     // the serve variants timed against the final build)
     type TierParts = (Seq[DataFrame], () => Unit, Seq[(String, () => Unit)])
     val ivfpqStore = "target/bench_ivfpq_store"
+    val minhashStore = "target/bench_minhash_index"
     val tiers: Seq[(String, String => TierParts)] = Seq(
+      // incremental dedup priced like the trained-index tiers: BUILD =
+      // shingle+sign the corpus and write the shingles+postings index
+      // (once per corpus), SERVE = the day's delta against the stored
+      // index (no base-side compute — the number a production deployment
+      // actually pays per batch; see Dedup.minhashDeltaPairsFromStore)
+      "d_minhash_inc" -> { dir: String =>
+        import org.apache.spark.sql.functions._
+        import graft.operators.Dedup
+        val docs = graft.Tables.t(spark, dir, "documents")
+          .select("doc_id", "text")
+        // scale-safe planted delta: the INDEX covers the full corpus; the
+        // day's arrivals are a 10% sample re-encoded with the
+        // withPlantedNear perturbation, id-offset above the TRUE max id
+        // (the entry's fixed 1e6 offset collides with real ids on ScaleGen
+        // corpora past 1e6 docs, silently inverting the base/delta split —
+        // caught by the round-11 1000× serve profile)
+        val off = docs.agg(max("doc_id")).head.getLong(0) + 1L
+        def delta = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            concat_ws(" ",
+              slice(split(col("text"), " "), 3, 1000000)).as("text"))
+        Dedup.minhashIndexWrite(Dedup.wordShingleSets(docs), minhashStore)
+        (Seq.empty, () => (),
+          // unlike the ANN tiers (whose serve-side state is a per-query
+          // probe), the delta's shingle/signature caches would be HIT by
+          // the next run's identical logical plan — pricing a daily batch
+          // at zero delta compute. clearCache makes each serve run pay
+          // the full per-batch cost: delta shingling+signing, the
+          // postings-join and the candidate-restricted store fetch.
+          Seq("serve" -> (() => {
+            spark.catalog.clearCache()
+            noop(Dedup.minhashDeltaPairsFromStore(
+              spark, minhashStore, Dedup.wordShingleSets(delta), 0.5))
+          })))
+      },
       "n_ivf" -> { dir: String =>
         val (c, a0) = Similarity.ivfBuild(spark, dir)
         val a = a0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -161,12 +198,16 @@ object Bench {
               noop(Similarity.ivfpqServeFromStore(spark, dir, ivfpqStore, c, books)))))
       })
     // With an explicit SPARK_GRAFT_QUERIES override (scale-stress runs),
-    // the build/serve decomposition only runs if an ANN tier was asked for
-    // — the stress protocol measures named heavy entries, not the tiers.
-    val wantTiers = sys.env.get("SPARK_GRAFT_QUERIES").forall(_ =>
-      headline.exists(n => n.startsWith("n_ivf") || n.startsWith("n_pq")))
+    // each build/serve tier only runs if a query of its family was asked
+    // for — the stress protocol measures named heavy entries by default,
+    // not the tiers.
+    val overridden = sys.env.contains("SPARK_GRAFT_QUERIES")
+    def tierWanted(tier: String): Boolean = !overridden || (tier match {
+      case "d_minhash_inc" => headline.contains("d_minhash_delta")
+      case _ => headline.exists(n => n.startsWith("n_ivf") || n.startsWith("n_pq"))
+    })
     val buildServe: Seq[(String, (Double, Double))] =
-      (if (wantTiers) tiers else Seq.empty[(String, String => TierParts)]).flatMap {
+      tiers.filter(t => tierWanted(t._1)).flatMap {
       case (tier, mk) =>
         // warm codegen for this tier's plan shapes on the tiny SF
         val (wCached, wSetup, wServes) = mk(warmDir)

@@ -275,13 +275,26 @@ object Similarity {
     * share one materialized model with no cache entry to leak. Lloyd
     * empty-cell rule: a cell that captured no vectors keeps its previous
     * centroid — the quantizer always has exactly `cells` rows, so cell ids
-    * never misalign downstream (ADVICE r4). */
+    * never misalign downstream (ADVICE r4).
+    *
+    * `trainSampleMod` makes the sample-training mode the [[QuantIters]]
+    * sizing note describes real: each Lloyd pass reads only vectors with
+    * vec_id ≡ 0 (mod trainSampleMod) — a deterministic 1/mod sample — so
+    * training cost shrinks by mod× while the FINAL corpus assignment
+    * (outside this method) stays full. Lloyd needs cluster MEANS, which a
+    * uniform sample estimates with √ sampling error — the standard
+    * production trade (SimilaritySpec pins recall at mod=4). */
   private[graft] def ivfQuantizer(spark: SparkSession, dir: String,
-      iters: Int = QuantIters, cells: Int = IvfCells): DataFrame = {
+      iters: Int = QuantIters, cells: Int = IvfCells,
+      trainSampleMod: Int = 1): DataFrame = {
+    require(trainSampleMod >= 1, s"trainSampleMod must be >= 1")
+    val trainEmb =
+      if (trainSampleMod == 1) emb(spark, dir)
+      else emb(spark, dir).filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
     var c = localizeModel(centroids(spark, dir, cells))
     var i = 0
     while (i < iters) {
-      val refined = refine(assignTo(emb(spark, dir), c))
+      val refined = refine(assignTo(trainEmb, c))
       c = localizeModel(
         c.withColumnRenamed("cv", "prev")
           .join(refined, Seq("cell"), "left")
@@ -350,8 +363,9 @@ object Similarity {
     * iterations, benchmarks/src/util/run.rs) — a production user asks
     * "what does a query cost against a BUILT index". */
   private[graft] def ivfBuild(spark: SparkSession, dir: String,
-      iters: Int = QuantIters, cells: Int = IvfCells): (DataFrame, DataFrame) = {
-    val c = ivfQuantizer(spark, dir, iters, cells)
+      iters: Int = QuantIters, cells: Int = IvfCells,
+      trainSampleMod: Int = 1): (DataFrame, DataFrame) = {
+    val c = ivfQuantizer(spark, dir, iters, cells, trainSampleMod)
     (c, assignTo(emb(spark, dir), c))
   }
 
@@ -472,9 +486,15 @@ object Similarity {
     * seg-major indexing (ADVICE r4). */
   private[graft] def pqTrain(spark: SparkSession, dir: String,
       iters: Int = QuantIters, segments: Int = PqSegments,
-      codebook: Int = PqCodebook): Array[Double] = {
+      codebook: Int = PqCodebook, trainSampleMod: Int = 1): Array[Double] = {
     require(segments > 0 && PqDim % segments == 0,
       s"segments=$segments must divide the corpus dimension $PqDim")
+    require(trainSampleMod >= 1, s"trainSampleMod must be >= 1")
+    // sample-training mode, as in ivfQuantizer: Lloyd passes read 1/mod of
+    // the corpus; the final full-corpus encode (in pqBuild) is unchanged
+    def trainEmb: DataFrame =
+      if (trainSampleMod == 1) emb(spark, dir)
+      else emb(spark, dir).filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
     val (k, d) = (codebook, PqDim / segments)
     // seeds: segment s of corpus vector c → centroid (s, c), like IVF's
     // deterministic lowest-id sample
@@ -488,7 +508,7 @@ object Similarity {
     var i = 0
     while (i < iters) {
       val flat = typedLit(books.toVector)
-      val means = emb(spark, dir)
+      val means = trainEmb
         .select(col("embedding").cast("array<double>").as("v"))
         .withColumn("codes",
           call_function("pq_encode", col("v"), flat, lit(segments)))
@@ -534,9 +554,10 @@ object Similarity {
     * see [[ivfBuild]] for why BENCH times build and serve separately. */
   private[graft] def pqBuild(spark: SparkSession, dir: String,
       iters: Int = QuantIters, segments: Int = PqSegments,
-      codebook: Int = PqCodebook): (Array[Double], DataFrame) = {
+      codebook: Int = PqCodebook, trainSampleMod: Int = 1)
+      : (Array[Double], DataFrame) = {
     GraftFunctions.register(spark)
-    val books = pqTrain(spark, dir, iters, segments, codebook)
+    val books = pqTrain(spark, dir, iters, segments, codebook, trainSampleMod)
     // structural by construction (empty cells keep their centroid); cheap
     // last line of defense for the seg-major indexing contract (ADVICE r4)
     require(books.length == segments * codebook * (PqDim / segments),

@@ -31,6 +31,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("d_minhash_delta: incremental delta-vs-stored-index dedup equals " +
+    "the full-corpus d_minhash restricted to delta-touching pairs") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))
+    val full = Dedup.dMinhash(spark, sf).collect().map(key)
+    // the incremental contract: every pair involving >= 1 delta doc, and
+    // ONLY those (base-vs-base pairs were owed by earlier runs)
+    val owed = full.filter(p => p._1 >= 1000000L || p._2 >= 1000000L)
+      .sortBy(identity)
+    val inc = Dedup.dMinhashDelta(spark, sf).collect().map(key).sortBy(identity)
+    assert(owed.nonEmpty, "delta must produce pairs at this sf")
+    assert(inc.toSeq == owed.toSeq,
+      s"incremental diverges: inc=${inc.length} owed=${owed.length}; " +
+        s"missing=${owed.diff(inc).take(3).toSeq} extra=${inc.diff(owed).take(3).toSeq}")
+    // and it genuinely skips base-vs-base work: the full result has pairs
+    // the incremental one must NOT emit
+    assert(full.length > owed.length,
+      "test needs base-vs-base pairs to prove the restriction")
+  }
+
+  test("d_minhash_delta from the STORED index: byte-identical to the " +
+    "in-memory delta run (the serve path a deployment prices)") {
+    import org.apache.spark.sql.functions.col
+    val all = Dedup.withPlantedNear(
+      Tables.t(spark, sf, "documents").select("doc_id", "text"))
+    val base = Dedup.wordShingleSets(all.filter(col("doc_id") < 1000000L))
+    val delta = Dedup.wordShingleSets(all.filter(col("doc_id") >= 1000000L))
+    val path = "target/minhash_index_spec"
+    Dedup.minhashIndexWrite(base, path)
+    val stored = Dedup.minhashDeltaPairsFromStore(spark, path, delta, 0.5)
+      .collect().toSeq
+    val mem = Dedup.minhashDeltaPairs(base, delta, 0.5).collect().toSeq
+    assert(stored.nonEmpty && stored == mem,
+      s"stored-index serve diverges: ${stored.length} vs ${mem.length}")
+  }
+
   test("d_ngram_jaccard recovers planted near-dups at char granularity") {
     val pairs = Dedup.dNgramJaccard(spark, sf).collect()
     val planted = plantedNearPairs

@@ -828,6 +828,39 @@ class PlanAuditSpec extends SparkSpec {
       s"shortfall fallback branch did not collapse on healthy data:\n$p")
   }
 
+  test("d_minhash_delta stored-index serve: NO base-side signature work — " +
+    "minhash_sig runs only on the delta; the index arrives by scan") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val all = Dedup.withPlantedNear(
+      Tables.t(spark, sf, "documents").select("doc_id", "text"))
+    val path = "target/minhash_index_audit"
+    Dedup.minhashIndexWrite(
+      Dedup.wordShingleSets(all.filter(col("doc_id") < 1000000L)), path)
+    val df = Dedup.minhashDeltaPairsFromStore(spark, path,
+      Dedup.wordShingleSets(all.filter(col("doc_id") >= 1000000L)), 0.5)
+    df.collect()
+    val p = finalPlan(df)
+    // the whole point of the stored index: the BASE corpus text is never
+    // read in serve — every documents scan carries the delta's pushed
+    // >= 1e6 filter, and no scan carries the base's < 1e6 filter (which
+    // would mean re-shingling/re-signing the corpus)
+    assert(p.contains("GreaterThanOrEqual(doc_id,1000000)"),
+      s"delta filter not pushed to the documents scan:\n$p")
+    assert(!p.contains("LessThan(doc_id,1000000)"),
+      s"BASE corpus documents scanned in the stored serve:\n$p")
+    // the index arrives by parquet scan (the shingle-store scan sits
+    // inside the cached candidate-fetch subtree, whose reprint truncates),
+    // and the postings scan is BUCKETED on the join keys — the layout that
+    // lets the corpus-sized index stream without a per-batch shuffle/sort
+    assert(p.contains("graft_minhash_postings"),
+      s"stored postings not scanned:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"postings store lost its bucketed layout:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d_soft: copy counts partial-aggregate map-side and join back " +
     "keyed on the 32-byte hash — no window over the copies") {
     val df = Dedup.dSoft(spark, sf)

@@ -351,6 +351,66 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"256-cell IVF recall $recall < 0.5")
   }
 
+  test("trainSampleMod: quantizers trained on a 1/4 corpus sample keep " +
+    "clustered-corpus recall (the production sample-training mode)") {
+    import spark.implicits._
+    val dir = "target/sample_train_corpus"
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0L until 512L).map { id =>
+      val cl = if (id < 16) (id % 4).toInt else (id % 16).toInt
+      val c = centers(cl)
+      (id, (0 until 64).map(j => (c(j) + 0.35 * rnd.nextGaussian()).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val truth = Similarity.nBruteTopk(spark, dir).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+    def rec(got: Array[org.apache.spark.sql.Row]): Double = {
+      val bySets = got.groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+      val hits = truth.map { case (q, t) =>
+        bySets.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+      hits.sum / hits.size
+    }
+    // IVF: quantizer trained on every 4th vector, full-corpus assignment
+    val (cS, aS) = Similarity.ivfBuild(spark, dir, iters = 2,
+      trainSampleMod = 4)
+    assert(cS.count() == Similarity.IvfCells,
+      "sample-trained quantizer lost cells")
+    val sampleIvf = rec(Similarity.ivfServe(spark, dir, cS, aS).collect())
+    val fullIvf = rec(Similarity.nIvfTopkWith(spark, dir, 2).collect())
+    info(f"IVF recall: full-trained $fullIvf%.3f, 1/4-sample-trained $sampleIvf%.3f")
+    // a 128-vector sample still sees every cluster ~8 times — means are
+    // √-noisier but the coarse structure is identical
+    assert(sampleIvf >= fullIvf - 0.1,
+      s"sample training collapsed IVF recall: $sampleIvf vs $fullIvf")
+    // PQ: codebooks trained on the sample, full-corpus encode
+    val (books, codes) = Similarity.pqBuild(spark, dir, iters = 2,
+      trainSampleMod = 4)
+    val samplePq = rec(Similarity.pqServe(spark, dir, books, codes).collect())
+    val fullPq = rec(Similarity.nPqTopkWith(spark, dir, 2).collect())
+    info(f"PQ recall: full-trained $fullPq%.3f, 1/4-sample-trained $samplePq%.3f")
+    assert(samplePq >= fullPq - 0.15,
+      s"sample training collapsed PQ recall: $samplePq vs $fullPq")
+  }
+
+  test("IVFADC at 64 cells: the composed tier works through the kernel " +
+    "assignment path with recall in family of the default config") {
+    val rows = Similarity.nIvfpqTopkWith(spark, sf01, 1,
+      cells = Similarity.BigIvfCells, nprobe = Similarity.BigIvfNprobe)
+      .collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.values.foreach(rs => assert(rs.length == Similarity.K))
+    val recall = recallOf(rows)
+    info(f"64-cell IVFADC recall@${Similarity.K} = $recall%.3f")
+    // bounded by the 64-cell IVF candidate recall (~0.74) times PQ's
+    // random-vector distortion — the floor guards the composed pipeline
+    assert(recall >= 0.1, s"64-cell IVFADC recall $recall < 0.1")
+  }
+
   test("PQ sizing knobs (segments/codebook): finer quantization raises " +
     "recall; both configs keep k per query") {
     val coarse = Similarity.nPqTopkWith(spark, sf01, 1).collect()
