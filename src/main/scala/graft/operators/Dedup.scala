@@ -262,6 +262,10 @@ object Dedup {
     * [[minhashDeltaPairsFromStore]] reads both from parquet. */
   private def minhashDeltaAgainst(baseSh: DataFrame, index: DataFrame,
       deltaSh0: DataFrame, minJaccard: Double): DataFrame = {
+    // cache bound: every frame persisted in this method is DELTA- or
+    // PAIRS-sized (delta shingles/bands, candidate pairs, candidate-doc
+    // shingles) — never the corpus; the corpus-sized persist guard lives
+    // in minhashLshPairs (persistShingles note)
     GraftFunctions.register(baseSh.sparkSession)
     val deltaSh = persistShingles(deltaSh0)
     // cached: referenced three times (delta-vs-index + both sides of the
@@ -307,9 +311,14 @@ object Dedup {
     * file counts sane locally; a 100 TB index wants O(cluster cores). */
   val PostingsBuckets = 64
 
-  private def postingsTable(path: String): String =
-    "graft_minhash_postings_" + java.lang.Integer.toHexString(
-      new java.io.File(path).getAbsolutePath.hashCode & 0x7FFFFFFF)
+  private def postingsTable(path: String): String = {
+    val abs = new java.io.File(path).getAbsolutePath
+    // hash + sanitized tail: the tail keeps two different index paths
+    // from colliding into one catalog name even on a hashCode collision
+    val tail = abs.replaceAll("[^A-Za-z0-9]", "_").takeRight(32)
+    "graft_minhash_postings_" +
+      java.lang.Integer.toHexString(abs.hashCode & 0x7FFFFFFF) + "_" + tail
+  }
 
   /** The postings table is EXTERNAL (files live under the index path) so
     * the index survives the writing session: a fresh session re-declares
@@ -320,6 +329,9 @@ object Dedup {
   private def ensurePostingsTable(spark: SparkSession, path: String): String = {
     val t = postingsTable(path)
     val loc = new java.io.File(path, "postings").getAbsolutePath
+    // loud, not an empty table: a typo'd path must not serve zero pairs
+    require(new java.io.File(loc).exists(),
+      s"no stored postings at $loc — run minhashIndexWrite first")
     if (!spark.catalog.tableExists(t))
       spark.sql(
         s"""CREATE TABLE $t (doc_id BIGINT, band_id INT, band_hash BIGINT)
