@@ -621,12 +621,7 @@ object Similarity {
       : (DataFrame, Array[Double], DataFrame) = {
     val c = ivfQuantizer(spark, dir, iters, cells)
     val (books, _) = pqBuild(spark, dir, iters, segments, codebook)
-    val flat = typedLit(books.toVector)
-    val index = assignTo(emb(spark, dir), c)
-      .select(col("cell"), col("vec_id"),
-        call_function("pq_encode", col("embedding").cast("array<double>"),
-          flat, lit(segments)).as("codes"))
-    (c, books, index)
+    (c, books, ivfpqEncode(emb(spark, dir), c, books, segments))
   }
 
   /** The per-(query, cell) probe frame with precomputed ADC tables. */
@@ -654,11 +649,43 @@ object Similarity {
         round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
   }
 
+  /** Assign + PQ-encode a vector frame with an EXISTING model — the one
+    * corpus pass shared by the initial build ([[ivfpqBuild]]) and every
+    * incremental append ([[ivfpqIndexAppend]]): narrow, codegen'd, no
+    * shuffle (the model rides as literals). */
+  private[graft] def ivfpqEncode(vecs: DataFrame, c: DataFrame,
+      books: Array[Double], segments: Int = PqSegments): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val flat = typedLit(books.toVector)
+    assignTo(vecs, c)
+      .select(col("cell"), col("vec_id"),
+        call_function("pq_encode", col("embedding").cast("array<double>"),
+          flat, lit(segments)).as("codes"))
+  }
+
   /** Persist an IVFADC index partitioned by cell — the storage layout a
     * production deployment serves from: each coarse cell is its own
     * parquet prefix, so a query touches only nprobe directories. */
   private[graft] def ivfpqWriteIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** INCREMENTAL index maintenance — the ANN twin of d_minhash_delta's
+    * stored-index serve: a DELTA of new vectors is assigned and encoded
+    * with the FROZEN production model (quantizer + codebooks — no
+    * retraining per batch; retrain cadence is an offline decision) and
+    * APPENDED to the stored cell-partitioned index. Work is
+    * delta-proportional: one narrow encode pass over the arrivals, a
+    * partitioned append that touches only the delta's cells' directories,
+    * zero rewrite of existing index files, and the serve path is
+    * unchanged — the new vectors are immediately probe-visible. Because
+    * assignment and encoding are deterministic given the model,
+    * base-build + append is BYTE-IDENTICAL to a full build with the same
+    * model (SimilaritySpec proves serve-result equality). */
+  private[graft] def ivfpqIndexAppend(delta: DataFrame, c: DataFrame,
+      books: Array[Double], path: String,
+      segments: Int = PqSegments): Unit =
+    ivfpqEncode(delta, c, books, segments)
+      .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Serve from the STORED index with partition pruning: the probed cell
     * ids (≤ queries × nprobe ints — model-sized, like the quantizer
@@ -677,6 +704,30 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
+  }
+
+  // ---------------------------------------------------------- n_ivfpq_delta
+  /** Incremental IVFADC maintenance end-to-end: train the model, write
+    * the stored index over the BASE vectors (vec_id < [[DeltaSplitId]]),
+    * [[ivfpqIndexAppend]] the arrivals with the frozen model, serve from
+    * the store with partition pruning. The gate thus exercises the whole
+    * grow-an-index-in-place lifecycle, not just build-once. Rows-only;
+    * SimilaritySpec proves the served rows are byte-identical to the
+    * all-at-once n_ivfpq_topk (deterministic model ⇒ same assignments and
+    * codes ⇒ same index content) and that the append rewrites no base
+    * file. */
+  val DeltaSplitId = 400L
+
+  def nIvfpqDelta(spark: SparkSession, dir: String): DataFrame = {
+    val c = ivfQuantizer(spark, dir)
+    val (books, _) = pqBuild(spark, dir)
+    val path = "target/ivfpq_delta_index"
+    ivfpqWriteIndex(
+      ivfpqEncode(emb(spark, dir).filter(col("vec_id") < DeltaSplitId),
+        c, books), path)
+    ivfpqIndexAppend(
+      emb(spark, dir).filter(col("vec_id") >= DeltaSplitId), c, books, path)
+    ivfpqServeFromStore(spark, dir, path, c, books)
   }
 
   // --------------------------------------------------------- n_range_search
@@ -840,6 +891,7 @@ object Similarity {
     "n_ivf_topk" -> (nIvfTopk _), "n_ivf_big" -> (nIvfBig _),
     "n_quant_topk" -> (nQuantTopk _),
     "n_pq_topk" -> (nPqTopk _), "n_ivfpq_topk" -> (nIvfpqTopk _),
+    "n_ivfpq_delta" -> (nIvfpqDelta _),
     "n_range_search" -> (nRangeSearch _), "n_rrf_hybrid" -> (nRrfHybrid _),
     "e_normalize" -> (eNormalize _), "e_quantize" -> (eQuantize _))
 

@@ -411,6 +411,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"64-cell IVFADC recall $recall < 0.1")
   }
 
+  test("n_ivfpq_delta: frozen-model append serves byte-identical to the " +
+    "all-at-once build, and rewrites no base index file") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def indexFiles(p: String): Map[String, Long] =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    // replicate the entry's steps to snapshot the store between them
+    val c = Similarity.ivfQuantizer(spark, sf01)
+    val (books, _) = Similarity.pqBuild(spark, sf01)
+    val path = "target/ivfpq_delta_index_spec"
+    val emb = Tables.t(spark, sf01, "embeddings").select("vec_id", "embedding")
+    Similarity.ivfpqWriteIndex(
+      Similarity.ivfpqEncode(
+        emb.filter(col("vec_id") < Similarity.DeltaSplitId), c, books), path)
+    val before = indexFiles(path)
+    Similarity.ivfpqIndexAppend(
+      emb.filter(col("vec_id") >= Similarity.DeltaSplitId), c, books, path)
+    val after = indexFiles(path)
+    // append grows the store and leaves every base file byte-untouched
+    assert(after.size > before.size, "append added no files")
+    val touched = before.filter { case (f, t) => after.get(f) != Some(t) }
+    assert(touched.isEmpty, s"append rewrote base files: ${touched.keys.take(3)}")
+    // the served rows equal the all-at-once build's (same model ⇒ same
+    // assignments/codes ⇒ same index content)
+    val served = Similarity.ivfpqServeFromStore(spark, sf01, path, c, books)
+      .collect().toSeq
+    assert(served.nonEmpty &&
+      served == Similarity.nIvfpqTopk(spark, sf01).collect().toSeq,
+      "incrementally-grown index diverges from the all-at-once build")
+    // and the registered entry is this exact pipeline
+    assert(Similarity.nIvfpqDelta(spark, sf01).collect().toSeq == served)
+  }
+
   test("PQ sizing knobs (segments/codebook): finer quantization raises " +
     "recall; both configs keep k per query") {
     val coarse = Similarity.nPqTopkWith(spark, sf01, 1).collect()
