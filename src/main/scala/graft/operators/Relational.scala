@@ -232,6 +232,72 @@ object Relational {
       |FROM lineitem
       |ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey, l_linenumber""".stripMargin
 
+  /** sort_tpch Q3/Q11 shape (benchmarks/src/sort_tpch.rs:113-118,166-172):
+    * high-cardinality VARCHAR sort key + thin payload. The reference keys
+    * on l_comment (4.5M distinct); the reduced schema has no comment
+    * column, so the key is derived — unique per line, so string
+    * comparison (not the numeric source order) decides every position and
+    * the order is total (§4). Same distributed range-sort as
+    * [[srtLineitem]]; byte-wise binary collation both engines. */
+  def srtVarchar(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .select(concat_ws("-", col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber")).as("sort_key"), col("l_partkey"))
+      .orderBy("sort_key")
+
+  val srtVarcharSql: String =
+    """SELECT concat_ws('-', l_returnflag, l_orderkey, l_linenumber) AS sort_key,
+      |       l_partkey
+      |FROM lineitem
+      |ORDER BY sort_key""".stripMargin
+
+  /** sort_tpch Q7/Q10 shape (benchmarks/src/sort_tpch.rs:137-150): three
+    * sort keys + the WIDE payload (every other column). The scale hazard a
+    * wide sort adds over a thin one is row size through the range-exchange
+    * — at 100 TB the sampled range bounds keep per-partition volume even,
+    * and payload width only raises the per-row shuffle cost linearly; no
+    * operator materializes more than a partition. Keys include
+    * (l_orderkey, l_linenumber) — the table's primary key — so the order
+    * is total; money doubles ride rounded (§4). */
+  def srtWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .select(col("l_linenumber"), col("l_suppkey"), col("l_orderkey"),
+        col("l_partkey"), round(col("l_quantity"), 2).as("qty"),
+        round(col("l_extendedprice"), 2).as("price"),
+        round(col("l_discount"), 2).as("disc"),
+        round(col("l_tax"), 2).as("tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .orderBy("l_linenumber", "l_suppkey", "l_orderkey")
+
+  val srtWideSql: String =
+    """SELECT l_linenumber, l_suppkey, l_orderkey, l_partkey,
+      |       round(l_quantity, 2) AS qty, round(l_extendedprice, 2) AS price,
+      |       round(l_discount, 2) AS disc, round(l_tax, 2) AS tax,
+      |       l_returnflag, l_linestatus, l_shipdate
+      |FROM lineitem
+      |ORDER BY l_linenumber, l_suppkey, l_orderkey""".stripMargin
+
+  /** sort_tpch --limit variant (benchmarks/src/sort_tpch.rs:73-74,228-229:
+    * the runner appends `LIMIT n` to any sort query): ORDER BY + LIMIT
+    * must NOT pay the global sort — Spark plans TakeOrderedAndProject
+    * (per-partition bounded top-k, driver merge of ≤ k×partitions rows),
+    * so at 100 TB the cost is one scan + k-sized heaps, no range exchange,
+    * no full-data shuffle. PlanAuditSpec pins the TakeOrderedAndProject
+    * and the absence of rangepartitioning. Tiebreak keys make the top-10
+    * deterministic (§4). */
+  def srtTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "lineitem")
+      .select(round(col("l_extendedprice"), 2).as("price"),
+        col("l_orderkey"), col("l_linenumber"))
+      .orderBy(desc("price"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(10)
+
+  val srtTopkSql: String =
+    """SELECT round(l_extendedprice, 2) AS price, l_orderkey, l_linenumber
+      |FROM lineitem
+      |ORDER BY price DESC, l_orderkey, l_linenumber
+      |LIMIT 10""".stripMargin
+
   /** EXCEPT ALL / INTERSECT ALL — multiset semantics (one survivor per
     * matched copy). Monthly buyer lists repeat custkeys, so the multiset
     * results genuinely differ from the distinct variants. */
@@ -1585,6 +1651,8 @@ object Relational {
     "s_except" -> (sExcept _), "s_distinct" -> (sDistinct _),
     "s_except_all" -> (sExceptAll _), "s_intersect_all" -> (sIntersectAll _),
     "s_distinct_on" -> (sDistinctOn _), "srt_lineitem" -> (srtLineitem _),
+    "srt_varchar" -> (srtVarchar _), "srt_wide" -> (srtWide _),
+    "srt_topk" -> (srtTopk _),
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_named" -> viaSql(wNamedSql),
     "w_run_distinct" -> (wRunDistinct _),
@@ -1625,6 +1693,8 @@ object Relational {
     "s_except" -> sExceptSql, "s_distinct" -> sDistinctSql,
     "s_except_all" -> sExceptAllSql, "s_intersect_all" -> sIntersectAllSql,
     "s_distinct_on" -> sDistinctOnSql, "srt_lineitem" -> srtLineitemSql,
+    "srt_varchar" -> srtVarcharSql, "srt_wide" -> srtWideSql,
+    "srt_topk" -> srtTopkSql,
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_named" -> wNamedSql,
     "w_run_distinct" -> wRunDistinctSql,

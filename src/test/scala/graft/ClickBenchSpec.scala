@@ -33,6 +33,39 @@ class ClickBenchSpec extends SparkSpec {
     }
   }
 
+  test("ea_distinct: forcing the hash aggregate's sort-based fallback " +
+    "(the memory-pressure spill path) changes neither distinct count, and " +
+    "the fallback genuinely fires") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val unforced = ClickBench.eaDistinct(spark, sf01).collect().head
+    // Spark's own memory-pressure test hook: after N keys the aggregation
+    // map is destructed into an UnsafeKVExternalSorter — the exact code
+    // path a genuine UnsafeFixedWidthAggregationMap allocation failure
+    // takes (checkFallbackForBytesToBytesMap) — then refills and spills
+    // again. 5000 against ~15k distinct pairs per task forces a few REAL
+    // spill-merge cycles per task. (A 0 threshold respills per row —
+    // tens of thousands of sorter merges — and OOMs even small inputs;
+    // that is the hook abused, not memory pressure simulated.)
+    val conf = "spark.sql.TungstenAggregate.testFallbackStartsAt"
+    spark.conf.set(conf, "5000,5000")
+    try {
+      val df = ClickBench.eaDistinct(spark, sf01)
+      val forced = df.collect().head
+      assert(forced == unforced,
+        s"spill path changed the answer: $forced vs $unforced")
+      def fallbacks(p: SparkPlan): Long =
+        p.metrics.collect { case ("numTasksFallBacked", m) => m.value }.sum +
+          p.children.map(fallbacks).sum + (p match {
+            case a: AdaptiveSparkPlanExec => fallbacks(a.executedPlan)
+            case q: QueryStageExec => fallbacks(q.plan)
+            case _ => 0L
+          })
+      val fell = fallbacks(df.queryExecution.executedPlan)
+      assert(fell > 0, "sort-based fallback did not fire on any task")
+    } finally spark.conf.unset(conf)
+  }
+
   test("cb_quantiles are ordered p50 <= p90 <= p99") {
     ClickBench.cbQuantiles(spark, sf).collect().foreach { r =>
       assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))

@@ -187,6 +187,28 @@ class PlanAuditSpec extends SparkSpec {
       s"sort collapsed to a single partition:\n$p")
   }
 
+  test("srt_wide: the wide-payload multi-key sort (sort_tpch Q7/Q10 shape) " +
+    "stays a distributed range-partitioned sort") {
+    val df = Relational.srtWide(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Exchange rangepartitioning"),
+      s"wide sort is not range-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"wide sort collapsed to a single partition:\n$p")
+  }
+
+  test("srt_topk: ORDER BY + LIMIT (sort_tpch --limit variant) plans as " +
+    "TakeOrderedAndProject — bounded per-partition heaps, no sort exchange") {
+    val df = Relational.srtTopk(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k degenerated to a global sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"LIMIT 10 must not pay a distributed global sort:\n$p")
+  }
+
   test("g_pivot plans as aggregate passes — no per-value shuffles or joins") {
     val df = Relational.gPivot(spark, sf)
     df.collect()
