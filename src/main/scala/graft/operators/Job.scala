@@ -556,6 +556,407 @@ object Job {
       |  AND l1.l_orderkey <> l2.l_orderkey
       |  AND o2.o_custkey = c.c_custkey""".stripMargin
 
+  /** imdb/3a.sql family: the MINIMAL bridge-IN star — four relations
+    * (keyword dim, two movie-keyed facts, hub), the defining trait being
+    * an IN LIST ON THE BRIDGE FACT's own value column (mi.info IN
+    * (8 countries)) rather than on a dim, next to a LIKE-gated dim on the
+    * other bridge and a hub range. The optimizer must see the fact-side
+    * IN as selective enough to order l2 before the unfiltered closure. */
+  val job3aSql: String =
+    """SELECT min(o.o_orderdate) AS sequel_order,
+      |       min(o.o_totalprice) AS sequel_price
+      |FROM part p, lineitem l1, lineitem l2, orders o
+      |WHERE p.p_name LIKE '%red%'
+      |  AND l2.l_quantity IN (1, 2, 3, 4, 5, 6, 7, 8)
+      |  AND o.o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND p.p_partkey = l1.l_partkey""".stripMargin
+
+  /** imdb/5a.sql family: a CONJUNCTIVE LIKE pair on the gating dim
+    * (mc.note LIKE '%(theatrical)%' AND LIKE '%(France)%') plus an
+    * UNFILTERED dim (info_type joins with no predicate at all — pure
+    * existence through the web): the planner has to recognize the
+    * predicate-free dim as a cheap FK hop, not a blowup. */
+  val job5aSql: String =
+    """SELECT min(o.o_orderdate) AS typical_order
+      |FROM part p, supplier s, lineitem l1, lineitem l2, orders o
+      |WHERE p.p_type = 'PROMO'
+      |  AND p.p_name LIKE '%o%' AND p.p_name LIKE '%d%'
+      |  AND l2.l_quantity IN (10, 20, 30, 40)
+      |  AND o.o_orderdate > TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND p.p_partkey = l1.l_partkey
+      |  AND s.s_suppkey = l2.l_suppkey""".stripMargin
+
+  /** imdb/12a.sql family: TWO typed info facts (genres IN-list via its
+    * type dim, rating as a VALUE RANGE on the fact itself) PLUS the
+    * company axis as a third bridge, under a hub BETWEEN — 14a's typed
+    * same-table facts widened by one more role and a dim chain. */
+  val job12aSql: String =
+    """SELECT min(s.s_name) AS movie_company,
+      |       min(l2.l_extendedprice) AS rating,
+      |       min(o.o_totalprice) AS drama_price
+      |FROM supplier s, nation n, part p1, lineitem l1, lineitem l2,
+      |     lineitem l3, orders o
+      |WHERE n.n_name = 'NATION_3'
+      |  AND p1.p_type IN ('STANDARD', 'LARGE')
+      |  AND l2.l_extendedprice > 50000
+      |  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                        AND TIMESTAMP '1998-12-31 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l3.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
+  /** imdb/18a.sql family: the PERSON axis — the cast_info bridge carries
+    * its own IN list ('(producer)', …) and gates a person dim under
+    * equality + LIKE (n.gender = 'm' AND n.name LIKE '%Tim%'), while two
+    * typed info facts (budget/votes) ride the hub with equality type
+    * gates. No hub predicate beyond the closure: selectivity lives
+    * entirely on the person chain. */
+  val job18aSql: String =
+    """SELECT min(l1.l_extendedprice) AS movie_budget,
+      |       min(l2.l_extendedprice) AS movie_votes,
+      |       min(o.o_totalprice) AS movie_price
+      |FROM lineitem l1, lineitem l2, lineitem l3, supplier s, orders o
+      |WHERE l3.l_returnflag IN ('A', 'R')
+      |  AND l1.l_linestatus = 'F'
+      |  AND l2.l_linestatus = 'O'
+      |  AND s.s_name LIKE '%1%'
+      |  AND s.s_acctbal > 0
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND s.s_suppkey = l3.l_suppkey""".stripMargin
+
+  /** imdb/19a.sql family: the TWO-HUB web — movie axis AND person axis at
+    * once: the cast bridge (l3) reaches a person dim, and a SECOND
+    * person-keyed fact (aka_name → l4) attaches to that person by the
+    * person key ONLY (no movie edge at all), so one leg of the join tree
+    * hangs off the supplier axis. A disjunctive fact predicate, a person
+    * country chain, a hub-dim equality + LIKE and a hub BETWEEN complete
+    * 19a's predicate mixture. */
+  val job19aSql: String =
+    """SELECT min(s.s_name) AS voicing_actress,
+      |       min(o.o_totalprice) AS voiced_price
+      |FROM lineitem l1, lineitem l2, lineitem l3, lineitem l4,
+      |     supplier s, nation n, customer c, orders o
+      |WHERE l3.l_returnflag IN ('N', 'A')
+      |  AND (l2.l_quantity > 45 OR l2.l_extendedprice > 90000)
+      |  AND n.n_name LIKE 'NATION_1%'
+      |  AND c.c_mktsegment = 'AUTOMOBILE'
+      |  AND c.c_name LIKE '%2%'
+      |  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                        AND TIMESTAMP '1999-12-31 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND s.s_suppkey = l3.l_suppkey
+      |  AND l4.l_suppkey = s.s_suppkey
+      |  AND l3.l_suppkey = l4.l_suppkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND o.o_custkey = c.c_custkey""".stripMargin
+
+  /** imdb/21a.sql family: the link bridge rejoins 32a's geometry but on
+    * ONE hub (movie_link + link_type as a third bridge with its own
+    * LIKE-gated dim), adding 21a's remaining classes: a negated dim
+    * equality, an OR-of-LIKEs on the company dim, a NULL-class guard on
+    * the bridge (mc.note IS NULL — spelled IS NOT NULL here since the
+    * generated lineitem carries no NULLs, same predicate class), a
+    * fact-value IN and a wide hub BETWEEN. */
+  val job21aSql: String =
+    """SELECT min(c.c_name) AS company_name,
+      |       min(p2.p_name) AS link_type,
+      |       min(o.o_orderdate) AS western_follow_up
+      |FROM customer c, nation n, part p1, part p2,
+      |     orders o, lineitem l1, lineitem l2, lineitem l3
+      |WHERE n.n_name <> 'NATION_0'
+      |  AND (c.c_name LIKE '%1%' OR c.c_name LIKE '%7%')
+      |  AND p1.p_brand = 'Brand#11'
+      |  AND p2.p_name LIKE '%o%'
+      |  AND l2.l_linestatus IS NOT NULL
+      |  AND l2.l_quantity IN (5, 10, 15, 20, 25, 30, 35, 40)
+      |  AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                        AND TIMESTAMP '2000-12-31 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l3.l_partkey = p2.p_partkey
+      |  AND o.o_custkey = c.c_custkey
+      |  AND c.c_nationkey = n.n_nationkey""".stripMargin
+
+  /** imdb/23a.sql family: the HUB-ATTRIBUTE dim (kind_type keys off the
+    * title's own kind_id — here the hub's own status under IN) plus the
+    * complete_cast STATUS bridge (a fourth movie-keyed fact whose only
+    * predicate is its status equality), a disjunctive date-window pair on
+    * a fact, and a company chain — four bridges in full closure. */
+  val job23aSql: String =
+    """SELECT min(o.o_orderstatus) AS movie_kind,
+      |       min(o.o_totalprice) AS complete_us_price
+      |FROM part p1, supplier s, nation n, orders o,
+      |     lineitem l1, lineitem l2, lineitem l3, lineitem l4
+      |WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_12', 'NATION_24')
+      |  AND p1.p_name LIKE '%n%'
+      |  AND (l2.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      |       OR l2.l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+      |  AND l4.l_linestatus = 'F'
+      |  AND o.o_orderstatus IN ('F')
+      |  AND o.o_orderdate > TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND o.o_orderkey = l4.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l4.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l4.l_orderkey
+      |  AND l3.l_orderkey = l4.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l3.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
+  /** imdb/24a.sql family: 19a's two-hub person web PLUS the keyword axis
+    * (movie_keyword bridge with an IN-list keyword dim) — the widest
+    * person-axis composition, ten relations, where both the person leg
+    * (suppkey-only fact) and the keyword leg must stay on their own
+    * axes through the full closure. */
+  val job24aSql: String =
+    """SELECT min(s.s_name) AS voicing_actress_name,
+      |       min(p3.p_name) AS voiced_action_part,
+      |       min(o.o_totalprice) AS voiced_price
+      |FROM lineitem l1, lineitem l2, lineitem l3, lineitem l4, lineitem l5,
+      |     part p3, supplier s, nation n, customer c, orders o
+      |WHERE l3.l_returnflag IN ('N', 'A')
+      |  AND p3.p_brand IN ('Brand#5', 'Brand#9', 'Brand#23')
+      |  AND (l2.l_quantity > 40 OR l2.l_extendedprice > 80000)
+      |  AND n.n_name LIKE 'NATION_2%'
+      |  AND c.c_name LIKE '%1%'
+      |  AND o.o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND o.o_orderkey = l5.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l5.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l5.l_orderkey
+      |  AND l3.l_orderkey = l5.l_orderkey
+      |  AND l5.l_partkey = p3.p_partkey
+      |  AND s.s_suppkey = l3.l_suppkey
+      |  AND l4.l_suppkey = s.s_suppkey
+      |  AND l3.l_suppkey = l4.l_suppkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND o.o_custkey = c.c_custkey""".stripMargin
+
+  /** imdb/26a.sql family: ONE bridge carrying TWO type dims at once —
+    * complete_cast joins comp_cast_type TWICE (subject_id AND status_id);
+    * here the cc bridge's two fks (partkey → a type-equality part,
+    * suppkey → a LIKE-gated nation chain) carry the double typing, next
+    * to an OR-of-LIKEs char dim with its IS NOT NULL guard, a rating
+    * value range, a keyword IN and a hub-attribute equality. */
+  val job26aSql: String =
+    """SELECT min(p2.p_name) AS character_name,
+      |       min(l2.l_extendedprice) AS rating,
+      |       min(o.o_totalprice) AS complete_hero_price
+      |FROM part pa, supplier sb, nation nb, part p2, part p3,
+      |     orders o, lineitem l1, lineitem l2, lineitem l3, lineitem l4
+      |WHERE pa.p_type = 'PROMO'
+      |  AND nb.n_name LIKE '%2%'
+      |  AND p2.p_name IS NOT NULL
+      |  AND (p2.p_name LIKE '%an%' OR p2.p_name LIKE '%ol%')
+      |  AND p3.p_brand IN ('Brand#3', 'Brand#6', 'Brand#9', 'Brand#12',
+      |                     'Brand#15', 'Brand#18', 'Brand#21', 'Brand#24')
+      |  AND l2.l_extendedprice > 70000
+      |  AND o.o_orderstatus = 'F'
+      |  AND o.o_orderdate > TIMESTAMP '1996-06-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND o.o_orderkey = l4.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l4.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l4.l_orderkey
+      |  AND l3.l_orderkey = l4.l_orderkey
+      |  AND l1.l_partkey = p2.p_partkey
+      |  AND l3.l_partkey = p3.p_partkey
+      |  AND l4.l_partkey = pa.p_partkey
+      |  AND l4.l_suppkey = sb.s_suppkey
+      |  AND sb.s_nationkey = nb.n_nationkey""".stripMargin
+
+  /** imdb/27a.sql family: 32a's LINK geometry (two hubs meeting through a
+    * shared non-hub key) COMPOSED with the complete_cast axis and the
+    * company chain: the first order tree carries the keyword dim and the
+    * cc bridge (status-typed, an IN on its own flag), the second tree
+    * carries the company dim — the distinct-trees guard rides the
+    * equi-linked lineitem pair exactly as in job_32a. */
+  val job27aSql: String =
+    """SELECT min(c.c_name) AS producing_company,
+      |       min(p.p_name) AS link_part,
+      |       min(o1.o_orderdate) AS complete_western_sequel
+      |FROM part p, part p2, orders o1, orders o2, customer c,
+      |     lineitem l1, lineitem l2, lineitem l3, lineitem l4
+      |WHERE p.p_brand = 'Brand#15'
+      |  AND p2.p_type = 'STANDARD'
+      |  AND c.c_mktsegment = 'FURNITURE'
+      |  AND l4.l_returnflag IN ('A', 'R')
+      |  AND l4.l_linestatus = 'F'
+      |  AND o1.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                         AND TIMESTAMP '2000-12-31 00:00:00'
+      |  AND o1.o_orderkey = l1.l_orderkey
+      |  AND l1.l_partkey = p.p_partkey
+      |  AND l2.l_partkey = p.p_partkey
+      |  AND l1.l_partkey = l2.l_partkey
+      |  AND o2.o_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey <> l2.l_orderkey
+      |  AND o1.o_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l3.l_partkey = p2.p_partkey
+      |  AND o1.o_orderkey = l4.l_orderkey
+      |  AND l1.l_orderkey = l4.l_orderkey
+      |  AND l3.l_orderkey = l4.l_orderkey
+      |  AND o2.o_custkey = c.c_custkey""".stripMargin
+
+  /** imdb/28a.sql family: the SECOND-LARGEST web (fourteen relations) and
+    * the NEGATION showcase — dim inequality (<>), NOT LIKE + LIKE
+    * conjunction on a gating dim, a fact value UPPER bound, a hub status
+    * IN and a customer-class inequality, over FIVE fact roles in full
+    * pairwise closure: 29a's enumeration stress with predicates that
+    * subtract instead of select. */
+  val job28aSql: String =
+    """SELECT min(s1.s_name) AS movie_company,
+      |       min(l4.l_extendedprice) AS rating,
+      |       min(o.o_totalprice) AS complete_euro_price
+      |FROM orders o, lineitem l1, lineitem l2, lineitem l3, lineitem l4,
+      |     lineitem l5, part p1, part p2, supplier s1, nation n1,
+      |     supplier s2, nation n2, customer c, nation n3
+      |WHERE n1.n_name <> 'NATION_9'
+      |  AND p2.p_name NOT LIKE '%green%' AND p2.p_name LIKE '%o%'
+      |  AND p1.p_brand IN ('Brand#2', 'Brand#8', 'Brand#14', 'Brand#20')
+      |  AND l4.l_extendedprice < 85000
+      |  AND o.o_orderstatus IN ('F', 'O')
+      |  AND c.c_mktsegment <> 'HOUSEHOLD'
+      |  AND n2.n_name IN ('NATION_4', 'NATION_6', 'NATION_10', 'NATION_12')
+      |  AND o.o_orderdate > TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND o.o_orderkey = l4.l_orderkey
+      |  AND o.o_orderkey = l5.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l4.l_orderkey
+      |  AND l1.l_orderkey = l5.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l4.l_orderkey
+      |  AND l2.l_orderkey = l5.l_orderkey
+      |  AND l3.l_orderkey = l4.l_orderkey
+      |  AND l3.l_orderkey = l5.l_orderkey
+      |  AND l4.l_orderkey = l5.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l2.l_partkey = p2.p_partkey
+      |  AND l3.l_suppkey = s1.s_suppkey
+      |  AND s1.s_nationkey = n1.n_nationkey
+      |  AND l5.l_suppkey = s2.s_suppkey
+      |  AND s2.s_nationkey = n2.n_nationkey
+      |  AND o.o_custkey = c.c_custkey
+      |  AND c.c_nationkey = n3.n_nationkey""".stripMargin
+
+  /** imdb/30a.sql family: complete_cast AND the person axis AND typed
+    * info facts in one web — the writer IN on the cast bridge, a person
+    * gender equality, genre/votes typed roles, the keyword IN, and the cc
+    * bridge double-gated like 26a (equality type part + status flag). */
+  val job30aSql: String =
+    """SELECT min(l1.l_extendedprice) AS movie_budget,
+      |       min(l2.l_extendedprice) AS movie_votes,
+      |       min(s.s_name) AS writer,
+      |       min(o.o_totalprice) AS complete_violent_price
+      |FROM orders o, lineitem l1, lineitem l2, lineitem l3, lineitem l4,
+      |     lineitem l5, part p1, part p2, part p3, supplier s
+      |WHERE l3.l_returnflag IN ('R', 'N')
+      |  AND l1.l_linestatus = 'F'
+      |  AND l2.l_linestatus = 'O'
+      |  AND p1.p_type IN ('PROMO', 'ECONOMY')
+      |  AND p2.p_brand IN ('Brand#4', 'Brand#10', 'Brand#16', 'Brand#22',
+      |                     'Brand#7', 'Brand#19', 'Brand#25')
+      |  AND p3.p_type = 'SMALL'
+      |  AND l5.l_linestatus = 'F'
+      |  AND s.s_acctbal > 0
+      |  AND o.o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND o.o_orderkey = l4.l_orderkey
+      |  AND o.o_orderkey = l5.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l4.l_orderkey
+      |  AND l1.l_orderkey = l5.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l4.l_orderkey
+      |  AND l2.l_orderkey = l5.l_orderkey
+      |  AND l3.l_orderkey = l4.l_orderkey
+      |  AND l3.l_orderkey = l5.l_orderkey
+      |  AND l4.l_orderkey = l5.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l4.l_partkey = p2.p_partkey
+      |  AND l5.l_partkey = p3.p_partkey
+      |  AND l3.l_suppkey = s.s_suppkey""".stripMargin
+
+  /** imdb/31a.sql family: NO hub predicate at all — every drop of
+    * selectivity lives on the dims (a PREFIX LIKE on the company name,
+    * writer IN on the cast bridge, genre/keyword IN lists), so the
+    * optimizer must derive the join order purely from dim filters with
+    * nothing to prune the hub scan: the pure join-ordering stress. */
+  val job31aSql: String =
+    """SELECT min(l1.l_extendedprice) AS movie_budget,
+      |       min(l2.l_extendedprice) AS movie_votes,
+      |       min(s.s_name) AS writer,
+      |       min(o.o_totalprice) AS violent_price
+      |FROM lineitem l1, lineitem l2, lineitem l3, lineitem l4,
+      |     part p1, part p2, supplier s, nation n, orders o
+      |WHERE l3.l_returnflag IN ('A', 'R')
+      |  AND n.n_name LIKE 'NATION_1%'
+      |  AND p1.p_type IN ('PROMO', 'ECONOMY')
+      |  AND p2.p_brand IN ('Brand#2', 'Brand#4', 'Brand#6', 'Brand#8')
+      |  AND s.s_acctbal >= 0
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND o.o_orderkey = l4.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l4.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l4.l_orderkey
+      |  AND l3.l_orderkey = l4.l_orderkey
+      |  AND l1.l_partkey = p1.p_partkey
+      |  AND l4.l_partkey = p2.p_partkey
+      |  AND l3.l_suppkey = s.s_suppkey
+      |  AND s.s_nationkey = n.n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "job_2a" -> viaSql(job2aSql), "job_7a" -> viaSql(job7aSql),
     "job_9a" -> viaSql(job9aSql), "job_14a" -> viaSql(job14aSql),
@@ -567,7 +968,14 @@ object Job {
     "job_13a" -> viaSql(job13aSql), "job_25c" -> viaSql(job25cSql),
     "job_33a" -> viaSql(job33aSql), "job_4a" -> viaSql(job4aSql),
     "job_8a" -> viaSql(job8aSql), "job_20a" -> viaSql(job20aSql),
-    "job_15a" -> viaSql(job15aSql))
+    "job_15a" -> viaSql(job15aSql),
+    "job_3a" -> viaSql(job3aSql), "job_5a" -> viaSql(job5aSql),
+    "job_12a" -> viaSql(job12aSql), "job_18a" -> viaSql(job18aSql),
+    "job_19a" -> viaSql(job19aSql), "job_21a" -> viaSql(job21aSql),
+    "job_23a" -> viaSql(job23aSql), "job_24a" -> viaSql(job24aSql),
+    "job_26a" -> viaSql(job26aSql), "job_27a" -> viaSql(job27aSql),
+    "job_28a" -> viaSql(job28aSql), "job_30a" -> viaSql(job30aSql),
+    "job_31a" -> viaSql(job31aSql))
 
   val oracle: Map[String, String] = Map(
     "job_2a" -> job2aSql, "job_7a" -> job7aSql, "job_9a" -> job9aSql,
@@ -577,5 +985,10 @@ object Job {
     "job_11a" -> job11aSql, "job_16b" -> job16bSql, "job_17a" -> job17aSql,
     "job_13a" -> job13aSql, "job_25c" -> job25cSql, "job_33a" -> job33aSql,
     "job_4a" -> job4aSql, "job_8a" -> job8aSql, "job_20a" -> job20aSql,
-    "job_15a" -> job15aSql)
+    "job_15a" -> job15aSql,
+    "job_3a" -> job3aSql, "job_5a" -> job5aSql, "job_12a" -> job12aSql,
+    "job_18a" -> job18aSql, "job_19a" -> job19aSql, "job_21a" -> job21aSql,
+    "job_23a" -> job23aSql, "job_24a" -> job24aSql, "job_26a" -> job26aSql,
+    "job_27a" -> job27aSql, "job_28a" -> job28aSql, "job_30a" -> job30aSql,
+    "job_31a" -> job31aSql)
 }
