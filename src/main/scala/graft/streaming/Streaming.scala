@@ -105,6 +105,43 @@ object Streaming {
       .foreachBatch(idempotentBatchWrite(out) _)
       .start()
 
+  /** One epoch of streaming ANN index ingest: assign + PQ-encode an
+    * arriving vector batch with the FROZEN model (the ivfpqEncode pass
+    * shared with the batch build and n_ivfpq_delta's append) and land it
+    * in `batch_id=<id>/cell=<c>/…` under a commit marker — the
+    * [[idempotentBatchWrite]] contract specialized to the index layout.
+    * Partition discovery exposes batch_id AND cell to readers, so the
+    * serve path's cell IN-filter still prunes the scan to probed cells
+    * only; the epoch level just adds one directory depth. */
+  def ivfpqEpochAppend(out: String, c: DataFrame, books: Array[Double])
+      (batch: DataFrame, batchId: Long): Unit = {
+    val dir = new java.io.File(out, s"batch_id=$batchId")
+    val marker = new java.io.File(dir, "_GRAFT_COMMITTED")
+    if (marker.exists()) return // replay of a committed epoch
+    graft.operators.Similarity.ivfpqEncode(batch, c, books)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(dir.getAbsolutePath)
+    marker.createNewFile()
+  }
+
+  /** Streaming ANN index ingest — the streaming face of n_ivfpq_delta: a
+    * stream of new vectors continuously grows the stored IVFPQ index,
+    * each micro-batch one frozen-model encode pass (delta-proportional
+    * work, no retraining, base epochs never rewritten), and the new
+    * vectors are probe-visible as soon as their epoch commits. Because
+    * foreachBatch is at-least-once, exactly-once on the index comes from
+    * the epoch-dir + marker idempotence ([[ivfpqEpochAppend]]);
+    * StreamingSpec proves the streamed index serves BYTE-IDENTICAL
+    * results to the all-at-once batch build and that a replayed epoch —
+    * even with different data — touches nothing. */
+  def annIngest(vectors: DataFrame, c: DataFrame, books: Array[Double],
+      out: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(ivfpqEpochAppend(out, c, books) _)
+      .start()
+
   /** Streaming exact dedup — the streaming face of d_exact (SURVEY §2.5):
     * `dropDuplicatesWithinWatermark` on the natural key. The plain
     * `dropDuplicates("event_id")` spelling under a watermark does NOT

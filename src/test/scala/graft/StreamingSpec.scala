@@ -816,6 +816,59 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == before, "replayed epoch was rewritten")
   }
 
+  test("st_ann_ingest: streamed vector epochs grow the stored IVFPQ index " +
+    "— serve is byte-identical to the all-at-once build, every epoch " +
+    "carries its commit marker, and a replayed epoch touches nothing") {
+    import graft.operators.Similarity
+    val base = Paths.get("target/ann_ingest")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val inDir = Files.createDirectories(base.resolve("in"))
+    val outDir = base.resolve("index").toAbsolutePath.toString
+    val ckpt = base.resolve("ckpt").toAbsolutePath.toString
+    // the frozen production model — trained offline, constant across epochs
+    val c = Similarity.ivfQuantizer(spark, sf01)
+    val (books, _) = Similarity.pqBuild(spark, sf01)
+    // corpus arrives as three disjoint vector files
+    val embAll = Tables.t(spark, sf01, "embeddings")
+      .select("vec_id", "embedding")
+    (0 to 2).foreach { i =>
+      embAll.filter(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$inDir/c$i")
+      moveInto(inDir, s"c$i", f"$i%02d-vecs.parquet")
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = Streaming.annIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toAbsolutePath.toString), c, books, outDir, ckpt)
+    q.awaitTermination(120000)
+    q.stop()
+    val epochs = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).sortBy(_.getName)
+    assert(epochs.length == 3, s"expected 3 epochs, got ${epochs.length}")
+    assert(epochs.forall(d => new java.io.File(d, "_GRAFT_COMMITTED").exists()),
+      "uncommitted epoch directory present")
+    // the streamed index serves byte-identically to the all-at-once build
+    val served = Similarity.ivfpqServeFromStore(spark, sf01, outDir, c, books)
+      .collect().toSeq
+    assert(served.nonEmpty &&
+      served == Similarity.nIvfpqTopk(spark, sf01).collect().toSeq,
+      "streamed index diverges from the all-at-once build")
+    // replay contract: re-delivering a committed epoch id with DIFFERENT
+    // data must not touch a byte of the store
+    val victim = epochs.head
+    val id = victim.getName.stripPrefix("batch_id=").toLong
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(victim).map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    Streaming.ivfpqEpochAppend(outDir, c, books)(embAll.limit(2), id)
+    assert(snapshot() == before, "replayed epoch was rewritten")
+  }
+
   test("e2e file sink: tumbling agg → partitioned parquet with checkpoint; kill-and-restart resumes without duplicates (RocksDB)") {
     // the last mile of the production streaming story (VERDICT r5 #7): the
     // other specs stop at memory sinks; this drives the watermarked agg
