@@ -586,7 +586,106 @@ object Sources {
       |       round(p_retailprice, 2) AS p_retailprice
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // --------------------------------------------------- dml_delete/dml_update
+  /** DELETE / UPDATE executed as COPY-ON-WRITE file rewrite — the pattern
+    * every lake-table layer (Delta, Iceberg COW mode) uses underneath, here
+    * expressed directly on plain parquet with Spark primitives. The
+    * reference PARSES these statements but cannot execute them
+    * (sqllogictest delete.slt/update.slt: "physical_plan_error … Unsupported
+    * logical plan: Dml"), so this surface is strictly beyond it. Mechanics:
+    *  1. find the files that contain at least one matching row via the
+    *     `_metadata.file_path` column — a distinct over matches, file-count-
+    *     sized (the one driver-side list, like a partition listing);
+    *  2. read ONLY those files, apply the anti-filter (delete) or the
+    *     CASE-projection (update), write to a side directory;
+    *  3. swap: remove the superseded files, move the rewritten parts in.
+    * Every file with no matching row is never opened for write — at 100 TB
+    * with a range-clustered layout a targeted delete rewrites a handful of
+    * files, not the table (RelationalSpec proves untouched files keep
+    * byte-identical paths + mtimes). The swap is not transactional on a
+    * plain directory (that — atomic visibility, concurrent writers — is
+    * precisely what a table-format log adds); single-writer maintenance
+    * jobs, the common case for takedown/PII deletes, are safe. */
+  private[graft] def cowSeed(spark: SparkSession, dir: String, name: String): String = {
+    val path = ioDir(name)
+    Tables.t(spark, dir, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+
+  /** Files containing ≥1 matching row — the rewrite set. */
+  private[graft] def cowTargets(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column): Array[String] =
+    spark.read.parquet(path).filter(pred)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).sorted
+
+  /** Rewrite ONLY `targets` through `transform`, swap them in. */
+  private[graft] def cowRewrite(spark: SparkSession, path: String,
+      targets: Array[String], transform: DataFrame => DataFrame): Unit = {
+    if (targets.isEmpty) return
+    val tmp = new java.io.File(path + "__cow_tmp")
+    transform(spark.read.parquet(targets: _*))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    targets.foreach(f => new java.io.File(new java.net.URI(f)).delete())
+    tmp.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(path, s"cow-$i-${f.getName}").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
+  /** The delete/update predicate: range-clustered on the layout key, so
+    * the rewrite set is a strict subset of the files. */
+  private val CowKeyBound = 150L
+
+  def dmlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val path = cowSeed(spark, dir, "orders_cow_del")
+    cowRewrite(spark, path,
+      cowTargets(spark, path, col("o_orderkey") < CowKeyBound),
+      _.filter(!(col("o_orderkey") < CowKeyBound)))
+    spark.read.parquet(path)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  val dmlDeleteSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       round(o_totalprice, 2) AS o_totalprice, o_orderdate
+      |FROM orders WHERE NOT (o_orderkey < 150)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def dmlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val path = cowSeed(spark, dir, "orders_cow_upd")
+    cowRewrite(spark, path,
+      cowTargets(spark, path, col("o_orderkey") < CowKeyBound),
+      df => df.withColumn("o_orderpriority",
+        when(col("o_orderkey") < CowKeyBound,
+          concat(lit("X-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority"))))
+    spark.read.parquet(path)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val dmlUpdateSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey < 150
+      |            THEN concat('X-', o_orderpriority)
+      |            ELSE o_orderpriority END AS o_orderpriority,
+      |       round(o_totalprice, 2) AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Exposed for the untouched-files spec. */
+  def cowDeletePath: String = ioDir("orders_cow_del")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dml_delete" -> (dmlDelete _), "dml_update" -> (dmlUpdate _),
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
     "src_orc" -> (srcOrc _),
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
@@ -600,6 +699,7 @@ object Sources {
     "sink_zorder" -> (sinkZorder _))
 
   val oracle: Map[String, String] = Map(
+    "dml_delete" -> dmlDeleteSql, "dml_update" -> dmlUpdateSql,
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
     "src_orc" -> srcOrcSql,
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,

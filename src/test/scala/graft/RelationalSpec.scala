@@ -281,6 +281,42 @@ class RelationalSpec extends SparkSpec {
       "grp dirs must hold exactly one file for the row_index oracle to hold")
   }
 
+  test("dml_delete: copy-on-write rewrites ONLY files containing matching " +
+    "rows — untouched files survive byte-identically, content equals the " +
+    "anti-filtered table") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.functions.col
+    val path = Sources.cowSeed(spark, sf, "orders_cow_spec")
+    def files(): Map[String, Long] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val before = files()
+    val pred = col("o_orderkey") < 150
+    val targets = Sources.cowTargets(spark, path, pred)
+    // the rewrite set must be a STRICT subset — the point of COW
+    assert(targets.nonEmpty, "predicate matched no file")
+    assert(targets.length < before.size,
+      s"rewrite set is the whole table (${targets.length}/${before.size})")
+    Sources.cowRewrite(spark, path, targets, _.filter(!pred))
+    val after = files()
+    val targetPaths = targets
+      .map(u => new java.io.File(new java.net.URI(u)).getAbsolutePath).toSet
+    // untouched files: identical paths + mtimes; superseded files: gone
+    before.foreach { case (p, t) =>
+      if (targetPaths.contains(p)) assert(!after.contains(p), s"superseded file kept: $p")
+      else assert(after.get(p) == Some(t), s"untouched file rewritten: $p")
+    }
+    // the table now IS the anti-filtered original, row-for-row
+    val got = spark.read.parquet(path)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey").collect().toSeq
+    val want = Tables.t(spark, sf, "orders").filter(!pred)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == want, "deleted table diverges from the anti-filter")
+  }
+
   test("sink_dynamic_overwrite replaces only the touched partition's files") {
     import graft.sources.Sources
     def files(): Map[String, Long] = {
