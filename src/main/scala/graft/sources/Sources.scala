@@ -684,8 +684,65 @@ object Sources {
   /** Exposed for the untouched-files spec. */
   def cowDeletePath: String = ioDir("orders_cow_del")
 
+  // ------------------------------------------------------------- dml_merge
+  /** MERGE (upsert) on the same copy-on-write machinery — the CDC-batch
+    * primitive: WHEN MATCHED THEN UPDATE rides the [[cowRewrite]] path
+    * (only files containing matched keys are rewritten), WHEN NOT MATCHED
+    * THEN INSERT is a plain append of new files — no existing file is
+    * touched for inserts at all. Matched-file detection is a broadcast
+    * SEMI-JOIN of the table against the source keys (never a key collect:
+    * the only driver-side list is the file list). Insert keys are made
+    * disjoint by sign (-(k+1)) rather than a fixed offset — the r11
+    * d_minhash_delta lesson: any additive offset collides once real ids
+    * pass it, a sign flip cannot. Order of operations: detect targets
+    * (eager), append inserts, rewrite matched files — the rewrite reads
+    * explicit pre-append paths, so the append cannot double-apply. */
+  private[graft] def cowMerge(spark: SparkSession, path: String,
+      updates: DataFrame, inserts: DataFrame): Unit = {
+    val tbl = spark.read.parquet(path)
+    val targets = tbl
+      .join(broadcast(updates), tbl("o_orderkey") === updates("mk"), "left_semi")
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).sorted
+    inserts.write.mode(SaveMode.Append).parquet(path)
+    cowRewrite(spark, path, targets, df =>
+      df.join(broadcast(updates), df("o_orderkey") === updates("mk"), "left_outer")
+        .withColumn("o_totalprice", coalesce(col("mp"), col("o_totalprice")))
+        .drop("mk", "mp"))
+  }
+
+  def dmlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = cowSeed(spark, dir, "orders_cow_merge")
+    val orders = Tables.t(spark, dir, "orders")
+    val updates = orders.filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey").as("mk"),
+        (col("o_totalprice") + lit(1000.0)).as("mp"))
+    val inserts = orders.filter(col("o_orderkey") < 50)
+      .withColumn("o_orderkey", -(col("o_orderkey") + lit(1L)))
+    cowMerge(spark, path, updates, inserts)
+    spark.read.parquet(path)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val dmlMergeSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS p
+      |  FROM orders WHERE o_orderkey < 100
+      |)
+      |SELECT m.o_orderkey, round(m.p, 2) AS o_totalprice FROM (
+      |  SELECT t.o_orderkey, coalesce(s.p, t.o_totalprice) AS p
+      |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
+      |  UNION ALL
+      |  SELECT -(o_orderkey + 1) AS o_orderkey, o_totalprice AS p
+      |  FROM orders WHERE o_orderkey < 50
+      |) m
+      |ORDER BY m.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dml_delete" -> (dmlDelete _), "dml_update" -> (dmlUpdate _),
+    "dml_merge" -> (dmlMerge _),
     "src_parquet" -> (srcParquet _), "src_csv" -> (srcCsv _),
     "src_orc" -> (srcOrc _),
     "src_json" -> (srcJson _), "src_avro" -> (srcAvro _),
@@ -700,6 +757,7 @@ object Sources {
 
   val oracle: Map[String, String] = Map(
     "dml_delete" -> dmlDeleteSql, "dml_update" -> dmlUpdateSql,
+    "dml_merge" -> dmlMergeSql,
     "src_parquet" -> srcParquetSql, "src_csv" -> srcCsvSql,
     "src_orc" -> srcOrcSql,
     "src_json" -> srcJsonSql, "src_avro" -> srcAvroSql,

@@ -317,6 +317,45 @@ class RelationalSpec extends SparkSpec {
     assert(got == want, "deleted table diverges from the anti-filter")
   }
 
+  test("dml_merge: inserts append new files without touching existing " +
+    "ones; only matched-key files are rewritten; values land") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val path = Sources.cowSeed(spark, sf, "orders_cow_merge_spec")
+    def files(): Map[String, Long] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val before = files()
+    val targets = Sources.cowTargets(spark, path, col("o_orderkey") < 100)
+      .map(u => new java.io.File(new java.net.URI(u)).getAbsolutePath).toSet
+    assert(targets.nonEmpty && targets.size < before.size,
+      "matched set must be a strict subset of the files")
+    val orders = Tables.t(spark, sf, "orders")
+    val updates = orders.filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey").as("mk"),
+        (col("o_totalprice") + lit(1000.0)).as("mp"))
+    val inserts = orders.filter(col("o_orderkey") < 50)
+      .withColumn("o_orderkey", -(col("o_orderkey") + lit(1L)))
+    Sources.cowMerge(spark, path, updates, inserts)
+    val after = files()
+    before.foreach { case (p, t) =>
+      if (targets.contains(p)) assert(!after.contains(p), s"matched file kept: $p")
+      else assert(after.get(p) == Some(t), s"unmatched file touched: $p")
+    }
+    val tbl = spark.read.parquet(path)
+    assert(tbl.filter(col("o_orderkey") < 0).count() == 50, "inserts missing")
+    // an updated key carries +1000; an unmatched key is unchanged
+    def price(k: Long): Double = tbl.filter(col("o_orderkey") === k)
+      .select(round(col("o_totalprice"), 2)).head().getDouble(0)
+    def orig(k: Long): Double = orders.filter(col("o_orderkey") === k)
+      .select(round(col("o_totalprice") + lit(1000.0), 2)).head().getDouble(0)
+    assert(price(7L) == orig(7L), "matched row not updated")
+    val untouched = orders.filter(col("o_orderkey") === 200L)
+      .select(round(col("o_totalprice"), 2)).head().getDouble(0)
+    assert(price(200L) == untouched, "unmatched row changed")
+  }
+
   test("sink_dynamic_overwrite replaces only the touched partition's files") {
     import graft.sources.Sources
     def files(): Map[String, Long] = {
