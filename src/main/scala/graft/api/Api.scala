@@ -1,0 +1,211 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
+
+/** The user-facing DataFrame API — every pipeline capability over YOUR
+  * frames, with no assumption about the driver's testdata layout. Each
+  * function renames the caller's columns to the canonical contract and
+  * delegates to the exact operator core the driver gate verifies, so the
+  * API inherits the oracle/spec guarantees and the audited plan shapes
+  * (ApiSpec proves API-over-renamed-frame ≡ gate entry).
+  *
+  * Canonical contracts: text ops take (doc_id: long-ish, text: string);
+  * vector ops take a corpus (vec_id, embedding: array&lt;float|double&gt;)
+  * and queries (qid, qv); outputs use the canonical names documented on
+  * each operator.
+  */
+object TextApi {
+
+  private def canon(d: DataFrame, idCol: String, textCol: String): DataFrame =
+    d.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Length/punctuation/stopword/repetition quality metrics per doc. */
+  def quality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.qualityOn(canon(docs, idCol, textCol))
+
+  /** Gopher-rule filtering (Rae et al. 2021) with per-doc reject reason. */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.gopherOn(canon(docs, idCol, textCol))
+
+  /** n-gram-profile language ID with per-language scores. */
+  def langId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.langidOn(canon(docs, idCol, textCol))
+
+  /** Repetition statistics (duplicate-line/ngram fractions). */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.repetitionOn(canon(docs, idCol, textCol))
+
+  /** Whitespace/regex token and char counts. */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.tokcountOn(canon(docs, idCol, textCol))
+
+  /** Lowercase + strip non-alnum + collapse whitespace. */
+  def normalize(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.normalizeOn(canon(docs, idCol, textCol))
+
+  /** Email/URL scrubbing to placeholder tokens. */
+  def scrub(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.scrubOn(canon(docs, idCol, textCol))
+
+  /** Phone/IP/card redaction with per-category audit counts. */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.redactOn(canon(docs, idCol, textCol))
+
+  /** Flesch reading-ease per doc. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.readabilityOn(canon(docs, idCol, textCol))
+
+  /** Sentence count + first sentence per doc. */
+  def sentences(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.sentencesOn(canon(docs, idCol, textCol))
+
+  /** Overlapping fixed-token-window chunking (RAG/pretraining windows). */
+  def chunk(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.chunkOn(canon(docs, idCol, textCol))
+}
+
+object DedupApi {
+
+  private def canon(d: DataFrame, idCol: String, textCol: String): DataFrame =
+    d.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Exact-duplicate groups by content hash: (h, keep_id, n_copies). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Dedup.exactGroupsOn(canon(docs, idCol, textCol))
+
+  /** MinHash+LSH near-dup pairs over word shingles, exact-Jaccard
+    * verified at `minJaccard`: (doc_a, doc_b, jaccard). */
+  def minhashPairs(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.minhashLshPairs(
+      Dedup.wordShingleSets(canon(docs, idCol, textCol)), minJaccard)
+
+  /** Char-5-gram variant (robust to word-boundary edits). */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.minhashLshPairs(
+      Dedup.charShingleSets(canon(docs, idCol, textCol)), minJaccard)
+
+  /** 64-bit SimHash pairs within Hamming ≤ 3: (doc_a, doc_b, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Dedup.simhashPairsOn(canon(docs, idCol, textCol))
+
+  /** Connected components over a near-dup pair graph: (doc_id,
+    * cluster_id) — one row per doc that appears in a pair. */
+  def clusters(pairs: DataFrame): DataFrame =
+    Dedup.connectedComponents(pairs)
+
+  /** End-to-end near-dup clustering: shingle → minhash pairs →
+    * components. */
+  def nearDupClusters(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    clusters(minhashPairs(docs, minJaccard, idCol, textCol))
+}
+
+object AnnApi {
+
+  private def canonCorpus(d: DataFrame, idCol: String, vecCol: String) =
+    d.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+
+  private def canonQueries(d: DataFrame, idCol: String, vecCol: String) =
+    d.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+
+  /** Exact cosine top-k (the correctness baseline): queries broadcast,
+    * bounded per-partition heaps — (qid, vid, cos, rn). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "qid", queryVec: String = "qv"): DataFrame =
+    Similarity.bruteTopk(canonCorpus(corpus, corpusId, corpusVec),
+      canonQueries(queries, queryId, queryVec), k)
+
+  /** Train the IVF coarse quantizer (deterministic seeds + Lloyd). */
+  def trainIvf(corpus: DataFrame, cells: Int,
+      iters: Int = Similarity.QuantIters,
+      trainSampleMod: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfQuantizerOn(canonCorpus(corpus, idCol, vecCol),
+      iters, cells, trainSampleMod)
+
+  /** Train PQ codebooks; `dim` is the embedding dimension. */
+  def trainPq(corpus: DataFrame, dim: Int, segments: Int, codebook: Int,
+      iters: Int = Similarity.QuantIters,
+      trainSampleMod: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Double] =
+    Similarity.pqTrainOn(canonCorpus(corpus, idCol, vecCol), dim,
+      iters, segments, codebook, trainSampleMod)
+
+  /** Assign + PQ-encode a corpus (or a delta batch) with a frozen model:
+    * the (cell, vec_id, codes) index frame. */
+  def encodeIndex(vectors: DataFrame, quantizer: DataFrame,
+      books: Array[Double], segments: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfpqEncode(canonCorpus(vectors, idCol, vecCol),
+      quantizer, books, segments)
+
+  /** Persist an index frame partitioned by cell (the serving layout). */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    Similarity.ivfpqWriteIndex(index, path)
+
+  /** Frozen-model delta append to a stored index (n_ivfpq_delta). */
+  def appendIndex(delta: DataFrame, quantizer: DataFrame,
+      books: Array[Double], path: String, segments: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.ivfpqIndexAppend(canonCorpus(delta, idCol, vecCol),
+      quantizer, books, path, segments)
+
+  /** Serve top-K from a stored cell-partitioned index with partition
+    * pruning to the probed cells. */
+  def serveFromStore(queries: DataFrame, path: String,
+      quantizer: DataFrame, books: Array[Double], nprobe: Int,
+      segments: Int, queryId: String = "qid",
+      queryVec: String = "qv"): DataFrame =
+    Similarity.ivfpqServeFromStoreOn(
+      canonQueries(queries, queryId, queryVec), path, quantizer, books,
+      nprobe, segments)
+}
+
+object PipelineApi {
+
+  /** GPT-style sequence packing manifest over (doc_id, text). */
+  def pack(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Pipeline.packOn(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Stable 256-way shard assignment (adds a `shard` column; narrow). */
+  def shardAssign(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("shard",
+      substring(md5(concat(lit("shard:"), col(idCol).cast("string"))), 1, 2))
+
+  /** Exact per-stratum quota sample over (doc_id, source). */
+  def stratifiedSample(docs: DataFrame, idCol: String = "doc_id",
+      stratumCol: String = "source"): DataFrame =
+    Pipeline.stratifiedOn(
+      docs.select(col(idCol).as("doc_id"), col(stratumCol).as("source")))
+
+  /** Leak-free train/val split: near-dup components never straddle.
+    * Returns (doc_id, group_id, split). */
+  def splitLeakfree(docs: DataFrame, minJaccard: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpus =
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val pairs = Dedup.minhashLshPairs(Dedup.wordShingleSets(corpus), minJaccard)
+    Pipeline.splitByGroup(corpus.select("doc_id"),
+      Dedup.connectedComponents(pairs))
+  }
+}

@@ -52,8 +52,12 @@ object Dedup {
     * hash (not the text itself — at 100 TB you shuffle 32 bytes/doc, not
     * the documents). keep_id = min(doc_id): deterministic survivor. */
   def dExact(spark: SparkSession, dir: String): DataFrame =
-    withPlantedExact(docs(spark, dir))
-      .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+    exactGroupsOn(withPlantedExact(docs(spark, dir)))
+
+  /** Exact-dup groups over any (doc_id, text) frame — graft.api.DedupApi's
+    * entry point; one partial-aggregated shuffle on the content hash. */
+  def exactGroupsOn(d: DataFrame): DataFrame =
+    d.groupBy(sha2(col("text").cast("binary"), 256).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
@@ -417,9 +421,12 @@ object Dedup {
     * Hamming 3 shares at least one of four 16-bit chunks (pigeonhole) →
     * equi-join per chunk, then the native hamming_distance verifies.
     * One shuffle on (chunk_id, chunk_value). */
-  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val d = withPlantedNear(docs(spark, dir))
+  def dSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOn(withPlantedNear(docs(spark, dir)))
+
+  /** SimHash near-dup pairs over any (doc_id, text) frame. */
+  def simhashPairsOn(d: DataFrame): DataFrame = {
+    GraftFunctions.register(d.sparkSession)
     // explode + 64 codegen'd sum aggregates (per-row lambda aggregates are
     // interpreted CodegenFallback — same lesson as the minhash signature);
     // map-side partial agg → the shuffle carries 64 longs per doc

@@ -243,11 +243,17 @@ object Pipeline {
   val PackWindow = 2048
   val PackBucket = 100L
 
-  def pPack(spark: SparkSession, dir: String): DataFrame = {
+  def pPack(spark: SparkSession, dir: String): DataFrame =
+    packOn(Tables.t(spark, dir, "documents"))
+
+  /** Sequence packing over any (doc_id, text) frame — graft.api
+    * .PipelineApi's entry point; the gate entry is this core on the
+    * driver corpus. */
+  def packOn(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Long.MinValue, 0)
-    val d = Tables.t(spark, dir, "documents")
+    val d = docs
       .select(col("doc_id"), floor(col("doc_id") / PackBucket).as("bucket"),
         size(split(col("text"), " ")).cast("long").as("toks"))
     val withCum = d.withColumn("cum", sum("toks").over(w))
@@ -360,9 +366,14 @@ object Pipeline {
   /** The bound multiplier is a parameter only so the spec can force the
     * admitted-candidate shortfall path (mult < 1 starves large strata). */
   private[graft] def pStratifiedWithBound(
-      spark: SparkSession, dir: String, mult: Double): DataFrame = {
+      spark: SparkSession, dir: String, mult: Double): DataFrame =
+    stratifiedOn(Tables.t(spark, dir, "documents"), mult)
+
+  /** Exact per-stratum quota sampling over any (doc_id, source) frame —
+    * the two-phase bounded-candidate plan with the shortfall guard. */
+  def stratifiedOn(d: DataFrame, mult: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.t(spark, dir, "documents")
+    val docs = d
       .select(col("doc_id"), col("source"),
         md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))

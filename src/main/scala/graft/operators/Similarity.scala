@@ -106,10 +106,12 @@ object Similarity {
 
   /** Public API: exact cosine top-k of `queries` (qid, qv) against `corpus`
     * (vec_id, embedding) — the query side is broadcast. */
-  def bruteTopk(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+  def bruteTopk(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     topK(corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"), cos.as("cos")), k)
+  }
 
   // ------------------------------------------------------------ n_brute_topk
   /** Exact cosine top-k: the correctness baseline, oracle-checked. */
@@ -202,7 +204,10 @@ object Similarity {
     * (a deterministic sample — IVF training normally samples the corpus). */
   private def centroids(spark: SparkSession, dir: String,
       cells: Int = IvfCells): DataFrame =
-    emb(spark, dir).filter(col("vec_id") < cells)
+    centroidsOn(emb(spark, dir), cells)
+
+  private def centroidsOn(vecs: DataFrame, cells: Int): DataFrame =
+    vecs.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
 
   /** Nearest-centroid assignment of the corpus to `cents` (cell, cv) as a
@@ -286,12 +291,20 @@ object Similarity {
     * production trade (SimilaritySpec pins recall at mod=4). */
   private[graft] def ivfQuantizer(spark: SparkSession, dir: String,
       iters: Int = QuantIters, cells: Int = IvfCells,
+      trainSampleMod: Int = 1): DataFrame =
+    ivfQuantizerOn(emb(spark, dir), iters, cells, trainSampleMod)
+
+  /** The frame-based trainer (graft.api.AnnApi) — the dir form above is
+    * this core on the driver corpus. */
+  private[graft] def ivfQuantizerOn(vecs: DataFrame,
+      iters: Int = QuantIters, cells: Int = IvfCells,
       trainSampleMod: Int = 1): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1")
     val trainEmb =
-      if (trainSampleMod == 1) emb(spark, dir)
-      else emb(spark, dir).filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
-    var c = localizeModel(centroids(spark, dir, cells))
+      if (trainSampleMod == 1) vecs
+      else vecs.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+    var c = localizeModel(centroidsOn(vecs, cells))
     var i = 0
     while (i < iters) {
       val refined = refine(assignTo(trainEmb, c))
@@ -312,9 +325,15 @@ object Similarity {
     * runs over queries × cells rows (tiny — the model side), never the
     * corpus. */
   private[graft] def ivfProbes(spark: SparkSession, dir: String,
+      c: DataFrame, nprobe: Int = IvfNprobe): DataFrame =
+    ivfProbesOn(queriesDf(spark, dir), c, nprobe)
+
+  /** Frame-based probe selection: queries are any (qid, qv) frame. */
+  private[graft] def ivfProbesOn(queries: DataFrame,
       c: DataFrame, nprobe: Int = IvfNprobe): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val w = Window.partitionBy("qid").orderBy(desc("qcos"), asc("cell"))
-    queriesDf(spark, dir).crossJoin(broadcast(c))
+    queries.crossJoin(broadcast(c))
       .select(col("qid"), col("qv"), col("cell"),
         expr("cosine_similarity(qv, cv)").as("qcos"))
       .withColumn("rn", row_number().over(w))
@@ -486,19 +505,27 @@ object Similarity {
     * seg-major indexing (ADVICE r4). */
   private[graft] def pqTrain(spark: SparkSession, dir: String,
       iters: Int = QuantIters, segments: Int = PqSegments,
+      codebook: Int = PqCodebook, trainSampleMod: Int = 1): Array[Double] =
+    pqTrainOn(emb(spark, dir), PqDim, iters, segments, codebook, trainSampleMod)
+
+  /** The frame-based trainer (graft.api.AnnApi); `dim` is the embedding
+    * dimension of the supplied corpus (the dir form passes [[PqDim]]). */
+  private[graft] def pqTrainOn(vecs: DataFrame, dim: Int,
+      iters: Int = QuantIters, segments: Int = PqSegments,
       codebook: Int = PqCodebook, trainSampleMod: Int = 1): Array[Double] = {
-    require(segments > 0 && PqDim % segments == 0,
-      s"segments=$segments must divide the corpus dimension $PqDim")
+    GraftFunctions.register(vecs.sparkSession)
+    require(segments > 0 && dim % segments == 0,
+      s"segments=$segments must divide the corpus dimension $dim")
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1")
     // sample-training mode, as in ivfQuantizer: Lloyd passes read 1/mod of
     // the corpus; the final full-corpus encode (in pqBuild) is unchanged
     def trainEmb: DataFrame =
-      if (trainSampleMod == 1) emb(spark, dir)
-      else emb(spark, dir).filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
-    val (k, d) = (codebook, PqDim / segments)
+      if (trainSampleMod == 1) vecs
+      else vecs.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+    val (k, d) = (codebook, dim / segments)
     // seeds: segment s of corpus vector c → centroid (s, c), like IVF's
     // deterministic lowest-id sample
-    val seeds = emb(spark, dir).filter(col("vec_id") < k).orderBy("vec_id")
+    val seeds = vecs.filter(col("vec_id") < k).orderBy("vec_id")
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0))
     require(seeds.length == k, s"corpus has fewer than $k seed vectors")
@@ -555,15 +582,22 @@ object Similarity {
   private[graft] def pqBuild(spark: SparkSession, dir: String,
       iters: Int = QuantIters, segments: Int = PqSegments,
       codebook: Int = PqCodebook, trainSampleMod: Int = 1)
+      : (Array[Double], DataFrame) =
+    pqBuildOn(emb(spark, dir), PqDim, iters, segments, codebook, trainSampleMod)
+
+  /** Frame-based PQ build (graft.api.AnnApi). */
+  private[graft] def pqBuildOn(vecs: DataFrame, dim: Int,
+      iters: Int = QuantIters, segments: Int = PqSegments,
+      codebook: Int = PqCodebook, trainSampleMod: Int = 1)
       : (Array[Double], DataFrame) = {
-    GraftFunctions.register(spark)
-    val books = pqTrain(spark, dir, iters, segments, codebook, trainSampleMod)
+    GraftFunctions.register(vecs.sparkSession)
+    val books = pqTrainOn(vecs, dim, iters, segments, codebook, trainSampleMod)
     // structural by construction (empty cells keep their centroid); cheap
     // last line of defense for the seg-major indexing contract (ADVICE r4)
-    require(books.length == segments * codebook * (PqDim / segments),
+    require(books.length == segments * codebook * (dim / segments),
       s"PQ codebook misshapen: ${books.length}")
     val flat = typedLit(books.toVector)
-    val codes = emb(spark, dir).select(col("vec_id"),
+    val codes = vecs.select(col("vec_id"),
       call_function("pq_encode", col("embedding").cast("array<double>"),
         flat, lit(segments)).as("codes"))
     (books, codes)
@@ -627,10 +661,15 @@ object Similarity {
   /** The per-(query, cell) probe frame with precomputed ADC tables. */
   private def ivfpqProbes(spark: SparkSession, dir: String,
       c: DataFrame, books: Array[Double], nprobe: Int = IvfNprobe,
+      segments: Int = PqSegments): DataFrame =
+    ivfpqProbesOn(queriesDf(spark, dir), c, books, nprobe, segments)
+
+  private[graft] def ivfpqProbesOn(queries: DataFrame,
+      c: DataFrame, books: Array[Double], nprobe: Int = IvfNprobe,
       segments: Int = PqSegments): DataFrame = {
-    GraftFunctions.register(spark)
+    GraftFunctions.register(queries.sparkSession)
     val flat = typedLit(books.toVector)
-    ivfProbes(spark, dir, c, nprobe)
+    ivfProbesOn(queries, c, nprobe)
       .select(col("qid"), col("cell"),
         call_function("pq_table", col("qv").cast("array<double>"),
           flat, lit(segments)).as("qtab"))
@@ -640,10 +679,17 @@ object Similarity {
     * ADC tables, `pq_score` only the codes in probed cells. */
   private[graft] def ivfpqServe(spark: SparkSession, dir: String,
       c: DataFrame, books: Array[Double], index: DataFrame,
+      nprobe: Int = IvfNprobe, segments: Int = PqSegments): DataFrame =
+    ivfpqServeOn(queriesDf(spark, dir), c, books, index, nprobe, segments)
+
+  /** Frame-based IVFADC serve: queries (qid, qv) against an in-memory
+    * (cell, vec_id, codes) index. */
+  private[graft] def ivfpqServeOn(queries: DataFrame,
+      c: DataFrame, books: Array[Double], index: DataFrame,
       nprobe: Int = IvfNprobe, segments: Int = PqSegments): DataFrame = {
-    GraftFunctions.register(spark)
+    GraftFunctions.register(queries.sparkSession)
     topK(index.join(broadcast(
-        ivfpqProbes(spark, dir, c, books, nprobe, segments)), "cell")
+        ivfpqProbesOn(queries, c, books, nprobe, segments)), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
         round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
@@ -695,8 +741,17 @@ object Similarity {
     * PartitionFilters actually reach the scan; SimilaritySpec asserts
     * byte-identical results to the in-memory serve. */
   private[graft] def ivfpqServeFromStore(spark: SparkSession, dir: String,
-      path: String, c: DataFrame, books: Array[Double]): DataFrame = {
-    val probes = ivfpqProbes(spark, dir, c, books)
+      path: String, c: DataFrame, books: Array[Double]): DataFrame =
+    ivfpqServeFromStoreOn(queriesDf(spark, dir), path, c, books)
+
+  /** Frame-based stored-index serve (graft.api.AnnApi): queries (qid, qv)
+    * against the cell-partitioned store, partition-pruned to probed
+    * cells. */
+  private[graft] def ivfpqServeFromStoreOn(queries: DataFrame,
+      path: String, c: DataFrame, books: Array[Double],
+      nprobe: Int = IvfNprobe, segments: Int = PqSegments): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = ivfpqProbesOn(queries, c, books, nprobe, segments)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
     val index = spark.read.parquet(path)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))

@@ -61,10 +61,15 @@ object TextAnalysis {
   // -------------------------------------------------------------- x_quality
   /** Quality metrics: length, punctuation ratio, stopword ratio, mean word
     * length, repetition (1 - type/token ratio), composite score. */
-  def xQuality(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+  def xQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityOn(docs(spark, dir))
+
+  /** The quality pass over any (doc_id, text) frame — graft.api.TextApi's
+    * entry point; the gate entry above is this core on the driver corpus. */
+  def qualityOn(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
     val words = split(col("text"), " ")
-    docs(spark, dir)
+    d
       .withColumn("words", words)
       .filter(size(col("words")) > 0)
       .select(
@@ -110,7 +115,11 @@ object TextAnalysis {
   /** Token counting: whitespace tokens, BPE-ish regex tokens (word pieces +
     * standalone punctuation), characters. */
   def xTokcount(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    tokcountOn(docs(spark, dir))
+
+  /** Token counting over any (doc_id, text) frame. */
+  def tokcountOn(d: DataFrame): DataFrame =
+    d.select(
         col("doc_id"),
         size(split(col("text"), " ")).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).as("re_tokens"),
@@ -153,7 +162,11 @@ object TextAnalysis {
     * Pure narrow codegen'd regexps; identical regex dialect in DuckDB so the
     * whole transform is hash-checked. */
   def xNormalize(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
+    normalizeOn(docs(spark, dir))
+
+  /** Text normalization over any (doc_id, text) frame. */
+  def normalizeOn(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
         trim(regexp_replace(regexp_replace(lower(col("text")),
           "[^a-z0-9\\s]", ""), "\\s+", " ")).as("norm_text"))
       .orderBy("doc_id")
@@ -173,12 +186,17 @@ object TextAnalysis {
     val injected = concat(
       lit("contact user"), col("doc_id"), lit("@example.com or https://ex"),
       col("doc_id"), lit(".org/a?b=1 "), col("text"))
-    docs(spark, dir).select(col("doc_id"),
-        regexp_replace(regexp_replace(injected,
+    scrubOn(docs(spark, dir).select(col("doc_id"), injected.as("text")))
+  }
+
+  /** Email/URL scrubbing over any (doc_id, text) frame (the gate entry is
+    * this core on the synthetic-injection corpus). */
+  def scrubOn(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
           "https?://[^\\s]+", "<URL>").as("scrubbed"))
       .orderBy("doc_id")
-  }
 
   val xScrubSql: String =
     """SELECT doc_id,
@@ -204,20 +222,28 @@ object TextAnalysis {
     * the pristine injected text. Narrow regexp projection fused into the
     * scan — zero shuffle, codegen'd. */
   def xPii(spark: SparkSession, dir: String): DataFrame = {
-    val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
-    val ipPat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-    val cardPat = "\\b(?:\\d[ -]?){13,16}\\b"
     val injected = concat(
       lit("tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
       lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       lit(" from 10."), col("doc_id") % 256, lit("."),
       expr("doc_id div 7") % 256, lit(".1 card 4111 1111 1111 1111 "),
       col("text"))
-    docs(spark, dir).select(col("doc_id"),
-        regexp_count(injected, lit(phonePat)).as("n_phone"),
-        regexp_count(injected, lit(ipPat)).as("n_ip"),
-        regexp_count(injected, lit(cardPat)).as("n_card"),
-        regexp_replace(regexp_replace(regexp_replace(injected,
+    redactOn(docs(spark, dir).select(col("doc_id"), injected.as("text")))
+  }
+
+  /** Structured PII redaction + audit counts over any (doc_id, text)
+    * frame (the gate entry is this core on the synthetic-injection
+    * corpus). Card runs first so later patterns never see partial card
+    * digits; counts are measured on the pristine text. */
+  def redactOn(d: DataFrame): DataFrame = {
+    val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val ipPat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val cardPat = "\\b(?:\\d[ -]?){13,16}\\b"
+    d.select(col("doc_id"),
+        regexp_count(col("text"), lit(phonePat)).as("n_phone"),
+        regexp_count(col("text"), lit(ipPat)).as("n_ip"),
+        regexp_count(col("text"), lit(cardPat)).as("n_card"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
           cardPat, "<CARD>"), phonePat, "<PHONE>"), ipPat, "<IP>")
           .as("redacted"))
       .orderBy("doc_id")
@@ -251,13 +277,17 @@ object TextAnalysis {
     * counts are regexp_extract_all cardinalities in the Java∩RE2 subset;
     * sentences floor at 1 so headline-only docs don't divide by zero.
     * Narrow projection fused into the scan — zero shuffle. */
-  def xReadability(spark: SparkSession, dir: String): DataFrame = {
+  def xReadability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOn(docs(spark, dir))
+
+  /** Flesch reading-ease over any (doc_id, text) frame. */
+  def readabilityOn(d: DataFrame): DataFrame = {
     val words = size(split(col("text"), " ")).cast("double")
     val sents = greatest(lit(1),
       size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))).cast("double")
     val sylls = size(regexp_extract_all(lower(col("text")),
       lit("[aeiouy]+"), lit(0))).cast("double")
-    docs(spark, dir).select(col("doc_id"),
+    d.select(col("doc_id"),
         words.cast("int").as("n_words"),
         sents.cast("int").as("n_sents"),
         sylls.cast("int").as("n_sylls"),
@@ -280,9 +310,13 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ x_sentences
   /** Sentence segmentation stats: count + first sentence per doc. */
-  def xSentences(spark: SparkSession, dir: String): DataFrame = {
+  def xSentences(spark: SparkSession, dir: String): DataFrame =
+    sentencesOn(docs(spark, dir))
+
+  /** Sentence stats over any (doc_id, text) frame. */
+  def sentencesOn(d: DataFrame): DataFrame = {
     val sents = split(col("text"), "[.!?] ")
-    docs(spark, dir).select(col("doc_id"),
+    d.select(col("doc_id"),
         size(sents).as("n_sents"),
         element_at(sents, 1).as("first_sent"))
       .orderBy("doc_id")
@@ -777,9 +811,13 @@ object TextAnalysis {
   val ChunkWindow = 64
   val ChunkStride = 48
 
-  def xChunk(spark: SparkSession, dir: String): DataFrame = {
+  def xChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkOn(docs(spark, dir))
+
+  /** Overlapping token-window chunking over any (doc_id, text) frame. */
+  def chunkOn(d: DataFrame): DataFrame = {
     val (wW, sS) = (ChunkWindow, ChunkStride)
-    docs(spark, dir)
+    d
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .withColumn("n", size(col("tok")))
       .withColumn("k",

@@ -1,0 +1,130 @@
+package graft
+
+import graft.api.{AnnApi, DedupApi, PipelineApi, TextApi}
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The public DataFrame API (graft.api): each function must accept a
+  * frame with ARBITRARY column names and produce exactly what the
+  * driver-gated operator produces on the canonical corpus — the API is a
+  * rename + the verified core, and this spec pins that equivalence so the
+  * façade can never drift from the gate. */
+class ApiSpec extends SparkSpec {
+
+  /** The documents corpus under hostile column names. */
+  private def renamedDocs: DataFrame =
+    Tables.t(spark, sf, "documents")
+      .select(col("doc_id").as("my_id"), col("text").as("body"))
+
+  private def rows(d: DataFrame): Seq[org.apache.spark.sql.Row] =
+    d.collect().toSeq
+
+  test("TextApi: quality/gopher/langid/tokenCounts/normalize/readability/" +
+    "sentences/chunk over a renamed frame equal the gate entries") {
+    assert(rows(TextApi.quality(renamedDocs, "my_id", "body")) ==
+      rows(TextAnalysis.xQuality(spark, sf)))
+    assert(rows(TextApi.gopherFilter(renamedDocs, "my_id", "body")) ==
+      rows(TextAnalysis.xGopher(spark, sf)))
+    assert(rows(TextApi.langId(renamedDocs, "my_id", "body")) ==
+      rows(TextAnalysis.xLangid(spark, sf)))
+    assert(rows(TextApi.tokenCounts(renamedDocs, "my_id", "body")) ==
+      rows(TextAnalysis.xTokcount(spark, sf)))
+    assert(rows(TextApi.normalize(renamedDocs, "my_id", "body")) ==
+      rows(TextAnalysis.xNormalize(spark, sf)))
+    assert(rows(TextApi.readability(renamedDocs, "my_id", "body")) ==
+      rows(TextAnalysis.xReadability(spark, sf)))
+    assert(rows(TextApi.sentences(renamedDocs, "my_id", "body")) ==
+      rows(TextAnalysis.xSentences(spark, sf)))
+    assert(rows(TextApi.chunk(renamedDocs, "my_id", "body")) ==
+      rows(TextAnalysis.xChunk(spark, sf)))
+  }
+
+  test("TextApi.scrub/redactPii redact user-supplied PII without the " +
+    "gate's synthetic injection") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at a.b@x.io or visit https://x.io/p?q=1 now"),
+      (2L, "tel 555-123-4567 from 10.1.2.3 card 4111 1111 1111 1111 ok"))
+      .toDF("k", "t")
+    val scrubbed = TextApi.scrub(d, "k", "t").collect()
+    assert(scrubbed.head.getString(1) == "mail me at <EMAIL> or visit <URL> now")
+    val red = TextApi.redactPii(d, "k", "t").collect()
+    val r2 = red.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Int]("n_phone") == 1 && r2.getAs[Int]("n_ip") == 1 &&
+      r2.getAs[Int]("n_card") == 1)
+    // the card pattern's (?:\d[ -]?){13,16} consumes the trailing space
+    assert(r2.getAs[String]("redacted") ==
+      "tel <PHONE> from <IP> card <CARD>ok")
+  }
+
+  test("DedupApi: exactGroups/minhashPairs/simhashPairs over a renamed " +
+    "frame equal the gate entries (same planted corpus)") {
+    val plantedExact = Dedup.withPlantedExact(Tables.t(spark, sf, "documents"))
+      .select(col("doc_id").as("my_id"), col("text").as("body"))
+    assert(rows(DedupApi.exactGroups(plantedExact, "my_id", "body")) ==
+      rows(Dedup.dExact(spark, sf)))
+    val plantedNear = Dedup.withPlantedNear(Tables.t(spark, sf, "documents"))
+      .select(col("doc_id").as("my_id"), col("text").as("body"))
+    assert(rows(DedupApi.minhashPairs(plantedNear, 0.5, "my_id", "body")) ==
+      rows(Dedup.dMinhash(spark, sf)))
+    assert(rows(DedupApi.simhashPairs(plantedNear, "my_id", "body")) ==
+      rows(Dedup.dSimhash(spark, sf)))
+  }
+
+  test("AnnApi: bruteTopK and the full train/encode/store/serve cycle " +
+    "over renamed frames equal the gate entries") {
+    val corpus = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    assert(rows(AnnApi.bruteTopK(corpus, queries, Similarity.K,
+        "id", "vec", "id", "vec")) ==
+      rows(Similarity.nBruteTopk(spark, sf)))
+    // full IVFADC lifecycle through the API only
+    val c = AnnApi.trainIvf(corpus, cells = 16, idCol = "id", vecCol = "vec")
+    val books = AnnApi.trainPq(corpus, dim = 64, segments = 8,
+      codebook = 16, idCol = "id", vecCol = "vec")
+    val index = AnnApi.encodeIndex(corpus, c, books, segments = 8,
+      idCol = "id", vecCol = "vec")
+    val path = "target/api_ivfpq_index"
+    AnnApi.writeIndex(index, path)
+    val served = AnnApi.serveFromStore(queries, path, c, books,
+      nprobe = 3, segments = 8, queryId = "id", queryVec = "vec")
+    assert(rows(served) == rows(Similarity.nIvfpqTopk(spark, sf)))
+  }
+
+  test("PipelineApi: pack and stratifiedSample over renamed frames equal " +
+    "the gate entries; shardAssign is stable and narrow") {
+    assert(rows(PipelineApi.pack(renamedDocs, "my_id", "body")) ==
+      rows(Pipeline.pPack(spark, sf)))
+    val renamedSrc = Tables.t(spark, sf, "documents")
+      .select(col("doc_id").as("my_id"), col("source").as("bucket_name"))
+    assert(rows(PipelineApi.stratifiedSample(renamedSrc, "my_id",
+        "bucket_name")) ==
+      rows(Pipeline.pStratified(spark, sf)))
+    val sharded = PipelineApi.shardAssign(
+      Tables.t(spark, sf, "documents"), "doc_id")
+    assert(sharded.select("shard").distinct().count() > 100)
+    assert(rows(sharded) == rows(PipelineApi.shardAssign(
+      Tables.t(spark, sf, "documents"), "doc_id")), "unstable shards")
+  }
+
+  test("PipelineApi.splitLeakfree: planted near-dup pairs never straddle " +
+    "the split") {
+    val planted = Dedup.withPlantedNear(Tables.t(spark, sf, "documents"))
+      .select(col("doc_id").as("my_id"), col("text").as("body"))
+    val split = PipelineApi.splitLeakfree(planted, 0.5, "my_id", "body")
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashLshPairs(Dedup.wordShingleSets(
+      Dedup.withPlantedNear(Tables.t(spark, sf, "documents"))), 0.5)
+    val straddle = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0, "near-dup pair straddles the split")
+  }
+}
