@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 
 /** The user-facing DataFrame API — every pipeline capability over YOUR
   * frames, with no assumption about the driver's testdata layout. Each
@@ -16,10 +16,23 @@ import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
   * and queries (qid, qv); outputs use the canonical names documented on
   * each operator.
   */
+private[api] object ApiUtil {
+  /** Fail fast with the caller's vocabulary, not an analysis error deep
+    * inside an operator plan. */
+  def requireCols(d: DataFrame, cols: String*): Unit = {
+    val missing = cols.filterNot(d.columns.contains)
+    require(missing.isEmpty,
+      s"graft.api: input frame is missing column(s) ${missing.mkString(", ")} " +
+        s"(frame has: ${d.columns.mkString(", ")})")
+  }
+}
+
 object TextApi {
 
-  private def canon(d: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def canon(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    ApiUtil.requireCols(d, idCol, textCol)
     d.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+  }
 
   /** Length/punctuation/stopword/repetition quality metrics per doc. */
   def quality(docs: DataFrame, idCol: String = "doc_id",
@@ -79,8 +92,10 @@ object TextApi {
 
 object DedupApi {
 
-  private def canon(d: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def canon(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    ApiUtil.requireCols(d, idCol, textCol)
     d.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+  }
 
   /** Exact-duplicate groups by content hash: (h, keep_id, n_copies). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id",
@@ -119,11 +134,15 @@ object DedupApi {
 
 object AnnApi {
 
-  private def canonCorpus(d: DataFrame, idCol: String, vecCol: String) =
+  private def canonCorpus(d: DataFrame, idCol: String, vecCol: String) = {
+    ApiUtil.requireCols(d, idCol, vecCol)
     d.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+  }
 
-  private def canonQueries(d: DataFrame, idCol: String, vecCol: String) =
+  private def canonQueries(d: DataFrame, idCol: String, vecCol: String) = {
+    ApiUtil.requireCols(d, idCol, vecCol)
     d.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+  }
 
   /** Exact cosine top-k (the correctness baseline): queries broadcast,
     * bounded per-partition heaps — (qid, vid, cos, rn). */
@@ -177,6 +196,41 @@ object AnnApi {
     Similarity.ivfpqServeFromStoreOn(
       canonQueries(queries, queryId, queryVec), path, quantizer, books,
       nprobe, segments)
+}
+
+object MediaApi {
+  import org.apache.spark.sql.Dataset
+
+  private def canon(d: DataFrame, idCol: String,
+      bytesCol: String): Dataset[(Long, Array[Byte])] = {
+    ApiUtil.requireCols(d, idCol, bytesCol)
+    val spark = d.sparkSession
+    import spark.implicits._
+    d.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+  }
+
+  /** PPM image decode + channel statistics (width/height/channel means/
+    * luma) over a binary column; decode is partition-local. */
+  def imageFeatures(images: DataFrame, idCol: String = "doc_id",
+      bytesCol: String = "payload"): DataFrame =
+    Multimodal.imageFeaturesOn(canon(images, idCol, bytesCol))
+
+  /** WAV audio decode + RMS/peak/zero-crossing-rate features. */
+  def audioFeatures(audio: DataFrame, idCol: String = "doc_id",
+      bytesCol: String = "payload"): DataFrame =
+    Multimodal.audioFeaturesOn(canon(audio, idCol, bytesCol))
+
+  /** Per-image 64-bit average hash (decode + 8×8 + mean threshold). */
+  def imageHashes(images: DataFrame, idCol: String = "doc_id",
+      bytesCol: String = "payload"): DataFrame =
+    Multimodal.aHashOn(canon(images, idCol, bytesCol))
+
+  /** Image near-dup pairs within Hamming ≤ 3 over an (id, ahash) frame
+    * (exact-dup pre-aggregated, chunk-pigeonhole blocked). */
+  def imageDupPairs(hashes: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(hashes.sparkSession)
+    Multimodal.phashPairs(hashes)
+  }
 }
 
 object PipelineApi {

@@ -273,10 +273,15 @@ object Multimodal {
   /** m_image_decode: binary PPM → parsed dims + per-channel means +
     * BT.601 luminance. Every number comes from real pixel bytes that
     * passed a real header parse. Rows-only + exactness specs. */
-  def mImageDecode(spark: SparkSession, dir: String): DataFrame = {
+  def mImageDecode(spark: SparkSession, dir: String): DataFrame =
+    imageFeaturesOn(ppmFrame(spark, dir))
+
+  /** PPM decode + channel statistics over any (id, payload) dataset —
+    * graft.api.MediaApi's entry point; partition-local decode, narrow. */
+  def imageFeaturesOn(d: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = d.sparkSession
     import spark.implicits._
-    ppmFrame(spark, dir)
-      .mapPartitions(_.map { case (id, payload) =>
+    d.mapPartitions(_.map { case (id, payload) =>
         val img = decodePpm(payload)
         val (r, g, b) = channelMeans(img)
         (id, img.width, img.height, r, g, b,
@@ -387,16 +392,24 @@ object Multimodal {
     * amplitude. Rows-only + exactness specs on hand-built files. */
   def mAudioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.t(spark, dir, "documents").select("doc_id").as[Long]
-      .mapPartitions(_.map { id =>
-        val n = 256 + (id % 8).toInt * 32
-        val freq = 100.0 + (id % 40).toDouble * 10.0
-        val amp = 8000.0 + (id % 10).toDouble * 2000.0
-        val wave = Array.tabulate(n)(i =>
-          (amp * math.sin(2 * math.Pi * freq * i / 8000.0)).toShort)
-        id -> encodeWav(8000, wave)
-      })
-      .map { case (id, payload) =>
+    audioFeaturesOn(
+      Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 256 + (id % 8).toInt * 32
+          val freq = 100.0 + (id % 40).toDouble * 10.0
+          val amp = 8000.0 + (id % 10).toDouble * 2000.0
+          val wave = Array.tabulate(n)(i =>
+            (amp * math.sin(2 * math.Pi * freq * i / 8000.0)).toShort)
+          id -> encodeWav(8000, wave)
+        }))
+  }
+
+  /** WAV decode + RMS/peak/ZCR over any (id, payload) dataset —
+    * graft.api.MediaApi's entry point; partition-local decode, narrow. */
+  def audioFeaturesOn(d: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    d.map { case (id, payload) =>
         val audio = decodeWav(payload)
         val s = audio.samples
         var sumSq = 0.0; var peak = 0; var crossings = 0
@@ -655,12 +668,20 @@ object Multimodal {
     intra.unionAll(cross).orderBy("doc_a", "doc_b")
   }
 
+  /** Per-image 64-bit average hash over any (id, PPM payload) dataset —
+    * the MediaApi building block for image near-dup (decode + 8×8
+    * downsample + mean threshold, partition-local). */
+  def aHashOn(d: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    d.mapPartitions(_.map { case (id, bytes) => (id, aHash(bytes)) })
+      .toDF("doc_id", "ahash")
+  }
+
   def mPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val hashes = phashFrame(spark, dir)
-      .mapPartitions(_.map { case (id, bytes) => (id, aHash(bytes)) })
-      .toDF("doc_id", "ahash")
+    val hashes = aHashOn(phashFrame(spark, dir))
       // referenced twice by the chunk self-join (d_simhash convention)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = phashPairs(hashes)

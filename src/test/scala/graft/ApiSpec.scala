@@ -111,6 +111,38 @@ class ApiSpec extends SparkSpec {
       Tables.t(spark, sf, "documents"), "doc_id")), "unstable shards")
   }
 
+  test("MediaApi: image/audio features and image dup pairs over binary " +
+    "columns with custom names") {
+    import graft.api.MediaApi
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val img = (id: Long) => Multimodal.encodePpm(8, 6,
+      (x, y) => ((x * 30 + id.toInt) % 256, y * 40 % 256, 10))
+    val images = Seq((1L, img(1)), (2L, img(2)), (3L, img(1L)))
+      .toDF("pic_id", "blob")
+    val feats = MediaApi.imageFeatures(images, "pic_id", "blob").collect()
+    assert(feats.length == 3 && feats.forall(_.getAs[Int]("width") == 8))
+    val hashes = MediaApi.imageHashes(images, "pic_id", "blob")
+    val pairs = MediaApi.imageDupPairs(hashes).collect()
+    // ids 1 and 3 share identical pixels → identical ahash → hamming 0
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 3L && r.getAs[Int]("hamming") == 0), pairs.toSeq)
+    val wave = Array.tabulate(512)(i =>
+      (6000 * math.sin(2 * math.Pi * 220 * i / 8000.0)).toShort)
+    val audio = Seq((7L, Multimodal.encodeWav(8000, wave))).toDF("clip", "bytes")
+    val a = MediaApi.audioFeatures(audio, "clip", "bytes").collect().head
+    assert(a.getAs[Int]("sample_rate") == 8000 &&
+      a.getAs[Int]("n_samples") == 512 && a.getAs[Double]("rms") > 1000)
+  }
+
+  test("api fails fast with the caller's vocabulary on a missing column") {
+    val e = intercept[IllegalArgumentException] {
+      TextApi.quality(renamedDocs, "no_such_id", "body")
+    }
+    assert(e.getMessage.contains("no_such_id") &&
+      e.getMessage.contains("my_id"), e.getMessage)
+  }
+
   test("PipelineApi.splitLeakfree: planted near-dup pairs never straddle " +
     "the split") {
     val planted = Dedup.withPlantedNear(Tables.t(spark, sf, "documents"))
