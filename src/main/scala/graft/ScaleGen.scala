@@ -96,7 +96,48 @@ object ScaleGen {
     }).toDF("vec_id", "embedding", "label")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
 
-    println(s"[scalegen] wrote $nDocs docs / $nEvents events / $nVecs vecs to $outDir")
+    // orders/lineitem (round 11 continuation): same schemas and value
+    // domains as the driver testdata, so the sort_tpch/external_aggr/DML
+    // shapes can be scale-stressed alongside the pipeline entries.
+    // 150k orders / 600k lineitem per sf0.1 unit (4 lines per order).
+    val nOrders = 150000L * mult
+    val statuses = Array("P", "O", "F")
+    val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val o0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
+    val oSpanMs = 2400L * 24 * 3600 * 1000
+    spark.range(nOrders).mapPartitions(_.map { id =>
+      (id, (mix(id + 53) & 0x7FFFFFFF) % (15000L * mult),
+        statuses((mix(id + 59) & 0x7FFFFFFF).toInt % 3),
+        math.rint((1000.0 + uniform(id * 7 + 3) * 499000.0) * 100.0) / 100.0,
+        new java.sql.Timestamp(o0 + (uniform(id * 11 + 4) * oSpanMs).toLong),
+        prios((mix(id + 61) & 0x7FFFFFFF).toInt % 5))
+    }).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartitionByRange(cpus.toInt * 4, $"o_orderkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
+
+    val nLines = 4L * nOrders
+    val rflags = Array("R", "A", "N")
+    spark.range(nLines).mapPartitions(_.map { id =>
+      val okey = id / 4
+      (okey, (mix(id + 67) & 0x7FFFFFFF) % (20000L * mult),
+        (mix(id + 71) & 0x7FFFFFFF) % (1000L * mult),
+        (id % 4).toInt + 1,
+        1.0 + ((mix(id + 73) & 0x7FFFFFFF) % 50).toDouble,
+        math.rint((900.0 + uniform(id * 13 + 5) * 104100.0) * 100.0) / 100.0,
+        math.rint(uniform(id * 17 + 6) * 10.0) / 100.0,
+        math.rint(uniform(id * 19 + 7) * 8.0) / 100.0,
+        rflags((mix(id + 79) & 0x7FFFFFFF).toInt % 3),
+        if ((mix(id + 83) & 1L) == 0L) "O" else "F",
+        new java.sql.Timestamp(o0 + (uniform(id * 23 + 8) * oSpanMs).toLong))
+    }).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .repartitionByRange(cpus.toInt * 4, $"l_orderkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+
+    println(s"[scalegen] wrote $nDocs docs / $nEvents events / $nVecs vecs / " +
+      s"$nOrders orders / $nLines lineitem to $outDir")
     spark.stop()
   }
 }
