@@ -356,6 +356,37 @@ class RelationalSpec extends SparkSpec {
     assert(price(200L) == untouched, "unmatched row changed")
   }
 
+  test("dml edge cases: a predicate matching nothing touches no file; a " +
+    "merge with no matches and no inserts is a complete no-op") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = Sources.cowSeed(spark, sf, "orders_cow_noop_spec")
+    def files(): Map[String, Long] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val before = files()
+    val nothing = col("o_orderkey") < -1L
+    assert(Sources.cowTargets(spark, path, nothing).isEmpty)
+    Sources.cowRewrite(spark, path,
+      Sources.cowTargets(spark, path, nothing), _.filter(!nothing))
+    assert(files() == before, "no-match delete touched the store")
+    val orders = Tables.t(spark, sf, "orders")
+    val emptyUpd = orders.filter(nothing)
+      .select(col("o_orderkey").as("mk"),
+        (col("o_totalprice") + lit(1.0)).as("mp"))
+    val emptyIns = orders.filter(nothing)
+    Sources.cowMerge(spark, path, emptyUpd, emptyIns)
+    val after = files()
+    // the empty-insert append may add zero-row artifacts but must leave
+    // every pre-existing file byte-identical
+    before.foreach { case (p, t) =>
+      assert(after.get(p) == Some(t), s"no-op merge touched $p")
+    }
+    assert(spark.read.parquet(path).count() == orders.count(),
+      "no-op merge changed the row count")
+  }
+
   test("sink_dynamic_overwrite replaces only the touched partition's files") {
     import graft.sources.Sources
     def files(): Map[String, Long] = {
