@@ -697,18 +697,33 @@ object Sources {
     * pass it, a sign flip cannot. Order of operations: detect targets
     * (eager), append inserts, rewrite matched files — the rewrite reads
     * explicit pre-append paths, so the append cannot double-apply. */
-  private[graft] def cowMerge(spark: SparkSession, path: String,
-      updates: DataFrame, inserts: DataFrame): Unit = {
+  /** Files containing ≥1 row whose key matches an update key — detection
+    * is a broadcast SEMI-JOIN against the (mk, mp) source, never a key
+    * collect. Factored from [[cowMerge]] for the streaming CDC path. */
+  private[graft] def cowTargetsByKeys(spark: SparkSession, path: String,
+      updates: DataFrame): Array[String] = {
     val tbl = spark.read.parquet(path)
-    val targets = tbl
-      .join(broadcast(updates), tbl("o_orderkey") === updates("mk"), "left_semi")
+    tbl.join(broadcast(updates), tbl("o_orderkey") === updates("mk"), "left_semi")
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).sorted
-    inserts.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Rewrite `targets` applying the (mk → mp) price updates. The update
+    * is ABSOLUTE (coalesce to the source value), so re-applying the same
+    * update set is idempotent — the property the streaming CDC retry
+    * story leans on. */
+  private[graft] def cowApplyUpdates(spark: SparkSession, path: String,
+      targets: Array[String], updates: DataFrame): Unit =
     cowRewrite(spark, path, targets, df =>
       df.join(broadcast(updates), df("o_orderkey") === updates("mk"), "left_outer")
         .withColumn("o_totalprice", coalesce(col("mp"), col("o_totalprice")))
         .drop("mk", "mp"))
+
+  private[graft] def cowMerge(spark: SparkSession, path: String,
+      updates: DataFrame, inserts: DataFrame): Unit = {
+    val targets = cowTargetsByKeys(spark, path, updates)
+    inserts.write.mode(SaveMode.Append).parquet(path)
+    cowApplyUpdates(spark, path, targets, updates)
   }
 
   def dmlMerge(spark: SparkSession, dir: String): DataFrame = {

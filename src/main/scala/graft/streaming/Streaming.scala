@@ -142,6 +142,52 @@ object Streaming {
       .foreachBatch(ivfpqEpochAppend(out, c, books) _)
       .start()
 
+  /** One epoch of streaming CDC upsert against the copy-on-write orders
+    * table (the dml_merge machinery driven by a stream): the arriving
+    * batch is split against the CURRENT table keys — rows whose key
+    * exists become absolute price updates (only matched files rewritten,
+    * [[graft.sources.Sources.cowApplyUpdates]]), new keys append as
+    * insert files. Exactly-once layering: a committed batchId is skipped
+    * by its marker (the st_foreach_sink contract); a RETRY of an
+    * uncommitted batch is safe because (a) insert files carry
+    * DETERMINISTIC per-batch names, so a re-append overwrites itself
+    * instead of duplicating, and (b) updates are ABSOLUTE values, so
+    * re-applying them is idempotent. What this deliberately does NOT
+    * claim: atomic visibility of a half-applied batch to concurrent
+    * readers — that is the table-format log's job (SURVEY §7a). */
+  def cdcUpsertEpoch(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(path, s"_GRAFT_CDC_$batchId")
+    if (marker.exists()) return // replay of a committed epoch
+    val spark = batch.sparkSession
+    val keys = spark.read.parquet(path).select("o_orderkey")
+    val b = batch.localCheckpoint(true) // one source read for both splits
+    val updates = b.join(keys, Seq("o_orderkey"), "left_semi")
+      .select(col("o_orderkey").as("mk"), col("o_totalprice").as("mp"))
+    val inserts = b.join(keys, Seq("o_orderkey"), "left_anti")
+    val targets = graft.sources.Sources.cowTargetsByKeys(spark, path, updates)
+    val tmp = new java.io.File(path + s"__cdc_tmp_$batchId")
+    inserts.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.getAbsolutePath)
+    tmp.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(path, s"cdc$batchId-$i.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    graft.sources.Sources.cowApplyUpdates(spark, path, targets, updates)
+    marker.createNewFile()
+  }
+
+  /** The CDC stream: each micro-batch of (o_orderkey, …, o_totalprice)
+    * rows upserts into the stored table via [[cdcUpsertEpoch]]. */
+  def cdcUpsert(changes: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(cdcUpsertEpoch(path) _)
+      .start()
+
   /** Streaming exact dedup — the streaming face of d_exact (SURVEY §2.5):
     * `dropDuplicatesWithinWatermark` on the natural key. The plain
     * `dropDuplicates("event_id")` spelling under a watermark does NOT

@@ -869,6 +869,71 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == before, "replayed epoch was rewritten")
   }
 
+  test("st_cdc_upsert: streamed CDC batches upsert the copy-on-write " +
+    "table — updates rewrite only matched files, inserts append, a later " +
+    "batch updates an earlier batch's insert, replay is inert") {
+    import graft.sources.Sources
+    val base = Paths.get("target/cdc_upsert")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    val inDir = Files.createDirectories(base.resolve("in"))
+    val ckpt = base.resolve("ckpt").toAbsolutePath.toString
+    val path = Sources.cowSeed(spark, sf, "orders_cdc_spec")
+    val orders = Tables.t(spark, sf, "orders")
+    def snapshot(): Map[String, Long] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val seeded = snapshot()
+    def batchFile(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$inDir/c$i")
+      moveInto(inDir, s"c$i", f"$i%02d-cdc.parquet")
+    }
+    def negKeys(lo: Long, hi: Long, price: Double) =
+      orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .withColumn("o_orderkey", -(col("o_orderkey") + lit(1L)))
+        .withColumn("o_totalprice", lit(price))
+    batchFile(1, orders.filter(col("o_orderkey") < 50)
+      .withColumn("o_totalprice", lit(111.11))
+      .unionAll(negKeys(0, 25, 999.99)))
+    batchFile(2, orders.filter(col("o_orderkey") >= 50 && col("o_orderkey") < 100)
+      .withColumn("o_totalprice", lit(222.22))
+      .unionAll(negKeys(25, 50, 888.88)))
+    // batch 3 RE-updates keys 0–9 AND updates rows batch 1 INSERTED
+    batchFile(3, orders.filter(col("o_orderkey") < 10)
+      .withColumn("o_totalprice", lit(444.44))
+      .unionAll(negKeys(0, 10, 333.33)))
+    val q = Streaming.cdcUpsert(
+      spark.readStream.schema(orders.schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toAbsolutePath.toString), path, ckpt)
+    q.awaitTermination(120000)
+    q.stop()
+    (0 to 2).foreach(id => assert(
+      new java.io.File(path, s"_GRAFT_CDC_$id").exists(), s"epoch $id uncommitted"))
+    val tbl = spark.read.parquet(path)
+    assert(tbl.count() == orders.count() + 50, "insert count wrong")
+    def price(k: Long): Double = tbl.filter(col("o_orderkey") === k)
+      .select("o_totalprice").head().getDouble(0)
+    assert(price(5L) == 444.44, "batch-3 re-update lost")
+    assert(price(25L) == 111.11, "batch-1 update lost")
+    assert(price(75L) == 222.22, "batch-2 update lost")
+    assert(price(-5L) == 333.33, "upsert of an earlier insert lost")
+    assert(price(-15L) == 999.99, "batch-1 insert price wrong")
+    assert(price(-30L) == 888.88, "batch-2 insert price wrong")
+    val orig200 = orders.filter(col("o_orderkey") === 200L)
+      .select("o_totalprice").head().getDouble(0)
+    assert(price(200L) == orig200, "unmatched row changed")
+    // range-clustered updates rewrite a strict subset: seeded files
+    // outside the matched range survive byte-identically
+    val after = snapshot()
+    val survivors = seeded.filter { case (p, t) => after.get(p) == Some(t) }
+    assert(survivors.nonEmpty, "CDC stream rewrote every seeded file")
+    // replay of a committed epoch with DIFFERENT data: inert
+    val beforeReplay = snapshot()
+    Streaming.cdcUpsertEpoch(path)(
+      orders.limit(3).withColumn("o_totalprice", lit(1.0)), 0L)
+    assert(snapshot() == beforeReplay, "replayed CDC epoch touched the store")
+  }
+
   test("e2e file sink: tumbling agg → partitioned parquet with checkpoint; kill-and-restart resumes without duplicates (RocksDB)") {
     // the last mile of the production streaming story (VERDICT r5 #7): the
     // other specs stop at memory sinks; this drives the watermarked agg
