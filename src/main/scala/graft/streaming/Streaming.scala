@@ -179,6 +179,24 @@ object Streaming {
     marker.createNewFile()
   }
 
+  /** Epoch COMPACTION for the streamed ANN index — the standing
+    * maintenance job that closes the [[annIngest]] lifecycle: many small
+    * `batch_id=<id>/cell=<c>/` epoch files (one set per micro-batch)
+    * re-land as ONE base cell-partitioned layout, so the per-query open/
+    * footer cost stops growing with stream age. Read-side nothing
+    * changes — `ivfpqServeFromStore` partition-prunes both layouts the
+    * same way (cell is a partition column in each) — and no re-encoding
+    * happens: codes are copied, the model is untouched. Run it on a
+    * cadence (or an epoch-count threshold) like sink_compact; the swap to
+    * the compacted directory is the same single-writer story as the COW
+    * DML swap. StreamingSpec proves byte-identical serve before/after and
+    * that the compacted store has exactly one directory level. */
+  def ivfpqCompactEpochs(spark: org.apache.spark.sql.SparkSession,
+      epochPath: String, outPath: String): Unit =
+    graft.operators.Similarity.ivfpqWriteIndex(
+      spark.read.parquet(epochPath).select("cell", "vec_id", "codes"),
+      outPath)
+
   /** The CDC stream: each micro-batch of (o_orderkey, …, o_totalprice)
     * rows upserts into the stored table via [[cdcUpsertEpoch]]. */
   def cdcUpsert(changes: DataFrame, path: String, checkpoint: String)

@@ -867,6 +867,15 @@ class StreamingSpec extends SparkSpec {
     val before = snapshot()
     Streaming.ivfpqEpochAppend(outDir, c, books)(embAll.limit(2), id)
     assert(snapshot() == before, "replayed epoch was rewritten")
+    // epoch COMPACTION: the aged epoch store re-lands as one base
+    // cell-partitioned layout, serve stays byte-identical
+    val compacted = base.resolve("index_compact").toAbsolutePath.toString
+    Streaming.ivfpqCompactEpochs(spark, outDir, compacted)
+    assert(new java.io.File(compacted).listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("cell=")),
+      "compacted store is not the single-level cell layout")
+    assert(Similarity.ivfpqServeFromStore(spark, sf01, compacted, c, books)
+      .collect().toSeq == served, "compaction changed serve results")
   }
 
   test("st_cdc_upsert: streamed CDC batches upsert the copy-on-write " +
