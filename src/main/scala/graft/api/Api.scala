@@ -220,6 +220,11 @@ object MediaApi {
       bytesCol: String = "payload"): DataFrame =
     Multimodal.audioFeaturesOn(canon(audio, idCol, bytesCol))
 
+  /** Y4M video decode + per-clip stats (dims, fps, luma, frame delta). */
+  def videoFeatures(video: DataFrame, idCol: String = "doc_id",
+      bytesCol: String = "payload"): DataFrame =
+    Multimodal.videoFeaturesOn(canon(video, idCol, bytesCol))
+
   /** Per-image 64-bit average hash (decode + 8×8 + mean threshold). */
   def imageHashes(images: DataFrame, idCol: String = "doc_id",
       bytesCol: String = "payload"): DataFrame =

@@ -957,7 +957,33 @@ object Job {
       |  AND l3.l_suppkey = s.s_suppkey
       |  AND s.s_nationkey = n.n_nationkey""".stripMargin
 
+  /** imdb/17f.sql variant — the ALL-WEAK-SELECTIVITY stress, the one
+    * trait 17a's prefix-LIKE does not cover: the keyword equality hits the
+    * corpus's most COMMON value, the LIKE on the largest dim is a weak
+    * contains ('%B%' over 4.1M names), and the company dim is entirely
+    * UNFILTERED — nothing prunes much, so the join order must come from
+    * relation SIZES alone, not predicate selectivity. Mapped with a
+    * common-value type equality, a weak contains-LIKE on supplier, and an
+    * unfiltered customer dim over three fact roles. */
+  val job17fSql: String =
+    """SELECT min(s.s_name) AS member_supplier,
+      |       min(o.o_totalprice) AS member_price
+      |FROM supplier s, customer c, part p, orders o,
+      |     lineitem l1, lineitem l2, lineitem l3
+      |WHERE p.p_type = 'STANDARD'
+      |  AND s.s_name LIKE '%1%'
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderkey = l2.l_orderkey
+      |  AND o.o_orderkey = l3.l_orderkey
+      |  AND l1.l_orderkey = l2.l_orderkey
+      |  AND l1.l_orderkey = l3.l_orderkey
+      |  AND l2.l_orderkey = l3.l_orderkey
+      |  AND l1.l_suppkey = s.s_suppkey
+      |  AND l2.l_partkey = p.p_partkey
+      |  AND o.o_custkey = c.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_17f" -> viaSql(job17fSql),
     "job_2a" -> viaSql(job2aSql), "job_7a" -> viaSql(job7aSql),
     "job_9a" -> viaSql(job9aSql), "job_14a" -> viaSql(job14aSql),
     "job_22a" -> viaSql(job22aSql), "job_29a" -> viaSql(job29aSql),
@@ -978,6 +1004,7 @@ object Job {
     "job_31a" -> viaSql(job31aSql))
 
   val oracle: Map[String, String] = Map(
+    "job_17f" -> job17fSql,
     "job_2a" -> job2aSql, "job_7a" -> job7aSql, "job_9a" -> job9aSql,
     "job_14a" -> job14aSql, "job_22a" -> job22aSql,
     "job_29a" -> job29aSql, "job_32a" -> job32aSql,

@@ -521,10 +521,16 @@ object Multimodal {
     * mean absolute inter-frame luma delta (the scene-change signal).
     * Decode is partition-local (the multimodal charter); rows-only +
     * byte-exact round-trip and malformed-input specs. */
-  def mVideoDecode(spark: SparkSession, dir: String): DataFrame = {
+  def mVideoDecode(spark: SparkSession, dir: String): DataFrame =
+    videoFeaturesOn(y4mFrame(spark, dir))
+
+  /** Y4M decode + per-clip statistics (dimensions, fps, first/last-frame
+    * luma, mean inter-frame delta) over any (id, payload) dataset —
+    * graft.api.MediaApi's entry point; partition-local decode. */
+  def videoFeaturesOn(d: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = d.sparkSession
     import spark.implicits._
-    y4mFrame(spark, dir)
-      .mapPartitions(_.map { case (id, payload) =>
+    d.mapPartitions(_.map { case (id, payload) =>
         val c = decodeY4m(payload)
         def mean(p: Array[Byte]): Double = {
           var s = 0L; var i = 0

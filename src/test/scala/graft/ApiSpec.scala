@@ -133,6 +133,11 @@ class ApiSpec extends SparkSpec {
     val a = MediaApi.audioFeatures(audio, "clip", "bytes").collect().head
     assert(a.getAs[Int]("sample_rate") == 8000 &&
       a.getAs[Int]("n_samples") == 512 && a.getAs[Double]("rms") > 1000)
+    val clip = Multimodal.encodeY4m(8, 6, 3, (f, x, y) => (f * 50 + x) % 256)
+    val video = Seq((9L, clip)).toDF("vid", "frames")
+    val v = MediaApi.videoFeatures(video, "vid", "frames").collect().head
+    assert(v.getAs[Int]("width") == 8 && v.getAs[Int]("n_frames") == 3 &&
+      v.getAs[Double]("mean_frame_delta") > 0)
   }
 
   test("api fails fast with the caller's vocabulary on a missing column") {
