@@ -130,6 +130,16 @@ object DedupApi {
   def nearDupClusters(docs: DataFrame, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     clusters(minhashPairs(docs, minJaccard, idCol, textCol))
+
+  /** Embedding-cosine near-dup pairs (sign-bit blocked, exact-verified
+    * at `minCos`): (vec_a, vec_b, cos). */
+  def embeddingDupPairs(vectors: DataFrame, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    ApiUtil.requireCols(vectors, idCol, vecCol)
+    Dedup.embedDupPairsOn(
+      vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      minCos)
+  }
 }
 
 object AnnApi {
@@ -151,6 +161,14 @@ object AnnApi {
       queryId: String = "qid", queryVec: String = "qv"): DataFrame =
     Similarity.bruteTopk(canonCorpus(corpus, corpusId, corpusVec),
       canonQueries(queries, queryId, queryVec), k)
+
+  /** Cosine RANGE search: every (query, corpus) pair with similarity ≥
+    * `tau` — the all-neighbors-within-a-radius companion to top-k. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "qid", queryVec: String = "qv"): DataFrame =
+    Similarity.rangeSearch(canonCorpus(corpus, corpusId, corpusVec),
+      canonQueries(queries, queryId, queryVec), tau)
 
   /** Train the IVF coarse quantizer (deterministic seeds + Lloyd). */
   def trainIvf(corpus: DataFrame, cells: Int,

@@ -481,16 +481,23 @@ object Dedup {
         zip_with(col("embedding"), sequence(lit(0), lit(63)),
           (v, i) => (v * (lit(1.0) + lit(0.05) *
             when(i % 2 === 0, 1.0).otherwise(-1.0))).cast("float")))
-    val all = emb.union(planted)
+    embedDupPairsOn(emb.union(planted), 0.98)
+  }
+
+  /** Embedding-cosine near-dup pairs over any (vec_id, embedding) frame —
+    * sign-bit blocking + within-bucket exact verification
+    * (graft.api.DedupApi's entry point). */
+  def embedDupPairsOn(vecs: DataFrame, minCos: Double): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
     val bucket = (0 until EmbedBlockBits).map(i =>
       when(element_at(col("embedding"), i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
-    val b = all.withColumn("bucket", bucket)
+    val b = vecs.withColumn("bucket", bucket)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         round(expr("cosine_similarity(x.embedding, y.embedding)"), 4).as("cos"))
-      .filter(col("cos") > 0.98)
+      .filter(col("cos") > minCos)
       .orderBy("vec_a", "vec_b")
   }
 

@@ -795,11 +795,19 @@ object Similarity {
   val RangeTau = 0.2
 
   def nRangeSearch(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir).crossJoin(broadcast(queriesDf(spark, dir)))
+    rangeSearch(emb(spark, dir), queriesDf(spark, dir), RangeTau)
+
+  /** Frame-based cosine range search (graft.api.AnnApi): every
+    * (query, corpus) pair with similarity ≥ tau, query side broadcast. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      tau: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid"), cos.as("cos"))
-      .filter(col("cos") >= RangeTau)
+      .filter(col("cos") >= tau)
       .orderBy("qid", "vid")
+  }
 
   val nRangeSearchSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -93,6 +93,26 @@ class ApiSpec extends SparkSpec {
     val served = AnnApi.serveFromStore(queries, path, c, books,
       nprobe = 3, segments = 8, queryId = "id", queryVec = "vec")
     assert(rows(served) == rows(Similarity.nIvfpqTopk(spark, sf)))
+    // range search over the renamed frames equals the gate entry
+    assert(rows(AnnApi.rangeSearch(corpus, queries, Similarity.RangeTau,
+        "id", "vec", "id", "vec")) ==
+      rows(Similarity.nRangeSearch(spark, sf)))
+  }
+
+  test("DedupApi.embeddingDupPairs over a renamed frame equals the gate " +
+    "entry's planted-corpus pairs") {
+    import org.apache.spark.sql.functions.{element_at, lit, sequence, when, zip_with}
+    val emb = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+          (v, i) => (v * (lit(1.0) + lit(0.05) *
+            when(i % 2 === 0, 1.0).otherwise(-1.0))).cast("float")))
+    val renamed = emb.union(planted)
+      .select(col("vec_id").as("vid"), col("embedding").as("e"))
+    assert(rows(graft.api.DedupApi.embeddingDupPairs(renamed, 0.98, "vid", "e")) ==
+      rows(graft.operators.Dedup.dEmbedDup(spark, sf)))
   }
 
   test("PipelineApi: pack and stratifiedSample over renamed frames equal " +
