@@ -264,6 +264,18 @@ object PipelineApi {
     Pipeline.packOn(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Per-source token-budget admission (hot-source-immune two-level
+    * prefix scan): keep each source's largest docs until `budget` tokens.
+    * `budget` is a Column over the canonical `source` column. */
+  def tokenBudget(docs: DataFrame, budget: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    ApiUtil.requireCols(docs, idCol, textCol, sourceCol)
+    Pipeline.tokenBudgetOn(
+      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(textCol).as("text")), budget)
+  }
+
   /** Stable 256-way shard assignment (adds a `shard` column; narrow). */
   def shardAssign(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.withColumn("shard",

@@ -166,7 +166,10 @@ object Pipeline {
   /** Pre-checkpoint bucketing fragment, exposed for PlanAuditSpec (the
     * checkpoint boundary hides the range exchange from the main plan). */
   def tokenBudgetParted(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents")
+    tokenBudgetPartedOn(Tables.t(spark, dir, "documents"))
+
+  def tokenBudgetPartedOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).as("toks"))
       .repartitionByRange(TokenBudgetBuckets,
@@ -176,7 +179,16 @@ object Pipeline {
   def pTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
     val budget = when(srcNum % 2 === 0, lit(800)).otherwise(lit(400))
-    val parted = tokenBudgetParted(spark, dir).localCheckpoint(false)
+    tokenBudgetOn(Tables.t(spark, dir, "documents"), budget)
+  }
+
+  /** Per-source token-budget admission over any (doc_id, source, text)
+    * frame with a caller-supplied per-source `budget` column — the
+    * two-level prefix scan (graft.api.PipelineApi's entry point; the gate
+    * entry is this core with the driver corpus's budget formula). */
+  def tokenBudgetOn(docs: DataFrame, budget: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val parted = tokenBudgetPartedOn(docs).localCheckpoint(false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "bucket").orderBy(desc("toks"), asc("doc_id"))
       .rowsBetween(Long.MinValue, 0)

@@ -124,6 +124,14 @@ class ApiSpec extends SparkSpec {
     assert(rows(PipelineApi.stratifiedSample(renamedSrc, "my_id",
         "bucket_name")) ==
       rows(Pipeline.pStratified(spark, sf)))
+    import org.apache.spark.sql.functions.{expr, lit, when}
+    val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
+    assert(rows(PipelineApi.tokenBudget(renamedDocs
+        .join(Tables.t(spark, sf, "documents").select("doc_id", "source"),
+          col("my_id") === col("doc_id")).drop("doc_id"),
+        when(srcNum % 2 === 0, lit(800)).otherwise(lit(400)),
+        "my_id", "body", "source")) ==
+      rows(Pipeline.pTokenBudget(spark, sf)))
     val sharded = PipelineApi.shardAssign(
       Tables.t(spark, sf, "documents"), "doc_id")
     assert(sharded.select("shard").distinct().count() > 100)
