@@ -287,6 +287,16 @@ object PipelineApi {
     Pipeline.stratifiedOn(
       docs.select(col(idCol).as("doc_id"), col(stratumCol).as("source")))
 
+  /** Easy→hard curriculum staging: exact distributed ntile over any
+    * difficulty score column — (doc_id, difficulty, stage). */
+  def curriculum(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      difficultyCol: String = "difficulty"): DataFrame = {
+    ApiUtil.requireCols(docs, idCol, difficultyCol)
+    Pipeline.curriculumOn(
+      docs.select(col(idCol).as("doc_id"),
+        col(difficultyCol).cast("double").as("difficulty")), k)
+  }
+
   /** Leak-free train/val split: near-dup components never straddle.
     * Returns (doc_id, group_id, split). */
   def splitLeakfree(docs: DataFrame, minJaccard: Double = 0.5,

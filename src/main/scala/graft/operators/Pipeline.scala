@@ -497,9 +497,23 @@ object Pipeline {
       .otherwise(rem + floor((r - cutoff - 1) / q) + 1)
   }
 
-  def pCurriculum(spark: SparkSession, dir: String): DataFrame = {
+  def pCurriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumOn(Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        (length(col("text")).cast("double") /
+          size(split(col("text"), " "))).as("difficulty")))
+
+  /** Distributed exact-ntile curriculum staging over any (doc_id,
+    * difficulty) frame — any score column slots in (graft.api
+    * .PipelineApi's entry point; the gate entry is this core with the
+    * mean-word-length proxy). */
+  def curriculumOn(scored: DataFrame,
+      stages: Int = CurriculumStages): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parted = curriculumParted(spark, dir).localCheckpoint(false)
+    val parted = scored
+      .repartitionByRange(32, asc("difficulty"), asc("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
     // summaryKey(pid): the frame is the 32-row partition summary, so a
     // single partition is the DESIGN; the non-foldable key keeps
     // WindowExec's "No Partition Defined" WARN reserved for genuinely
@@ -517,7 +531,7 @@ object Pipeline {
     parted.withColumn("lrn", row_number().over(wLocal).cast("long"))
       .join(broadcast(offsets), "pid")
       .withColumn("stage",
-        ntileStage(col("off") + col("lrn"), col("n"), CurriculumStages))
+        ntileStage(col("off") + col("lrn"), col("n"), stages))
       .select(col("doc_id"), round(col("difficulty"), 4).as("difficulty"),
         col("stage"))
       .orderBy("doc_id")

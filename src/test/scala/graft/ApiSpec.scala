@@ -132,6 +132,14 @@ class ApiSpec extends SparkSpec {
         when(srcNum % 2 === 0, lit(800)).otherwise(lit(400)),
         "my_id", "body", "source")) ==
       rows(Pipeline.pTokenBudget(spark, sf)))
+    val scored = Tables.t(spark, sf, "documents")
+      .select(col("doc_id").as("my_id"),
+        (org.apache.spark.sql.functions.length(col("text")).cast("double") /
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(col("text"), " ")))
+          .as("hardness"))
+    assert(rows(PipelineApi.curriculum(scored, 5, "my_id", "hardness")) ==
+      rows(Pipeline.pCurriculum(spark, sf)))
     val sharded = PipelineApi.shardAssign(
       Tables.t(spark, sf, "documents"), "doc_id")
     assert(sharded.select("shard").distinct().count() > 100)
