@@ -621,21 +621,26 @@ object Sources {
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).sorted
 
-  /** Rewrite ONLY `targets` through `transform`, swap them in. */
+  /** Rewrite ONLY `targets` through `transform`, swap them in. All file
+    * manipulation goes through the Hadoop FileSystem API ([[Fs]]) so the
+    * same code runs on local FS (specs), HDFS, and object stores; the
+    * delete + move legs of the swap are parallelized — O(touched files)
+    * namenode/store RPCs fanned over a pool, not a sequential driver loop. */
   private[graft] def cowRewrite(spark: SparkSession, path: String,
       targets: Array[String], transform: DataFrame => DataFrame): Unit = {
     if (targets.isEmpty) return
-    val tmp = new java.io.File(path + "__cow_tmp")
+    val fs = Fs.of(spark, path)
+    val table = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(path + "__cow_tmp"))
     transform(spark.read.parquet(targets: _*))
-      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-    targets.foreach(f => new java.io.File(new java.net.URI(f)).delete())
-    tmp.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
-      .foreach { case (f, i) =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(path, s"cow-$i-${f.getName}").toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Fs.bulkDelete(fs, targets.toSeq.map(f =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(f))))
+    Fs.bulkMove(fs, Fs.listParquet(fs, tmp).toSeq.zipWithIndex.map {
+      case (f, i) =>
+        f -> new org.apache.hadoop.fs.Path(table, s"cow-$i-${f.getName}")
+    })
+    Fs.deleteQuietly(fs, tmp, recursive = true)
   }
 
   /** The delete/update predicate: range-clustered on the layout key, so

@@ -81,17 +81,20 @@ object Streaming {
     * on retry) and a commit marker turns the directory durable — a replayed
     * (batchId, data) is detected by its marker and skipped without touching
     * bytes. At 100 TB the marker check is one namenode stat per batch;
-    * readers take only marker-committed directories. (This local-FS form
-    * uses java.io; against HDFS/object stores the same two steps go
-    * through `org.apache.hadoop.fs.FileSystem` — on stores without atomic
-    * rename, make the marker a zero-byte conditional PUT.) */
+    * readers take only marker-committed directories. All file steps go
+    * through `org.apache.hadoop.fs.FileSystem` ([[graft.sources.Fs]]), so
+    * the same code runs against local FS, HDFS, and object stores — on
+    * stores without atomic create, the marker write stays correct because
+    * foreachBatch is a single sequential writer per checkpoint. */
   def idempotentBatchWrite(out: String)(batch: DataFrame, batchId: Long): Unit = {
-    val dir = new java.io.File(out, s"batch_id=$batchId")
-    val marker = new java.io.File(dir, "_GRAFT_COMMITTED")
-    if (marker.exists()) return // replay of a committed epoch — idempotent skip
+    val fs = graft.sources.Fs.of(batch.sparkSession, out)
+    val dir = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(out, s"batch_id=$batchId"))
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED")
+    if (fs.exists(marker)) return // replay of a committed epoch — idempotent skip
     batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(dir.getAbsolutePath)
-    marker.createNewFile()
+      .parquet(dir.toString)
+    graft.sources.Fs.touch(fs, marker)
   }
 
   /** The tumbling aggregate fanned out through the idempotent batch writer
@@ -115,13 +118,15 @@ object Streaming {
     * only; the epoch level just adds one directory depth. */
   def ivfpqEpochAppend(out: String, c: DataFrame, books: Array[Double])
       (batch: DataFrame, batchId: Long): Unit = {
-    val dir = new java.io.File(out, s"batch_id=$batchId")
-    val marker = new java.io.File(dir, "_GRAFT_COMMITTED")
-    if (marker.exists()) return // replay of a committed epoch
+    val fs = graft.sources.Fs.of(batch.sparkSession, out)
+    val dir = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(out, s"batch_id=$batchId"))
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED")
+    if (fs.exists(marker)) return // replay of a committed epoch
     graft.operators.Similarity.ivfpqEncode(batch, c, books)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cell").parquet(dir.getAbsolutePath)
-    marker.createNewFile()
+      .partitionBy("cell").parquet(dir.toString)
+    graft.sources.Fs.touch(fs, marker)
   }
 
   /** Streaming ANN index ingest — the streaming face of n_ivfpq_delta: a
@@ -149,34 +154,52 @@ object Streaming {
     * [[graft.sources.Sources.cowApplyUpdates]]), new keys append as
     * insert files. Exactly-once layering: a committed batchId is skipped
     * by its marker (the st_foreach_sink contract); a RETRY of an
-    * uncommitted batch is safe because (a) insert files carry
-    * DETERMINISTIC per-batch names, so a re-append overwrites itself
-    * instead of duplicating, and (b) updates are ABSOLUTE values, so
-    * re-applying them is idempotent. What this deliberately does NOT
-    * claim: atomic visibility of a half-applied batch to concurrent
-    * readers — that is the table-format log's job (SURVEY §7a). */
+    * uncommitted batch is safe because the retry FIRST removes any
+    * `cdc<batchId>-*` insert files a crashed attempt already landed (see
+    * below), so (a) the key snapshot — and hence the update/insert split —
+    * is identical on every attempt, (b) the re-landed insert files carry
+    * the same DETERMINISTIC names and overwrite the healed slate, and
+    * (c) updates are ABSOLUTE values, so re-applying them is idempotent.
+    * What this deliberately does NOT claim: atomic visibility of a
+    * half-applied batch to concurrent readers — that is the table-format
+    * log's job (SURVEY §7a). All file steps go through the Hadoop
+    * FileSystem API ([[graft.sources.Fs]]) — local FS, HDFS, object
+    * stores. */
   def cdcUpsertEpoch(path: String)(batch: DataFrame, batchId: Long): Unit = {
-    val marker = new java.io.File(path, s"_GRAFT_CDC_$batchId")
-    if (marker.exists()) return // replay of a committed epoch
     val spark = batch.sparkSession
+    val fs = graft.sources.Fs.of(spark, path)
+    val table = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val marker = new org.apache.hadoop.fs.Path(table, s"_GRAFT_CDC_$batchId")
+    if (fs.exists(marker)) return // replay of a committed epoch
+    // Retry healing (ADVICE r11, high): a crashed attempt may have moved
+    // some of THIS batch's insert files into the table before dying. If
+    // those rows stayed visible, the retry would snapshot them as existing
+    // keys, reclassify them as updates, compute a SMALLER insert set, and
+    // the replace-existing landing would clobber files holding rows the
+    // new split no longer re-lands — silent row loss. Deleting the
+    // uncommitted attempt's files first makes every retry classify — and
+    // land — the identical set: the rows are re-derived from the replayed
+    // batch (foreachBatch re-delivers the same batchId), and any updates
+    // the crashed attempt already applied are absolute, hence idempotent.
+    graft.sources.Fs.deleteMatching(fs, table, s"cdc$batchId-*.parquet")
     val keys = spark.read.parquet(path).select("o_orderkey")
     val b = batch.localCheckpoint(true) // one source read for both splits
     val updates = b.join(keys, Seq("o_orderkey"), "left_semi")
       .select(col("o_orderkey").as("mk"), col("o_totalprice").as("mp"))
     val inserts = b.join(keys, Seq("o_orderkey"), "left_anti")
     val targets = graft.sources.Sources.cowTargetsByKeys(spark, path, updates)
-    val tmp = new java.io.File(path + s"__cdc_tmp_$batchId")
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(path + s"__cdc_tmp_$batchId"))
     inserts.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp.getAbsolutePath)
-    tmp.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(path, s"cdc$batchId-$i.parquet").toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      .parquet(tmp.toString)
+    graft.sources.Fs.bulkMove(fs,
+      graft.sources.Fs.listParquet(fs, tmp).toSeq.zipWithIndex.map {
+        case (f, i) =>
+          f -> new org.apache.hadoop.fs.Path(table, s"cdc$batchId-$i.parquet")
+      })
+    graft.sources.Fs.deleteQuietly(fs, tmp, recursive = true)
     graft.sources.Sources.cowApplyUpdates(spark, path, targets, updates)
-    marker.createNewFile()
+    graft.sources.Fs.touch(fs, marker)
   }
 
   /** Epoch COMPACTION for the streamed ANN index — the standing

@@ -943,6 +943,58 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == beforeReplay, "replayed CDC epoch touched the store")
   }
 
+  test("st_cdc_upsert retry of an UNCOMMITTED epoch: a crashed attempt's " +
+    "already-landed insert files do not shrink the retry's insert set " +
+    "(ADVICE r11 high — retry heals, no row loss, no duplicates)") {
+    import graft.sources.Sources
+    val path = Sources.cowSeed(spark, sf, "orders_cdc_retry_spec")
+    val orders = Tables.t(spark, sf, "orders")
+    val batchId = 7L
+    // the epoch's batch: absolute updates on keys 0-19, inserts -(1..40)
+    val updates = orders.filter(col("o_orderkey") < 20)
+      .withColumn("o_totalprice", lit(555.55))
+    val inserts = orders.filter(col("o_orderkey") < 40)
+      .withColumn("o_orderkey", -(col("o_orderkey") + lit(1L)))
+      .withColumn("o_totalprice", lit(777.77))
+    val batch = updates.unionAll(inserts)
+    // simulate the CRASH-MID-MOVE state the ADVICE describes: a prior
+    // attempt landed SOME of the batch's insert rows as cdc<id>-* files
+    // (here: half of them, as one file) and died before the marker —
+    // those rows are now table-visible and would poison a naive retry's
+    // key snapshot into reclassifying them as updates
+    inserts.filter(col("o_orderkey") >= -20).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path-stash")
+    val stashPart = Files.list(Paths.get(s"$path-stash")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(stashPart),
+      Paths.get(path, s"cdc$batchId-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      Paths.get(s"$path-stash").toFile)
+    val expectedTotal = orders.count() + 40
+    Streaming.cdcUpsertEpoch(path)(batch, batchId)
+    assert(new java.io.File(path, s"_GRAFT_CDC_$batchId").exists(),
+      "retry did not commit")
+    val tbl = spark.read.parquet(path)
+    assert(tbl.count() == expectedTotal,
+      s"retry lost or duplicated rows: ${tbl.count()} vs $expectedTotal")
+    assert(tbl.filter(col("o_orderkey") < 0).count() == 40,
+      "insert rows lost on retry")
+    assert(tbl.filter(col("o_orderkey") < 0 &&
+        col("o_totalprice") =!= 777.77).count() == 0,
+      "an insert row carries a wrong price after retry")
+    assert(tbl.filter(col("o_orderkey") >= 0 && col("o_orderkey") < 20 &&
+        col("o_totalprice") =!= 555.55).count() == 0,
+      "an updated row missed its absolute update after retry")
+    // a second replay (now committed) is inert
+    val files = new java.io.File(path).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    Streaming.cdcUpsertEpoch(path)(batch.limit(1), batchId)
+    val after = new java.io.File(path).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == files, "committed-epoch replay touched the store")
+  }
+
   test("e2e file sink: tumbling agg → partitioned parquet with checkpoint; kill-and-restart resumes without duplicates (RocksDB)") {
     // the last mile of the production streaming story (VERDICT r5 #7): the
     // other specs stop at memory sinks; this drives the watermarked agg
