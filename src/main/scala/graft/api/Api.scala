@@ -103,17 +103,29 @@ object DedupApi {
     Dedup.exactGroupsOn(canon(docs, idCol, textCol))
 
   /** MinHash+LSH near-dup pairs over word shingles, exact-Jaccard
-    * verified at `minJaccard`: (doc_a, doc_b, jaccard). */
+    * verified at `minJaccard`: (doc_a, doc_b, jaccard).
+    *
+    * `persistIntermediate` (default ON): cache the corpus-sized shingle/
+    * band-signature frames across the pipeline's plan branches — faster
+    * (one minhash_sig pass instead of one per reference) at the cost of a
+    * roughly signature-sized MEMORY_AND_DISK copy of the corpus. At 100 TB
+    * turn it OFF to trade recompute for storage; rows are identical either
+    * way (VERDICT r11 #7). */
   def minhashPairs(docs: DataFrame, minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      persistIntermediate: Boolean = true): DataFrame =
     Dedup.minhashLshPairs(
-      Dedup.wordShingleSets(canon(docs, idCol, textCol)), minJaccard)
+      Dedup.wordShingleSets(canon(docs, idCol, textCol)), minJaccard,
+      persistIntermediate)
 
-  /** Char-5-gram variant (robust to word-boundary edits). */
+  /** Char-5-gram variant (robust to word-boundary edits).
+    * `persistIntermediate` as on [[minhashPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      persistIntermediate: Boolean = true): DataFrame =
     Dedup.minhashLshPairs(
-      Dedup.charShingleSets(canon(docs, idCol, textCol)), minJaccard)
+      Dedup.charShingleSets(canon(docs, idCol, textCol)), minJaccard,
+      persistIntermediate)
 
   /** 64-bit SimHash pairs within Hamming ≤ 3: (doc_a, doc_b, hamming). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
@@ -126,10 +138,12 @@ object DedupApi {
     Dedup.connectedComponents(pairs)
 
   /** End-to-end near-dup clustering: shingle → minhash pairs →
-    * components. */
+    * components. `persistIntermediate` as on [[minhashPairs]]. */
   def nearDupClusters(docs: DataFrame, minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    clusters(minhashPairs(docs, minJaccard, idCol, textCol))
+      idCol: String = "doc_id", textCol: String = "text",
+      persistIntermediate: Boolean = true): DataFrame =
+    clusters(minhashPairs(docs, minJaccard, idCol, textCol,
+      persistIntermediate))
 
   /** Embedding-cosine near-dup pairs (sign-bit blocked, exact-verified
     * at `minCos`): (vec_a, vec_b, cos). */
@@ -144,31 +158,45 @@ object DedupApi {
 
 object AnnApi {
 
+  /** Canonical rename + element-type normalization: the native kernels
+    * (cosine_similarity, nearest_centroid, …) type-check `array<float>`,
+    * so a caller's `array<double>` embedding column is cast here — the
+    * documented contract (array&lt;float|double&gt;) holds at the API
+    * boundary instead of failing inside a kernel (ADVICE r11). */
   private def canonCorpus(d: DataFrame, idCol: String, vecCol: String) = {
     ApiUtil.requireCols(d, idCol, vecCol)
-    d.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    d.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<float>").as("embedding"))
   }
 
   private def canonQueries(d: DataFrame, idCol: String, vecCol: String) = {
     ApiUtil.requireCols(d, idCol, vecCol)
-    d.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    d.select(col(idCol).as("qid"), col(vecCol).cast("array<float>").as("qv"))
   }
 
   /** Exact cosine top-k (the correctness baseline): queries broadcast,
-    * bounded per-partition heaps — (qid, vid, cos, rn). */
+    * bounded per-partition heaps — (qid, vid, cos, rn).
+    *
+    * `excludeSelf` (default OFF) drops pairs whose corpus id equals the
+    * query id. Leave it off unless your queries ARE corpus rows sharing
+    * the same id namespace: with unrelated namespaces the filter would
+    * silently drop a legitimate neighbor (ADVICE r11). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "qid", queryVec: String = "qv"): DataFrame =
+      queryId: String = "qid", queryVec: String = "qv",
+      excludeSelf: Boolean = false): DataFrame =
     Similarity.bruteTopk(canonCorpus(corpus, corpusId, corpusVec),
-      canonQueries(queries, queryId, queryVec), k)
+      canonQueries(queries, queryId, queryVec), k, excludeSelf)
 
   /** Cosine RANGE search: every (query, corpus) pair with similarity ≥
-    * `tau` — the all-neighbors-within-a-radius companion to top-k. */
+    * `tau` — the all-neighbors-within-a-radius companion to top-k.
+    * `excludeSelf` as on [[bruteTopK]]. */
   def rangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "qid", queryVec: String = "qv"): DataFrame =
+      queryId: String = "qid", queryVec: String = "qv",
+      excludeSelf: Boolean = false): DataFrame =
     Similarity.rangeSearch(canonCorpus(corpus, corpusId, corpusVec),
-      canonQueries(queries, queryId, queryVec), tau)
+      canonQueries(queries, queryId, queryVec), tau, excludeSelf)
 
   /** Train the IVF coarse quantizer (deterministic seeds + Lloyd). */
   def trainIvf(corpus: DataFrame, cells: Int,
@@ -206,14 +234,14 @@ object AnnApi {
       quantizer, books, path, segments)
 
   /** Serve top-K from a stored cell-partitioned index with partition
-    * pruning to the probed cells. */
+    * pruning to the probed cells. `excludeSelf` as on [[bruteTopK]]. */
   def serveFromStore(queries: DataFrame, path: String,
       quantizer: DataFrame, books: Array[Double], nprobe: Int,
       segments: Int, queryId: String = "qid",
-      queryVec: String = "qv"): DataFrame =
+      queryVec: String = "qv", excludeSelf: Boolean = false): DataFrame =
     Similarity.ivfpqServeFromStoreOn(
       canonQueries(queries, queryId, queryVec), path, quantizer, books,
-      nprobe, segments)
+      nprobe, segments, excludeSelf)
 }
 
 object MediaApi {
@@ -260,9 +288,11 @@ object PipelineApi {
 
   /** GPT-style sequence packing manifest over (doc_id, text). */
   def pack(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    ApiUtil.requireCols(docs, idCol, textCol)
     Pipeline.packOn(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+  }
 
   /** Per-source token-budget admission (hot-source-immune two-level
     * prefix scan): keep each source's largest docs until `budget` tokens.
@@ -301,6 +331,7 @@ object PipelineApi {
     * Returns (doc_id, group_id, split). */
   def splitLeakfree(docs: DataFrame, minJaccard: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    ApiUtil.requireCols(docs, idCol, textCol)
     val corpus =
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val pairs = Dedup.minhashLshPairs(Dedup.wordShingleSets(corpus), minJaccard)

@@ -184,18 +184,33 @@ object Dedup {
     * 128-buffer aggregate, no shuffle), so the ONLY shuffles in the whole
     * pipeline are the bucket join and the shingle-verify join.
     * Public API: near-duplicate pairs for any (doc_id, shingles) frame
-    * (from [[wordShingleSets]]/[[charShingleSets]] or a custom shingler). */
-  def minhashLshPairs(shingleSets: DataFrame, minJaccard: Double): DataFrame = {
+    * (from [[wordShingleSets]]/[[charShingleSets]] or a custom shingler).
+    *
+    * `persistIntermediate` (default ON) controls the corpus-sized caches:
+    * the shingle frame (docs × ~2 KB) and the band postings (docs × 16
+    * narrow rows) each feed multiple plan branches, and caching them
+    * avoids re-running the 128-permutation minhash_sig kernel per
+    * reference (−28–34% wall, BASELINE.md r11). The cache is a deliberate
+    * DISK-DUPLICATION trade at 100 TB (MEMORY_AND_DISK spills roughly a
+    * signature-sized copy of the corpus); a caller who would rather pay
+    * recompute than storage turns it off and gets the identical rows
+    * (ApiSpec pins equality both ways — VERDICT r11 #7). */
+  def minhashLshPairs(shingleSets: DataFrame, minJaccard: Double,
+      persistIntermediate: Boolean = true): DataFrame = {
     GraftFunctions.register(shingleSets.sparkSession)
-    val sh = persistShingles(shingleSets)
+    val sh = if (persistIntermediate) persistShingles(shingleSets)
+             else shingleSets
     // persist the band postings too (docs × 16 narrow rows): the bucket
     // SELF-join references the frame twice, and without the cache each
     // side re-runs the 128-permutation minhash_sig kernel — the pipeline's
     // single most expensive stage (~52% of wall at the 1000× stress scale,
     // BASELINE.md r11) — doubling it for nothing. Found via the
     // d_minhash_delta plan audit (sig appeared once per join reference).
-    val bands = sigBands(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands0 = sigBands(sh)
+    val bands =
+      if (persistIntermediate)
+        bands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bands0
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_hash") === col("y.band_hash") &&

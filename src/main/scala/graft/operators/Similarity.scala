@@ -105,18 +105,27 @@ object Similarity {
   }
 
   /** Public API: exact cosine top-k of `queries` (qid, qv) against `corpus`
-    * (vec_id, embedding) — the query side is broadcast. */
-  def bruteTopk(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * (vec_id, embedding) — the query side is broadcast.
+    *
+    * `excludeSelf` drops pairs where `vec_id == qid`. It is OFF by default:
+    * in a caller frame the query-id and corpus-id namespaces are unrelated,
+    * and silently dropping the corpus vector that happens to share a
+    * query's id would be a wrong answer (ADVICE r11). The dir-based gate
+    * entries turn it ON because there the queries ARE corpus rows and the
+    * self-match is a degenerate cos=1 hit. */
+  def bruteTopk(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    topK(corpus.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("vid"), cos.as("cos")), k)
+    val paired = corpus.crossJoin(broadcast(queries))
+    val scored = if (excludeSelf) paired.filter(col("vec_id") =!= col("qid"))
+                 else paired
+    topK(scored.select(col("qid"), col("vec_id").as("vid"), cos.as("cos")), k)
   }
 
   // ------------------------------------------------------------ n_brute_topk
   /** Exact cosine top-k: the correctness baseline, oracle-checked. */
   def nBruteTopk(spark: SparkSession, dir: String): DataFrame =
-    bruteTopk(emb(spark, dir), queriesDf(spark, dir), K)
+    bruteTopk(emb(spark, dir), queriesDf(spark, dir), K, excludeSelf = true)
 
   val nBruteTopkSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -201,14 +210,20 @@ object Similarity {
     df.sparkSession.createDataFrame(df.collectAsList(), df.schema)
 
   /** Coarse quantizer seeds: the `cells` lowest-id vectors act as centroids
-    * (a deterministic sample — IVF training normally samples the corpus). */
+    * (a deterministic sample — IVF training normally samples the corpus).
+    * Order-independent derivation (ADVICE r11): orderBy(vec_id).limit —
+    * not `vec_id < cells` — so sparse, large, or non-zero-based caller id
+    * spaces seed correctly; cell ids are densified 0..cells-1 by rank. The
+    * window runs over `cells` rows post-limit — model-sized, never the
+    * corpus. */
   private def centroids(spark: SparkSession, dir: String,
       cells: Int = IvfCells): DataFrame =
     centroidsOn(emb(spark, dir), cells)
 
   private def centroidsOn(vecs: DataFrame, cells: Int): DataFrame =
-    vecs.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cv"))
+    vecs.orderBy("vec_id").limit(cells)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cell"),
+        col("embedding").as("cv"))
 
   /** Nearest-centroid assignment of the corpus to `cents` (cell, cv) as a
     * PER-ROW argmax expression: the centroids are MODEL values (≤
@@ -301,10 +316,16 @@ object Similarity {
       trainSampleMod: Int = 1): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1")
+    // hash the id before the modulus (ADVICE r11): raw `vec_id % mod` is a
+    // SKEWED sample on structured id spaces (every 4th snapshot id, one
+    // shard's range, …); the hash makes the 1/mod sample uniform for any
+    // caller id distribution while staying deterministic
     val trainEmb =
       if (trainSampleMod == 1) vecs
-      else vecs.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+      else vecs.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
     var c = localizeModel(centroidsOn(vecs, cells))
+    require(c.count() == cells,
+      s"corpus has fewer than $cells vectors to seed the quantizer")
     var i = 0
     while (i < iters) {
       val refined = refine(assignTo(trainEmb, c))
@@ -518,14 +539,16 @@ object Similarity {
       s"segments=$segments must divide the corpus dimension $dim")
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1")
     // sample-training mode, as in ivfQuantizer: Lloyd passes read 1/mod of
-    // the corpus; the final full-corpus encode (in pqBuild) is unchanged
+    // the corpus; the final full-corpus encode (in pqBuild) is unchanged.
+    // Hash-based like ivfQuantizerOn (ADVICE r11): uniform on any id space.
     def trainEmb: DataFrame =
       if (trainSampleMod == 1) vecs
-      else vecs.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+      else vecs.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
     val (k, d) = (codebook, dim / segments)
-    // seeds: segment s of corpus vector c → centroid (s, c), like IVF's
-    // deterministic lowest-id sample
-    val seeds = vecs.filter(col("vec_id") < k).orderBy("vec_id")
+    // seeds: segment s of corpus vector c → centroid (s, c) — the k
+    // lowest-id vectors, derived order-independently (ADVICE r11: a
+    // `vec_id < k` filter assumed dense zero-based ids)
+    val seeds = vecs.orderBy("vec_id").limit(k)
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0))
     require(seeds.length == k, s"corpus has fewer than $k seed vectors")
@@ -680,19 +703,24 @@ object Similarity {
   private[graft] def ivfpqServe(spark: SparkSession, dir: String,
       c: DataFrame, books: Array[Double], index: DataFrame,
       nprobe: Int = IvfNprobe, segments: Int = PqSegments): DataFrame =
-    ivfpqServeOn(queriesDf(spark, dir), c, books, index, nprobe, segments)
+    ivfpqServeOn(queriesDf(spark, dir), c, books, index, nprobe, segments,
+      excludeSelf = true)
 
   /** Frame-based IVFADC serve: queries (qid, qv) against an in-memory
-    * (cell, vec_id, codes) index. */
+    * (cell, vec_id, codes) index. `excludeSelf` as on [[bruteTopk]]:
+    * off for caller frames (unrelated id namespaces), on for the dir gate
+    * entries whose queries are corpus rows. */
   private[graft] def ivfpqServeOn(queries: DataFrame,
       c: DataFrame, books: Array[Double], index: DataFrame,
-      nprobe: Int = IvfNprobe, segments: Int = PqSegments): DataFrame = {
+      nprobe: Int = IvfNprobe, segments: Int = PqSegments,
+      excludeSelf: Boolean = false): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
-    topK(index.join(broadcast(
-        ivfpqProbesOn(queries, c, books, nprobe, segments)), "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("vid"),
-        round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
+    val probed = index.join(broadcast(
+      ivfpqProbesOn(queries, c, books, nprobe, segments)), "cell")
+    val scored = if (excludeSelf) probed.filter(col("vec_id") =!= col("qid"))
+                 else probed
+    topK(scored.select(col("qid"), col("vec_id").as("vid"),
+      round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
   }
 
   /** Assign + PQ-encode a vector frame with an EXISTING model — the one
@@ -742,23 +770,26 @@ object Similarity {
     * byte-identical results to the in-memory serve. */
   private[graft] def ivfpqServeFromStore(spark: SparkSession, dir: String,
       path: String, c: DataFrame, books: Array[Double]): DataFrame =
-    ivfpqServeFromStoreOn(queriesDf(spark, dir), path, c, books)
+    ivfpqServeFromStoreOn(queriesDf(spark, dir), path, c, books,
+      excludeSelf = true)
 
   /** Frame-based stored-index serve (graft.api.AnnApi): queries (qid, qv)
     * against the cell-partitioned store, partition-pruned to probed
-    * cells. */
+    * cells. `excludeSelf` as on [[bruteTopk]]. */
   private[graft] def ivfpqServeFromStoreOn(queries: DataFrame,
       path: String, c: DataFrame, books: Array[Double],
-      nprobe: Int = IvfNprobe, segments: Int = PqSegments): DataFrame = {
+      nprobe: Int = IvfNprobe, segments: Int = PqSegments,
+      excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val probes = ivfpqProbesOn(queries, c, books, nprobe, segments)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
     val index = spark.read.parquet(path)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-    topK(index.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("vid"),
-        round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
+    val probed = index.join(broadcast(probes), "cell")
+    val scored = if (excludeSelf) probed.filter(col("vec_id") =!= col("qid"))
+                 else probed
+    topK(scored.select(col("qid"), col("vec_id").as("vid"),
+      round(expr("pq_score(codes, qtab)"), 6).as("cos")), K)
   }
 
   // ---------------------------------------------------------- n_ivfpq_delta
@@ -795,15 +826,19 @@ object Similarity {
   val RangeTau = 0.2
 
   def nRangeSearch(spark: SparkSession, dir: String): DataFrame =
-    rangeSearch(emb(spark, dir), queriesDf(spark, dir), RangeTau)
+    rangeSearch(emb(spark, dir), queriesDf(spark, dir), RangeTau,
+      excludeSelf = true)
 
   /** Frame-based cosine range search (graft.api.AnnApi): every
-    * (query, corpus) pair with similarity ≥ tau, query side broadcast. */
+    * (query, corpus) pair with similarity ≥ tau, query side broadcast.
+    * `excludeSelf` as on [[bruteTopk]] — off for caller frames. */
   def rangeSearch(corpus: DataFrame, queries: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, excludeSelf: Boolean = false): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    corpus.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
+    val paired = corpus.crossJoin(broadcast(queries))
+    val scored = if (excludeSelf) paired.filter(col("vec_id") =!= col("qid"))
+                 else paired
+    scored
       .select(col("qid"), col("vec_id").as("vid"), cos.as("cos"))
       .filter(col("cos") >= tau)
       .orderBy("qid", "vid")
@@ -904,7 +939,7 @@ object Similarity {
       .join(d.select(col("doc_id").as("vec_id")), "vec_id")
     val vq = emb(spark, dir).filter(col("vec_id") < HybridQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val vecTop = bruteTopk(corpus, vq, RrfPoolN)
+    val vecTop = bruteTopk(corpus, vq, RrfPoolN, excludeSelf = true)
       .select(col("qid"), col("vid"), col("rn").as("rv"))
     val fused = kwTop.join(vecTop, Seq("qid", "vid"), "full_outer")
       .select(col("qid"), col("vid"), round(

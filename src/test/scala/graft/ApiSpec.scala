@@ -79,8 +79,10 @@ class ApiSpec extends SparkSpec {
     val queries = Tables.t(spark, sf, "embeddings")
       .filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // queries here ARE corpus rows, so self-exclusion is opted in — the
+    // gate entries exclude the degenerate cos=1 self hit
     assert(rows(AnnApi.bruteTopK(corpus, queries, Similarity.K,
-        "id", "vec", "id", "vec")) ==
+        "id", "vec", "id", "vec", excludeSelf = true)) ==
       rows(Similarity.nBruteTopk(spark, sf)))
     // full IVFADC lifecycle through the API only
     val c = AnnApi.trainIvf(corpus, cells = 16, idCol = "id", vecCol = "vec")
@@ -91,11 +93,12 @@ class ApiSpec extends SparkSpec {
     val path = "target/api_ivfpq_index"
     AnnApi.writeIndex(index, path)
     val served = AnnApi.serveFromStore(queries, path, c, books,
-      nprobe = 3, segments = 8, queryId = "id", queryVec = "vec")
+      nprobe = 3, segments = 8, queryId = "id", queryVec = "vec",
+      excludeSelf = true)
     assert(rows(served) == rows(Similarity.nIvfpqTopk(spark, sf)))
     // range search over the renamed frames equals the gate entry
     assert(rows(AnnApi.rangeSearch(corpus, queries, Similarity.RangeTau,
-        "id", "vec", "id", "vec")) ==
+        "id", "vec", "id", "vec", excludeSelf = true)) ==
       rows(Similarity.nRangeSearch(spark, sf)))
   }
 
@@ -182,6 +185,88 @@ class ApiSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no_such_id") &&
       e.getMessage.contains("my_id"), e.getMessage)
+    // pack and splitLeakfree joined the fail-fast contract (ADVICE r11 low)
+    val ep = intercept[IllegalArgumentException] {
+      PipelineApi.pack(renamedDocs, "no_such_id", "body")
+    }
+    assert(ep.getMessage.contains("no_such_id"), ep.getMessage)
+    val es = intercept[IllegalArgumentException] {
+      PipelineApi.splitLeakfree(renamedDocs, 0.5, "my_id", "no_such_text")
+    }
+    assert(es.getMessage.contains("no_such_text"), es.getMessage)
+  }
+
+  test("DedupApi persist knob: persistIntermediate=false returns the " +
+    "identical pairs and clusters as the cached default (VERDICT r11 #7)") {
+    val plantedNear = Dedup.withPlantedNear(Tables.t(spark, sf, "documents"))
+      .select(col("doc_id").as("my_id"), col("text").as("body"))
+    val cached = rows(DedupApi.minhashPairs(plantedNear, 0.5, "my_id", "body"))
+    spark.catalog.clearCache()
+    val uncached = rows(DedupApi.minhashPairs(plantedNear, 0.5, "my_id",
+      "body", persistIntermediate = false))
+    assert(cached == uncached, "persist knob changed the minhash pairs")
+    // and nothing new stayed cached on the recompute path
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "persistIntermediate=false left cache entries behind")
+    spark.catalog.clearCache()
+    val cc = rows(DedupApi.nearDupClusters(plantedNear, 0.5, "my_id", "body"))
+    spark.catalog.clearCache()
+    val cu = rows(DedupApi.nearDupClusters(plantedNear, 0.5, "my_id", "body",
+      persistIntermediate = false))
+    assert(cc == cu, "persist knob changed the near-dup clusters")
+    spark.catalog.clearCache()
+  }
+
+  test("AnnApi with UNRELATED id namespaces: a corpus vector sharing a " +
+    "query's id is NOT silently dropped (ADVICE r11 medium)") {
+    import spark.implicits._
+    // corpus ids 0..9; query with qid=3 whose vector IS corpus vector 3 —
+    // the old hardwired self-exclusion dropped exactly that cos=1 neighbor
+    val corpus = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv2"))
+    val q3 = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") === 3)
+      .select(col("vec_id").as("kid"), col("embedding").as("kv"))
+    val top = AnnApi.bruteTopK(corpus, q3, 3, "cid", "cv2", "kid", "kv")
+      .collect()
+    assert(top.head.getAs[Long]("vid") == 3L &&
+      top.head.getAs[Double]("cos") == 1.0,
+      s"self-id corpus vector dropped: ${top.mkString(";")}")
+    val rng = AnnApi.rangeSearch(corpus, q3, 0.99, "cid", "cv2", "kid", "kv")
+      .collect()
+    assert(rng.exists(r => r.getAs[Long]("vid") == 3L),
+      "rangeSearch dropped the self-id corpus vector")
+    // opting in restores the gate-entry semantics
+    val topEx = AnnApi.bruteTopK(corpus, q3, 3, "cid", "cv2", "kid", "kv",
+      excludeSelf = true).collect()
+    assert(!topEx.exists(r => r.getAs[Long]("vid") == 3L),
+      "excludeSelf=true kept the self pair")
+  }
+
+  test("AnnApi.trainIvf/trainPq accept sparse, non-zero-based id spaces " +
+    "and array<double> embeddings (ADVICE r11 medium)") {
+    // shift + stride the ids far away from 0..n and store doubles: the old
+    // seed filter (vec_id < cells) and mod-sampling found nothing here
+    val sparse = Tables.t(spark, sf, "embeddings")
+      .select((col("vec_id") * 17 + 1000000L).as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val c = AnnApi.trainIvf(sparse, cells = 16, trainSampleMod = 4,
+      idCol = "id", vecCol = "vec")
+    assert(c.count() == 16, "sparse-id training lost cells")
+    val books = AnnApi.trainPq(sparse, dim = 64, segments = 8,
+      codebook = 16, trainSampleMod = 4, idCol = "id", vecCol = "vec")
+    assert(books.length == 8 * 16 * 8, "sparse-id PQ training misshapen")
+    // and the whole lifecycle serves: encode + store + serve returns k rows
+    val index = AnnApi.encodeIndex(sparse, c, books, segments = 8,
+      idCol = "id", vecCol = "vec")
+    val path = "target/api_sparse_ivfpq_index"
+    AnnApi.writeIndex(index, path)
+    val queries = sparse.limit(5).select(col("id").as("q"), col("vec").as("v"))
+    val served = AnnApi.serveFromStore(queries, path, c, books, nprobe = 3,
+      segments = 8, queryId = "q", queryVec = "v")
+    assert(served.groupBy("qid").count().collect()
+      .forall(_.getLong(1) == Similarity.K), "sparse-id serve incomplete")
   }
 
   test("PipelineApi.splitLeakfree: planted near-dup pairs never straddle " +
