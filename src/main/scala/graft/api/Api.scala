@@ -174,8 +174,16 @@ object AnnApi {
     d.select(col(idCol).as("qid"), col(vecCol).cast("array<float>").as("qv"))
   }
 
-  /** Exact cosine top-k (the correctness baseline): queries broadcast,
-    * bounded per-partition heaps — (qid, vid, cos, rn).
+  /** Exact top-k (the correctness baseline): queries broadcast, bounded
+    * per-partition heaps — (qid, vid, cos, rn).
+    *
+    * `metric` = `"cosine"` (default) | `"l2"` | `"ip"` — the score column
+    * (named `cos` for historical schema stability) is cosine similarity,
+    * NEGATED Euclidean distance, or the inner product respectively: higher
+    * is closer under every metric, so downstream rank logic is
+    * metric-independent. Pick the metric your embeddings were trained
+    * for; a user migrating from the reference's `array_distance` wants
+    * `"l2"` (VERDICT r11 #5).
     *
     * `excludeSelf` (default OFF) drops pairs whose corpus id equals the
     * query id. Leave it off unless your queries ARE corpus rows sharing
@@ -184,27 +192,32 @@ object AnnApi {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "qid", queryVec: String = "qv",
-      excludeSelf: Boolean = false): DataFrame =
+      excludeSelf: Boolean = false, metric: String = "cosine"): DataFrame =
     Similarity.bruteTopk(canonCorpus(corpus, corpusId, corpusVec),
-      canonQueries(queries, queryId, queryVec), k, excludeSelf)
+      canonQueries(queries, queryId, queryVec), k, excludeSelf, metric)
 
-  /** Cosine RANGE search: every (query, corpus) pair with similarity ≥
-    * `tau` — the all-neighbors-within-a-radius companion to top-k.
+  /** RANGE search: every (query, corpus) pair within the radius — the
+    * all-neighbors companion to top-k. For `cosine`/`ip`, pairs with
+    * score ≥ `tau`; for `l2`, pairs with distance ≤ `tau`.
     * `excludeSelf` as on [[bruteTopK]]. */
   def rangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "qid", queryVec: String = "qv",
-      excludeSelf: Boolean = false): DataFrame =
+      excludeSelf: Boolean = false, metric: String = "cosine"): DataFrame =
     Similarity.rangeSearch(canonCorpus(corpus, corpusId, corpusVec),
-      canonQueries(queries, queryId, queryVec), tau, excludeSelf)
+      canonQueries(queries, queryId, queryVec), tau, excludeSelf, metric)
 
-  /** Train the IVF coarse quantizer (deterministic seeds + Lloyd). */
+  /** Train the IVF coarse quantizer (deterministic seeds + Lloyd) under
+    * the serving `metric` — assignment in training MUST match assignment
+    * at encode/serve time or probed cells miss their vectors; pass the
+    * same metric through [[encodeIndex]]/[[appendIndex]]/
+    * [[serveFromStore]]. */
   def trainIvf(corpus: DataFrame, cells: Int,
       iters: Int = Similarity.QuantIters,
       trainSampleMod: Int = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding", metric: String = "cosine"): DataFrame =
     Similarity.ivfQuantizerOn(canonCorpus(corpus, idCol, vecCol),
-      iters, cells, trainSampleMod)
+      iters, cells, trainSampleMod, metric)
 
   /** Train PQ codebooks; `dim` is the embedding dimension. */
   def trainPq(corpus: DataFrame, dim: Int, segments: Int, codebook: Int,
@@ -215,33 +228,49 @@ object AnnApi {
       iters, segments, codebook, trainSampleMod)
 
   /** Assign + PQ-encode a corpus (or a delta batch) with a frozen model:
-    * the (cell, vec_id, codes) index frame. */
+    * the (cell, vec_id, codes) index frame. `metric` must match
+    * [[trainIvf]]'s (cell assignment follows the serving metric; the PQ
+    * code itself is always the L2-nearest sub-centroid).
+    *
+    * COSINE + PQ CONTRACT: the ADC stage scores inner products of
+    * reconstructions, which equals cosine ranking only on unit-norm
+    * vectors. If your embeddings are not already normalized (most text
+    * encoders emit unit vectors), L2-normalize them before [[trainPq]]/
+    * [[encodeIndex]] and normalize queries before [[serveFromStore]]
+    * (`expr("l2_normalize(v)")` — the e_normalize kernel); this is the
+    * standard cosine-as-IP practice. `l2` and `ip` score their exact
+    * objective and need no preparation. */
   def encodeIndex(vectors: DataFrame, quantizer: DataFrame,
       books: Array[Double], segments: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding", metric: String = "cosine"): DataFrame =
     Similarity.ivfpqEncode(canonCorpus(vectors, idCol, vecCol),
-      quantizer, books, segments)
+      quantizer, books, segments, metric)
 
   /** Persist an index frame partitioned by cell (the serving layout). */
   def writeIndex(index: DataFrame, path: String): Unit =
     Similarity.ivfpqWriteIndex(index, path)
 
-  /** Frozen-model delta append to a stored index (n_ivfpq_delta). */
+  /** Frozen-model delta append to a stored index (n_ivfpq_delta).
+    * `metric` must match the index's build metric. */
   def appendIndex(delta: DataFrame, quantizer: DataFrame,
       books: Array[Double], path: String, segments: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine"): Unit =
     Similarity.ivfpqIndexAppend(canonCorpus(delta, idCol, vecCol),
-      quantizer, books, path, segments)
+      quantizer, books, path, segments, metric)
 
   /** Serve top-K from a stored cell-partitioned index with partition
-    * pruning to the probed cells. `excludeSelf` as on [[bruteTopK]]. */
+    * pruning to the probed cells. `excludeSelf` as on [[bruteTopK]];
+    * `metric` must match the index's build metric (probe selection and
+    * the per-query ADC tables both follow it). */
   def serveFromStore(queries: DataFrame, path: String,
       quantizer: DataFrame, books: Array[Double], nprobe: Int,
       segments: Int, queryId: String = "qid",
-      queryVec: String = "qv", excludeSelf: Boolean = false): DataFrame =
+      queryVec: String = "qv", excludeSelf: Boolean = false,
+      metric: String = "cosine"): DataFrame =
     Similarity.ivfpqServeFromStoreOn(
       canonQueries(queries, queryId, queryVec), path, quantizer, books,
-      nprobe, segments, excludeSelf)
+      nprobe, segments, excludeSelf, metric)
 }
 
 object MediaApi {

@@ -21,6 +21,8 @@ object GraftFunctions {
 
   private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (c => CosineSimilarity(c(0), c(1))),
+    "inner_product" -> (c => InnerProduct(c(0), c(1))),
+    "l2_distance" -> (c => L2Distance(c(0), c(1))),
     "hamming_distance" -> (c => HammingDistance(c(0), c(1))),
     "gcd" -> (c => Gcd(c(0), c(1))),
     "z_interleave" -> (c => ZInterleave(c(0), c(1))),
@@ -39,8 +41,12 @@ object GraftFunctions {
     "cosine_similarity_int" -> (c => CosineSimilarityInt(c(0), c(1))),
     "pq_score" -> (c => PqScore(c(0), c(1))),
     "pq_encode" -> (c => PqEncode(c(0), c(1), c(2))),
-    "pq_table" -> (c => PqTable(c(0), c(1), c(2))),
-    "nearest_centroid" -> (c => NearestCentroid(c(0), c(1), c(2))),
+    // optional trailing metric literal (see VecMetric): 3-arg form = cosine
+    "pq_table" -> (c => if (c.length > 3) PqTable(c(0), c(1), c(2), c(3))
+                        else PqTable(c(0), c(1), c(2))),
+    "nearest_centroid" -> (c =>
+      if (c.length > 3) NearestCentroid(c(0), c(1), c(2), c(3))
+      else NearestCentroid(c(0), c(1), c(2))),
     "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {

@@ -66,6 +66,101 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Inner (dot) product of two float-array embeddings — the `ip` metric of
+  * the ANN tier (the standard maximum-inner-product-search objective;
+  * reference surface: array_distance & friends in functions-nested). Same
+  * codegen pattern and double-promoted accumulation as
+  * [[CosineSimilarity]]. */
+case class InnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"inner_product needs two array<float> args, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "inner_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean (L2) distance of two float-array embeddings — the `l2` metric
+  * of the ANN tier (reference: `array_distance` in functions-nested is
+  * exactly this). Same pattern as [[CosineSimilarity]]; the ANN tier
+  * negates it where a higher-is-closer score is needed. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2_distance needs two array<float> args, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Hamming distance between two 64-bit signatures (simhash compare). */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -802,55 +897,64 @@ object PqScore {
   }
 }
 
-/** `nearest_centroid(vec, cents, cells)` — argmax-cosine cell assignment
-  * for IVF-family coarse quantizers at PRODUCTION cell counts: `cents` is
-  * the centroid model flattened cell-major (cents[cell*d + j], d implied by
-  * length/cells), the result is the index of the max-cosine centroid, ties
-  * to the HIGHEST index — bit-identical semantics (double-promoted
-  * accumulation, zero-norm → 0.0, tie order) to the inline
-  * greatest(struct(cosine_similarity…)) chain Similarity.assignTo uses
-  * below its cell threshold. The inline chain inlines one expression per
-  * cell and exceeds JVM codegen limits at the √n cells a large corpus
-  * wants (VERDICT r10); this is one fused cells×d loop in generated code —
-  * cell count changes a loop bound, not the expression tree. */
-case class NearestCentroid(vec: Expression, cents: Expression, cells: Expression)
-    extends TernaryExpression {
+/** `nearest_centroid(vec, cents, cells[, metric])` — argmax cell
+  * assignment for IVF-family coarse quantizers at PRODUCTION cell counts:
+  * `cents` is the centroid model flattened cell-major (cents[cell*d + j],
+  * d implied by length/cells), the result is the index of the best-scoring
+  * centroid under `metric` (0 = cosine, the default; 1 = L2, argMIN
+  * distance; 2 = inner product, argMAX dot), ties to the HIGHEST index —
+  * bit-identical semantics (double-promoted accumulation, zero-norm → 0.0
+  * under cosine, tie order) to the inline greatest(struct(score…)) chain
+  * Similarity.assignTo uses below its cell threshold. The inline chain
+  * inlines one expression per cell and exceeds JVM codegen limits at the
+  * √n cells a large corpus wants (VERDICT r10); this is one fused cells×d
+  * loop in generated code — cell count changes a loop bound, not the
+  * expression tree. */
+case class NearestCentroid(vec: Expression, cents: Expression,
+    cells: Expression, metric: Expression)
+    extends QuaternaryExpression {
 
   override def first: Expression = vec
   override def second: Expression = cents
   override def third: Expression = cells
+  override def fourth: Expression = metric
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (vec.dataType, cents.dataType, cells.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _), IntegerType)
-        if cells.foldable => TypeCheckResult.TypeCheckSuccess
-      case (v, c, n) => TypeCheckResult.TypeCheckFailure(
+    (vec.dataType, cents.dataType, cells.dataType, metric.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _), IntegerType,
+          IntegerType) if cells.foldable && metric.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, c, n, m) => TypeCheckResult.TypeCheckFailure(
         s"nearest_centroid(array<float> vec, array<float> cents, " +
-          s"int-literal cells) got $v, $c, $n")
+          s"int-literal cells[, int-literal metric]) got $v, $c, $n, $m")
     }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
 
-  override protected def nullSafeEval(v: Any, c: Any, n: Any): Any =
+  override protected def nullSafeEval(v: Any, c: Any, n: Any, m: Any): Any =
     NearestCentroid.compute(v.asInstanceOf[ArrayData],
-      c.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+      c.asInstanceOf[ArrayData], n.asInstanceOf[Int], m.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, c, n) =>
-      s"${ev.value} = graft.functions.NearestCentroid.compute($v, $c, $n);")
+    nullSafeCodeGen(ctx, ev, (v, c, n, m) =>
+      s"${ev.value} = graft.functions.NearestCentroid.compute($v, $c, $n, $m);")
 
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): Expression =
-    copy(vec = f, cents = s, cells = t)
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(vec = f, cents = s, cells = t, metric = q)
 }
 
 object NearestCentroid {
-  def compute(vec: ArrayData, cents: ArrayData, cells: Int): Int = {
+  def apply(vec: Expression, cents: Expression, cells: Expression): NearestCentroid =
+    NearestCentroid(vec, cents, cells, Literal(VecMetric.Cosine))
+
+  def compute(vec: ArrayData, cents: ArrayData, cells: Int, metric: Int): Int = {
     if (cells <= 0 || cents.numElements() == 0 ||
         cents.numElements() % cells != 0)
       throw new IllegalArgumentException(
         s"nearest_centroid: model length ${cents.numElements()} must be a " +
           s"positive multiple of cells=$cells")
+    VecMetric.check("nearest_centroid", metric)
     val d = cents.numElements() / cells
     // same pairwise semantics as cosine_similarity: iterate min(|vec|, d)
     val m = math.min(vec.numElements(), d)
@@ -868,21 +972,41 @@ object NearestCentroid {
       val base = cell * d
       var dot = 0.0
       var ny = 0.0
+      var sq = 0.0
       var j = 0
       while (j < m) {
         val xv = vec.getFloat(j).toDouble
         val yv = cents.getFloat(base + j).toDouble
         dot += xv * yv
         ny += yv * yv
+        val diff = xv - yv
+        sq += diff * diff
         j += 1
       }
-      val s = if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+      // higher = closer for every metric: L2 scores as the negated distance
+      val s = metric match {
+        case VecMetric.L2 => -math.sqrt(sq)
+        case VecMetric.Ip => dot
+        case _ => if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+      }
       // >= : ties take the highest cell, matching greatest(struct(s, c))
       if (s >= bestScore) { bestScore = s; best = cell }
       cell += 1
     }
     best
   }
+}
+
+/** Shared metric ids for the ANN kernels (kept as raw ints so they inline
+  * into generated code as literals). */
+object VecMetric {
+  val Cosine = 0
+  val L2 = 1
+  val Ip = 2
+  def check(fn: String, metric: Int): Unit =
+    if (metric < Cosine || metric > Ip)
+      throw new IllegalArgumentException(
+        s"$fn: metric must be 0 (cosine), 1 (l2) or 2 (ip), got $metric")
 }
 
 /** Shared shape validation for the PQ corpus-side kernels: `books` is the
@@ -985,45 +1109,61 @@ object PqEncode {
   }
 }
 
-/** `pq_table(vec, books, m)` — the query-side companion of `pq_encode`:
-  * the m×k table of partial dot products between each of `vec`'s m
+/** `pq_table(vec, books, m[, metric])` — the query-side companion of
+  * `pq_encode`: the m×k table of partial scores between each of `vec`'s m
   * subvectors and every centroid of that segment's codebook, flattened
-  * seg-major so `pq_score(codes, table)` indexes it directly. Runs once per
-  * QUERY vector (tiny), but native anyway so the whole PQ path is
-  * HOF-free. */
-case class PqTable(vec: Expression, books: Expression, m: Expression)
-    extends TernaryExpression {
+  * seg-major so `pq_score(codes, table)` indexes it directly. `metric`
+  * selects the ADC objective the summed score approximates: 0 (default) =
+  * partial DOT products, summing to the inner product of query and
+  * reconstruction (the cosine/ip serve); 1 = NEGATED partial squared-L2,
+  * summing to −‖q − reconstruction‖² (the L2 serve — negated so
+  * higher-is-closer holds for every metric; the standard ADC distance
+  * table of Jégou et al. §IV). Runs once per QUERY vector (tiny), but
+  * native anyway so the whole PQ path is HOF-free. */
+case class PqTable(vec: Expression, books: Expression, m: Expression,
+    metric: Expression)
+    extends QuaternaryExpression {
 
   override def first: Expression = vec
   override def second: Expression = books
   override def third: Expression = m
+  override def fourth: Expression = metric
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (vec.dataType, books.dataType, m.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), IntegerType)
-        if m.foldable => TypeCheckResult.TypeCheckSuccess
-      case (v, b, s) => TypeCheckResult.TypeCheckFailure(
-        s"pq_table(array<double> vec, array<double> books, int-literal m) " +
-          s"got $v, $b, $s")
+    (vec.dataType, books.dataType, m.dataType, metric.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), IntegerType,
+          IntegerType) if m.foldable && metric.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, b, s, mt) => TypeCheckResult.TypeCheckFailure(
+        s"pq_table(array<double> vec, array<double> books, int-literal m" +
+          s"[, int-literal metric]) got $v, $b, $s, $mt")
     }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_table"
 
-  override protected def nullSafeEval(v: Any, b: Any, s: Any): Any =
+  override protected def nullSafeEval(v: Any, b: Any, s: Any, mt: Any): Any =
     PqTable.compute(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      s.asInstanceOf[Int])
+      s.asInstanceOf[Int], mt.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, b, s) =>
-      s"${ev.value} = graft.functions.PqTable.compute($v, $b, $s);")
+    nullSafeCodeGen(ctx, ev, (v, b, s, mt) =>
+      s"${ev.value} = graft.functions.PqTable.compute($v, $b, $s, $mt);")
 
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): Expression =
-    copy(vec = f, books = s, m = t)
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(vec = f, books = s, m = t, metric = q)
 }
 
 object PqTable {
-  def compute(vec: ArrayData, books: ArrayData, m: Int): ArrayData = {
+  def apply(vec: Expression, books: Expression, m: Expression): PqTable =
+    PqTable(vec, books, m, Literal(0))
+
+  /** Table metric 1 = negative squared-L2 partials; 0 = dot partials.
+    * (Cosine and ip share the dot table — ids differ only upstream.) */
+  def compute(vec: ArrayData, books: ArrayData, m: Int, metric: Int): ArrayData = {
+    if (metric != 0 && metric != 1)
+      throw new IllegalArgumentException(
+        s"pq_table: metric must be 0 (dot) or 1 (neg-squared-l2), got $metric")
     val (d, k) = PqShapes.dims("pq_table", vec.numElements(), books.numElements(), m)
     val table = new Array[Double](m * k)
     var seg = 0
@@ -1032,14 +1172,16 @@ object PqTable {
       var code = 0
       while (code < k) {
         val bBase = (seg * k + code) * d
-        var dot = 0.0
+        var s = 0.0
         var j = 0
         while (j < d) {
-          dot += PqShapes.checkedDouble("pq_table", "vec", vec, vBase + j) *
-            PqShapes.checkedDouble("pq_table", "books", books, bBase + j)
+          val xv = PqShapes.checkedDouble("pq_table", "vec", vec, vBase + j)
+          val yv = PqShapes.checkedDouble("pq_table", "books", books, bBase + j)
+          if (metric == 0) s += xv * yv
+          else { val diff = xv - yv; s -= diff * diff }
           j += 1
         }
-        table(seg * k + code) = dot
+        table(seg * k + code) = s
         code += 1
       }
       seg += 1

@@ -933,6 +933,37 @@ object Relational {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------- sql_prepare
+  /** PREPARE/EXECUTE named-statement lifecycle (reference
+    * sqllogictest/test_files/prepare.slt; sql/src/statement.rs) via the
+    * [[graft.Graft.prepare]]/executePrepared session registry — the
+    * named-handle layer sql_params deliberately stopped short of (its
+    * Scaladoc documents the gap this entry closes). The DuckDB oracle runs
+    * a REAL `PREPARE …; EXECUTE name(args)`, so the whole lifecycle —
+    * registration, engine-side typed binding, execution by name — is
+    * hash-verified against an engine that implements the statement object
+    * natively. Re-prepare replacement, multi-execute reuse, DEALLOCATE,
+    * and the missing-statement/unbound-parameter error surfaces are
+    * pinned in ErrorSurfaceSpec. */
+  def sqlPrepare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    graft.Graft.prepare(spark, "graft_rev_by_priority",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_totalprice > :minPrice
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    graft.Graft.executePrepared(spark, "graft_rev_by_priority",
+      Map("minPrice" -> 150000.0))
+  }
+
+  val sqlPrepareSql: String =
+    """PREPARE graft_rev_by_priority AS
+      |SELECT o_orderpriority, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders WHERE o_totalprice > $1
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority;
+      |EXECUTE graft_rev_by_priority(150000.0)""".stripMargin
+
   // --------------------------------------------------------- s_union_by_name
   /** UNION BY NAME — position-independent set union (DataFusion
     * union_by_name / DuckDB UNION ALL BY NAME; Spark spells it
@@ -1661,7 +1692,8 @@ object Relational {
     "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
     "e_session_fn" -> (eSessionFn _), "w_groups" -> (wGroups _),
     "w_groups_asym" -> (wGroupsAsym _),
-    "sql_params" -> (sqlParams _), "s_union_by_name" -> (sUnionByName _),
+    "sql_params" -> (sqlParams _), "sql_prepare" -> (sqlPrepare _),
+    "s_union_by_name" -> (sUnionByName _),
     "u_unnest" -> (uUnnest _), "u_unnest_struct" -> (uUnnestStruct _),
     "u_unnest_map" -> (uUnnestMap _), "u_unnest_nested" -> (uUnnestNested _),
     "u_unnest_outer" -> (uUnnestOuter _),
@@ -1703,7 +1735,8 @@ object Relational {
     "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,
     "e_session_fn" -> eSessionFnSql, "w_groups" -> wGroupsSql,
     "w_groups_asym" -> wGroupsAsymSql,
-    "sql_params" -> sqlParamsSql, "s_union_by_name" -> sUnionByNameSql,
+    "sql_params" -> sqlParamsSql, "sql_prepare" -> sqlPrepareSql,
+    "s_union_by_name" -> sUnionByNameSql,
     "u_unnest" -> uUnnestSql, "u_unnest_struct" -> uUnnestStructSql,
     "u_unnest_map" -> uUnnestMapSql, "u_unnest_nested" -> uUnnestNestedSql,
     "u_unnest_outer" -> uUnnestOuterSql,

@@ -81,6 +81,34 @@ object Similarity {
   private val cos: Column =
     round(expr("cosine_similarity(embedding, qv)"), 6)
 
+  // ------------------------------------------------------------ metric knob
+  /** The ANN tier's similarity metric: `"cosine"` (default), `"l2"`
+    * (Euclidean), or `"ip"` (inner product / MIPS) — the three objectives
+    * the IVF/PQ literature serves and the reference exposes via
+    * `array_distance` (functions-nested = L2). A user switching engines
+    * must get the SAME ranking, so the metric threads through every
+    * lifecycle stage — brute force, quantizer assignment, probe selection,
+    * ADC tables (VERDICT r11 #5). Scores are normalized to
+    * HIGHER-IS-CLOSER everywhere: l2 scores as the NEGATED distance, so
+    * the one bounded-heap top-k sink serves all three. */
+  private[graft] def metricId(metric: String): Int = metric match {
+    case "cosine" => graft.functions.VecMetric.Cosine
+    case "l2" => graft.functions.VecMetric.L2
+    case "ip" => graft.functions.VecMetric.Ip
+    case other => throw new IllegalArgumentException(
+      s"graft ANN metric must be cosine, l2 or ip, got '$other'")
+  }
+
+  /** Higher-is-closer score column for a (vector, vector) pair. */
+  private[graft] def scoreCol(metric: String, a: Column, b: Column): Column =
+    metric match {
+      case "cosine" => call_function("cosine_similarity", a, b)
+      case "l2" => -call_function("l2_distance", a, b)
+      case "ip" => call_function("inner_product", a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft ANN metric must be cosine, l2 or ip, got '$other'")
+    }
+
   /** Public API: per-query top-k of any (qid, vid, cos) scored frame.
     *
     * Implemented with the native `topk_pairs` bounded-heap aggregate
@@ -112,14 +140,17 @@ object Similarity {
     * and silently dropping the corpus vector that happens to share a
     * query's id would be a wrong answer (ADVICE r11). The dir-based gate
     * entries turn it ON because there the queries ARE corpus rows and the
-    * self-match is a degenerate cos=1 hit. */
+    * self-match is a degenerate cos=1 hit. `metric` per [[metricId]]; the
+    * score column keeps its historical name `cos` across metrics (for l2
+    * it holds the NEGATED distance — higher is closer everywhere). */
   def bruteTopk(corpus: DataFrame, queries: DataFrame, k: Int,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val paired = corpus.crossJoin(broadcast(queries))
     val scored = if (excludeSelf) paired.filter(col("vec_id") =!= col("qid"))
                  else paired
-    topK(scored.select(col("qid"), col("vec_id").as("vid"), cos.as("cos")), k)
+    topK(scored.select(col("qid"), col("vec_id").as("vid"),
+      round(scoreCol(metric, col("embedding"), col("qv")), 6).as("cos")), k)
   }
 
   // ------------------------------------------------------------ n_brute_topk
@@ -249,7 +280,8 @@ object Similarity {
     *    makes cell count a LOOP BOUND. Same double-promoted math, same
     *    ties-to-highest-cell order (equality-tested in SimilaritySpec). */
   private[graft] def assignTo(corpus: DataFrame, cents: DataFrame,
-      inlineMaxCells: Int = AssignInlineMaxCells): DataFrame = {
+      inlineMaxCells: Int = AssignInlineMaxCells,
+      metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val model = cents.select(col("cell"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -257,8 +289,8 @@ object Similarity {
     val best =
       if (model.length <= inlineMaxCells)
         greatest(model.map { case (cell, cv) =>
-          struct(call_function("cosine_similarity", col("embedding"),
-            typedLit(cv)).as("s"), lit(cell).as("c"))
+          struct(scoreCol(metric, col("embedding"), typedLit(cv)).as("s"),
+            lit(cell).as("c"))
         }: _*).getField("c")
       else {
         val sorted = model.sortBy(_._1)
@@ -269,7 +301,8 @@ object Similarity {
         // ascending sort makes index order = cell order, so ties-to-
         // highest-index is ties-to-highest-cell, like the inline form
         val idx = call_function("nearest_centroid", col("embedding"),
-          typedLit(sorted.flatMap(_._2).toSeq), lit(sorted.length))
+          typedLit(sorted.flatMap(_._2).toSeq), lit(sorted.length),
+          lit(metricId(metric)))
         element_at(typedLit(sorted.map(_._1).toSeq), idx + 1)
       }
     corpus.select(col("vec_id"), col("embedding"), best.as("cell"))
@@ -313,7 +346,7 @@ object Similarity {
     * this core on the driver corpus. */
   private[graft] def ivfQuantizerOn(vecs: DataFrame,
       iters: Int = QuantIters, cells: Int = IvfCells,
-      trainSampleMod: Int = 1): DataFrame = {
+      trainSampleMod: Int = 1, metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     require(trainSampleMod >= 1, s"trainSampleMod must be >= 1")
     // hash the id before the modulus (ADVICE r11): raw `vec_id % mod` is a
@@ -328,7 +361,10 @@ object Similarity {
       s"corpus has fewer than $cells vectors to seed the quantizer")
     var i = 0
     while (i < iters) {
-      val refined = refine(assignTo(trainEmb, c))
+      // Lloyd under the serving metric: assignment uses `metric`, the
+      // update step stays the per-dimension mean (exact for l2/ip;
+      // spherical k-means' mean-then-use is the standard cosine form)
+      val refined = refine(assignTo(trainEmb, c, metric = metric))
       c = localizeModel(
         c.withColumnRenamed("cv", "prev")
           .join(refined, Seq("cell"), "left")
@@ -351,12 +387,13 @@ object Similarity {
 
   /** Frame-based probe selection: queries are any (qid, qv) frame. */
   private[graft] def ivfProbesOn(queries: DataFrame,
-      c: DataFrame, nprobe: Int = IvfNprobe): DataFrame = {
+      c: DataFrame, nprobe: Int = IvfNprobe,
+      metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val w = Window.partitionBy("qid").orderBy(desc("qcos"), asc("cell"))
     queries.crossJoin(broadcast(c))
       .select(col("qid"), col("qv"), col("cell"),
-        expr("cosine_similarity(qv, cv)").as("qcos"))
+        scoreCol(metric, col("qv"), col("cv")).as("qcos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
@@ -689,13 +726,17 @@ object Similarity {
 
   private[graft] def ivfpqProbesOn(queries: DataFrame,
       c: DataFrame, books: Array[Double], nprobe: Int = IvfNprobe,
-      segments: Int = PqSegments): DataFrame = {
+      segments: Int = PqSegments, metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val flat = typedLit(books.toVector)
-    ivfProbesOn(queries, c, nprobe)
+    // ADC table metric: l2 uses negated squared-distance partials; cosine
+    // and ip share the dot-product table (their rankings differ only in
+    // probe selection upstream — see pq_table's Scaladoc)
+    val tableMetric = if (metric == "l2") 1 else 0
+    ivfProbesOn(queries, c, nprobe, metric)
       .select(col("qid"), col("cell"),
         call_function("pq_table", col("qv").cast("array<double>"),
-          flat, lit(segments)).as("qtab"))
+          flat, lit(segments), lit(tableMetric)).as("qtab"))
   }
 
   /** QUERY SERVE for IVFADC: probe cells, broadcast the per-(query, cell)
@@ -713,10 +754,10 @@ object Similarity {
   private[graft] def ivfpqServeOn(queries: DataFrame,
       c: DataFrame, books: Array[Double], index: DataFrame,
       nprobe: Int = IvfNprobe, segments: Int = PqSegments,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val probed = index.join(broadcast(
-      ivfpqProbesOn(queries, c, books, nprobe, segments)), "cell")
+      ivfpqProbesOn(queries, c, books, nprobe, segments, metric)), "cell")
     val scored = if (excludeSelf) probed.filter(col("vec_id") =!= col("qid"))
                  else probed
     topK(scored.select(col("qid"), col("vec_id").as("vid"),
@@ -728,10 +769,14 @@ object Similarity {
     * incremental append ([[ivfpqIndexAppend]]): narrow, codegen'd, no
     * shuffle (the model rides as literals). */
   private[graft] def ivfpqEncode(vecs: DataFrame, c: DataFrame,
-      books: Array[Double], segments: Int = PqSegments): DataFrame = {
+      books: Array[Double], segments: Int = PqSegments,
+      metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     val flat = typedLit(books.toVector)
-    assignTo(vecs, c)
+    // cell assignment follows the serving metric; the PQ code itself is
+    // always the L2-nearest sub-centroid (standard PQ — reconstruction
+    // error is L2 regardless of the query objective, Jégou §II)
+    assignTo(vecs, c, metric = metric)
       .select(col("cell"), col("vec_id"),
         call_function("pq_encode", col("embedding").cast("array<double>"),
           flat, lit(segments)).as("codes"))
@@ -757,8 +802,8 @@ object Similarity {
     * model (SimilaritySpec proves serve-result equality). */
   private[graft] def ivfpqIndexAppend(delta: DataFrame, c: DataFrame,
       books: Array[Double], path: String,
-      segments: Int = PqSegments): Unit =
-    ivfpqEncode(delta, c, books, segments)
+      segments: Int = PqSegments, metric: String = "cosine"): Unit =
+    ivfpqEncode(delta, c, books, segments, metric)
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Serve from the STORED index with partition pruning: the probed cell
@@ -779,9 +824,9 @@ object Similarity {
   private[graft] def ivfpqServeFromStoreOn(queries: DataFrame,
       path: String, c: DataFrame, books: Array[Double],
       nprobe: Int = IvfNprobe, segments: Int = PqSegments,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, metric: String = "cosine"): DataFrame = {
     val spark = queries.sparkSession
-    val probes = ivfpqProbesOn(queries, c, books, nprobe, segments)
+    val probes = ivfpqProbesOn(queries, c, books, nprobe, segments, metric)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
     val index = spark.read.parquet(path)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
@@ -829,18 +874,24 @@ object Similarity {
     rangeSearch(emb(spark, dir), queriesDf(spark, dir), RangeTau,
       excludeSelf = true)
 
-  /** Frame-based cosine range search (graft.api.AnnApi): every
-    * (query, corpus) pair with similarity ≥ tau, query side broadcast.
-    * `excludeSelf` as on [[bruteTopk]] — off for caller frames. */
+  /** Frame-based range search (graft.api.AnnApi): every (query, corpus)
+    * pair within the radius, query side broadcast. `excludeSelf` as on
+    * [[bruteTopk]]. Radius semantics per metric: for `cosine`/`ip`, pairs
+    * with score ≥ tau; for `l2`, pairs with DISTANCE ≤ tau (the natural
+    * radius phrasing — internally the score column is the negated
+    * distance, so the filter is `cos ≥ −tau`). */
   def rangeSearch(corpus: DataFrame, queries: DataFrame,
-      tau: Double, excludeSelf: Boolean = false): DataFrame = {
+      tau: Double, excludeSelf: Boolean = false,
+      metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val paired = corpus.crossJoin(broadcast(queries))
     val scored = if (excludeSelf) paired.filter(col("vec_id") =!= col("qid"))
                  else paired
+    val bound = if (metric == "l2") -tau else tau
     scored
-      .select(col("qid"), col("vec_id").as("vid"), cos.as("cos"))
-      .filter(col("cos") >= tau)
+      .select(col("qid"), col("vec_id").as("vid"),
+        round(scoreCol(metric, col("embedding"), col("qv")), 6).as("cos"))
+      .filter(col("cos") >= bound)
       .orderBy("qid", "vid")
   }
 

@@ -133,4 +133,59 @@ class ErrorSurfaceSpec extends SparkSpec {
         "CAST(array() AS ARRAY<DOUBLE>))").collect()
     assert(bothEmpty.head.getDouble(0) == 0.0)
   }
+
+  test("PREPARE/EXECUTE lifecycle: reuse by name, re-prepare replaces, " +
+    "deallocate drops, and every misuse fails in the caller's vocabulary") {
+    Tables.registerViews(spark, sf)
+    // registration + multi-execute reuse with different args
+    Graft.prepare(spark, "es_cnt",
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > :p")
+    val n1 = Graft.executePrepared(spark, "es_cnt", Map("p" -> 0.0))
+      .head().getLong(0)
+    val n2 = Graft.executePrepared(spark, "es_cnt", Map("p" -> 1e12))
+      .head().getLong(0)
+    assert(n1 > 0 && n2 == 0, s"reuse with fresh args broke: $n1 / $n2")
+    // positional markers through the same handle surface
+    Graft.prepare(spark, "es_pos",
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > ?")
+    assert(Graft.executePrepared(spark, "es_pos", Seq(0.0))
+      .head().getLong(0) == n1)
+    // re-prepare silently replaces (DuckDB semantics — the oracle engine)
+    Graft.prepare(spark, "es_cnt", "SELECT 42 AS n")
+    assert(Graft.executePrepared(spark, "es_cnt").head().getInt(0) == 42)
+    // prepare-time parse validation names the statement
+    val bad = intercept[IllegalArgumentException] {
+      Graft.prepare(spark, "es_bad", "SELEKT 1")
+    }
+    assert(bad.getMessage.contains("es_bad"), bad.getMessage)
+    // executing a statement that was never prepared names it and lists
+    // what IS prepared
+    val missing = intercept[NoSuchElementException] {
+      Graft.executePrepared(spark, "es_never", Map("p" -> 1))
+    }
+    assert(missing.getMessage.contains("es_never") &&
+      missing.getMessage.contains("es_pos"), missing.getMessage)
+    // missing argument for a named parameter names the statement
+    Graft.prepare(spark, "es_args",
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > :p")
+    val unbound = intercept[IllegalArgumentException] {
+      Graft.executePrepared(spark, "es_args", Map("wrong" -> 1))
+    }
+    assert(unbound.getMessage.contains("es_args"), unbound.getMessage)
+    // a MISTYPED argument fails at execution with the engine's cast error
+    // (typed binding, not string splicing: the value lands as a literal)
+    val mistyped = intercept[Exception] {
+      Graft.executePrepared(spark, "es_args",
+        Map("p" -> "not-a-number")).collect()
+    }
+    assert(mistyped.getMessage.toUpperCase.contains("CAST") ||
+      mistyped.getMessage.contains("DATATYPE_MISMATCH"), mistyped.getMessage)
+    // DEALLOCATE drops the handle; a second deallocate reports false
+    assert(Graft.deallocate(spark, "es_cnt"))
+    assert(!Graft.deallocate(spark, "es_cnt"))
+    intercept[NoSuchElementException] {
+      Graft.executePrepared(spark, "es_cnt")
+    }
+    Seq("es_pos", "es_args").foreach(Graft.deallocate(spark, _))
+  }
 }

@@ -146,6 +146,50 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(zero.getDouble(0) == 0.0)
   }
 
+  test("inner_product and l2_distance known values (the ip/l2 metric kernels)") {
+    val ip = one("inner_product(array(1.0F, 2.0F), array(3.0F, 4.0F))")
+    assert(math.abs(ip.getDouble(0) - 11.0) < 1e-12)
+    val ortho = one("inner_product(array(1.0F, 0.0F), array(0.0F, 1.0F))")
+    assert(ortho.getDouble(0) == 0.0)
+    val l2 = one("l2_distance(array(1.0F, 2.0F), array(4.0F, 6.0F))")
+    assert(math.abs(l2.getDouble(0) - 5.0) < 1e-12)
+    val self = one("l2_distance(array(1.5F, -2.5F), array(1.5F, -2.5F))")
+    assert(self.getDouble(0) == 0.0)
+  }
+
+  test("nearest_centroid metric arg: l2 picks the closest, ip the largest " +
+    "dot, 3-arg form stays cosine; bad metric errors loudly") {
+    // cell 0 = (3,0) (long, near x-axis), cell 1 = (0,1) (unit, y-axis)
+    val m = "array(3.0F, 0.0F, 0.0F, 1.0F)"
+    val v = "array(0.5F, 0.8F)" // closer (L2) to cell 1; bigger dot with cell 0
+    assert(one(s"nearest_centroid($v, $m, 2, 1)").getInt(0) == 1, "l2")
+    assert(one(s"nearest_centroid($v, $m, 2, 2)").getInt(0) == 0, "ip")
+    // cosine ignores length: angle to (1,0) vs (0,1) — (0.5,0.8) leans y
+    assert(one(s"nearest_centroid($v, $m, 2, 0)").getInt(0) == 1, "cos")
+    assert(one(s"nearest_centroid($v, $m, 2)").getInt(0) ==
+      one(s"nearest_centroid($v, $m, 2, 0)").getInt(0), "default = cosine")
+    val e = intercept[Exception](one(s"nearest_centroid($v, $m, 2, 9)"))
+    assert((e.getMessage != null && e.getMessage.contains("metric")) ||
+      (e.getCause != null && e.getCause.getMessage.contains("metric")))
+  }
+
+  test("pq_table metric arg: neg-squared-l2 table sums to -||q - recon||^2") {
+    // m=1 segment, k=2 codes, d=2: books = [(1,0), (0,1)] flattened
+    val books = "array(1.0D, 0.0D, 0.0D, 1.0D)"
+    val q = "array(0.5D, 0.5D)"
+    val dotTab = one(s"pq_table($q, $books, 1, 0)").getSeq[Double](0)
+    assert(dotTab == Seq(0.5, 0.5))
+    val l2Tab = one(s"pq_table($q, $books, 1, 1)").getSeq[Double](0)
+    // -((0.5-1)^2 + 0.5^2) = -0.5 for both codes
+    assert(l2Tab.forall(v => math.abs(v - (-0.5)) < 1e-12), l2Tab.toString)
+    // pq_score sums the selected entries — the full negated squared L2
+    val s = one(s"pq_score(array(0), pq_table($q, $books, 1, 1))")
+    assert(math.abs(s.getDouble(0) - (-0.5)) < 1e-12)
+    val e = intercept[Exception](one(s"pq_table($q, $books, 1, 7)"))
+    assert((e.getMessage != null && e.getMessage.contains("metric")) ||
+      (e.getCause != null && e.getCause.getMessage.contains("metric")))
+  }
+
   test("nearest_centroid: argmax cell, ties to highest index, shape errors loud") {
     // 2 cells of dim 2: cell 0 = (1,0), cell 1 = (0,1)
     val m = "array(1.0F, 0.0F, 0.0F, 1.0F)"

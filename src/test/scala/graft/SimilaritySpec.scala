@@ -396,6 +396,86 @@ class SimilaritySpec extends SparkSpec {
       s"sample training collapsed PQ recall: $samplePq vs $fullPq")
   }
 
+  test("metric knob (VERDICT r11 #5): l2 and ip rankings differ from " +
+    "cosine where they must, and the full IVFADC lifecycle keeps recall " +
+    "per metric on a clustered corpus") {
+    import spark.implicits._
+    import graft.api.AnnApi
+    // clustered corpus with VARIED NORMS so the metrics genuinely disagree:
+    // scaling a vector changes ip ordering, leaves cosine ordering alone
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0L until 512L).map { id =>
+      val c = centers((id % 16).toInt)
+      val scale = 0.5 + (id % 7).toDouble / 3.0
+      (id, (0 until 64).map(j =>
+        (scale * (c(j) + 0.3 * rnd.nextGaussian())).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def topIds(metric: String): Map[Long, Seq[Long]] =
+      AnnApi.bruteTopK(corpus, queries, 10, excludeSelf = true,
+          metric = metric)
+        .collect().groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q ->
+          rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vid")).toSeq }
+    val cosT = topIds("cosine"); val l2T = topIds("l2"); val ipT = topIds("ip")
+    // on varied-norm data the three objectives cannot all coincide
+    assert(cosT != ipT, "ip ranking identical to cosine on varied norms")
+    assert(cosT != l2T, "l2 ranking identical to cosine on varied norms")
+    // l2 score column is the NEGATED distance: top-1 of a corpus query is
+    // a same-cluster vector at small distance, score close to 0 from below
+    val l2Top = AnnApi.bruteTopK(corpus, queries, 3, excludeSelf = true,
+      metric = "l2").collect()
+    assert(l2Top.forall(_.getAs[Double]("cos") <= 0.0),
+      "l2 scores must be negated distances")
+    // full lifecycle per metric: train -> encode -> store -> serve, recall
+    // vs that metric's own brute-force truth. For cosine the documented
+    // contract applies: ADC scores inner products of reconstructions, so
+    // varied-norm embeddings are L2-normalized before indexing (cosine is
+    // scale-invariant — the truth is unchanged; the serve becomes exact-
+    // objective). l2/ip index the raw vectors.
+    graft.functions.GraftFunctions.register(spark)
+    val unitCorpus = corpus.select(col("vec_id"),
+      expr("l2_normalize(embedding)").cast("array<float>").as("embedding"))
+    val unitQueries = queries.select(col("qid"),
+      expr("l2_normalize(qv)").cast("array<float>").as("qv"))
+    Seq("cosine", "l2", "ip").foreach { metric =>
+      val idxCorpus = if (metric == "cosine") unitCorpus else corpus
+      val servQueries = if (metric == "cosine") unitQueries else queries
+      val c = AnnApi.trainIvf(idxCorpus, cells = 16, iters = 2, metric = metric)
+      val books = AnnApi.trainPq(idxCorpus, dim = 64, segments = 8,
+        codebook = 32, iters = 2)
+      val index = AnnApi.encodeIndex(idxCorpus, c, books, segments = 8,
+        metric = metric)
+      val path = s"target/metric_knob_index_$metric"
+      AnnApi.writeIndex(index, path)
+      val served = AnnApi.serveFromStore(servQueries, path, c, books,
+        nprobe = 8, segments = 8, excludeSelf = true, metric = metric)
+        .collect().groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+      val truth = topIds(metric)
+      val recall = truth.map { case (q, t) =>
+        served.getOrElse(q, Set.empty).count(t.toSet).toDouble / t.size
+      }.sum / truth.size
+      info(f"$metric%6s IVFADC recall@10 = $recall%.3f")
+      assert(recall >= 0.4, s"$metric lifecycle recall $recall < 0.4")
+    }
+    // inline and kernel assignment agree under every metric (the codegen
+    // chain and the fused loop share semantics beyond cosine)
+    val cents = Similarity.ivfQuantizerOn(corpus, iters = 0, cells = 16)
+    Seq("cosine", "l2", "ip").foreach { metric =>
+      val inline = Similarity.assignTo(corpus, cents,
+        inlineMaxCells = 64, metric = metric)
+        .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val kernel = Similarity.assignTo(corpus, cents,
+        inlineMaxCells = 2, metric = metric)
+        .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(inline == kernel, s"inline vs kernel assignment drifted: $metric")
+    }
+  }
+
   test("IVFADC at 64 cells: the composed tier works through the kernel " +
     "assignment path with recall in family of the default config") {
     val rows = Similarity.nIvfpqTopkWith(spark, sf01, 1,
