@@ -1,0 +1,357 @@
+package graft.operators
+
+import scala.util.Random
+
+/** Differential SQL fuzzer (VERDICT r11 #3): a deterministic generator of
+  * ANSI-portable queries over the shared TPC-H-ish schema, each runnable
+  * verbatim by BOTH Spark SQL and DuckDB so results can be hash-compared
+  * (the reference gets this breadth from sqllogictest — 113 JOB texts,
+  * thousands of slt rows; 248 hand-written oracle pairs prove the declared
+  * inventory, the fuzzer hunts the semantics nobody declared).
+  *
+  * Dialect discipline (SURVEY §4, the same house rules every oracle text
+  * follows):
+  *  - every computed column is ALIASED identically for both engines;
+  *  - every double-valued aggregate is round()ed (floats compare exact
+  *    after both sides' rounding; raw parquet doubles pass through
+  *    untouched and compare bit-equal);
+  *  - ordering never matters to the compare (the checker sorts rows), so
+  *    ORDER BY appears only where semantics need it — LIMIT/OFFSET pages
+  *    and window ORDER BY — and there it is TOTAL (unique key included);
+  *  - the vocabulary stays in the portable intersection: no engine
+  *    functions, no implicit casts, no integer division, no NULL-order
+  *    sensitivity.
+  *
+  * Everything is a pure function of the seed: same seed → same SQL texts →
+  * (static testdata) same results, so a green run is reproducible, and a
+  * divergence is a minimal repro by construction. FuzzSpec runs ≥500
+  * shapes against DuckDB via scripts/fuzz_check.py.
+  */
+object Fuzz {
+
+  final case class Q(name: String, sql: String)
+
+  // ------------------------------------------------------------ table model
+  private case class T(
+      name: String,
+      uniqueKey: Option[String],
+      ints: Seq[(String, Int)], // (column, rough max at sf0.001)
+      doubles: Seq[(String, Double, Double)], // (column, lo, hi)
+      strs: Seq[(String, Seq[String])], // (column, known values)
+      ts: Seq[String])
+
+  private val orders = T("orders", Some("o_orderkey"),
+    Seq(("o_orderkey", 1400), ("o_custkey", 140)),
+    Seq(("o_totalprice", 2000.0, 450000.0)),
+    Seq(("o_orderstatus", Seq("O", "F", "P")),
+      ("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))),
+    Seq("o_orderdate"))
+
+  private val customer = T("customer", Some("c_custkey"),
+    Seq(("c_custkey", 140), ("c_nationkey", 24)),
+    Seq(("c_acctbal", -500.0, 9500.0)),
+    Seq(("c_mktsegment", Seq("MACHINERY", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "AUTOMOBILE"))),
+    Seq.empty)
+
+  private val lineitem = T("lineitem", None,
+    Seq(("l_orderkey", 1400), ("l_partkey", 190), ("l_suppkey", 9),
+      ("l_linenumber", 6)),
+    Seq(("l_quantity", 1.0, 50.0), ("l_extendedprice", 1000.0, 100000.0),
+      ("l_discount", 0.0, 0.1)),
+    Seq(("l_returnflag", Seq("R", "N", "A")),
+      ("l_linestatus", Seq("O", "F"))),
+    Seq("l_shipdate"))
+
+  private val part = T("part", Some("p_partkey"),
+    Seq(("p_partkey", 190), ("p_size", 48)),
+    Seq(("p_retailprice", 901.0, 919.0)),
+    Seq(("p_brand", Seq("Brand#1", "Brand#12", "Brand#23", "Brand#34",
+      "Brand#45")),
+      ("p_type", Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+        "STANDARD"))),
+    Seq.empty)
+
+  private val supplier = T("supplier", Some("s_suppkey"),
+    Seq(("s_suppkey", 9), ("s_nationkey", 24)),
+    Seq(("s_acctbal", 600.0, 6000.0)),
+    Seq.empty,
+    Seq.empty)
+
+  private val nation = T("nation", Some("n_nationkey"),
+    Seq(("n_nationkey", 24), ("n_regionkey", 4)),
+    Seq.empty,
+    Seq(("n_name", Seq("NATION_0", "NATION_1", "NATION_7", "NATION_12",
+      "NATION_23"))),
+    Seq.empty)
+
+  private val tables = Seq(orders, customer, lineitem, part, supplier, nation)
+
+  /** FK join edges: (left table, left col, right table, right col). */
+  private val joins = Seq(
+    (orders, "o_custkey", customer, "c_custkey"),
+    (lineitem, "l_orderkey", orders, "o_orderkey"),
+    (lineitem, "l_partkey", part, "p_partkey"),
+    (lineitem, "l_suppkey", supplier, "s_suppkey"),
+    (customer, "c_nationkey", nation, "n_nationkey"),
+    (supplier, "s_nationkey", nation, "n_nationkey"))
+
+  // ------------------------------------------------------------- predicates
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  private def intPred(r: Random, col: String, max: Int): String =
+    r.nextInt(3) match {
+      case 0 => s"$col % ${2 + r.nextInt(6)} = ${r.nextInt(2)}"
+      case 1 => s"$col < ${1 + r.nextInt(math.max(1, max))}"
+      case _ =>
+        val a = r.nextInt(math.max(1, max / 2))
+        s"$col BETWEEN $a AND ${a + 1 + r.nextInt(math.max(1, max / 2))}"
+    }
+
+  private def dblPred(r: Random, col: String, lo: Double, hi: Double): String = {
+    val q = lo + (hi - lo) * (0.2 + 0.6 * r.nextDouble())
+    val lit = f"$q%.2f"
+    if (r.nextBoolean()) s"$col > $lit" else s"$col <= $lit"
+  }
+
+  private def strPred(r: Random, col: String, vals: Seq[String]): String =
+    r.nextInt(3) match {
+      case 0 => s"$col = '${pick(r, vals)}'"
+      case 1 =>
+        val k = 1 + r.nextInt(math.min(3, vals.size))
+        s"$col IN (${r.shuffle(vals).take(k).map(v => s"'$v'").mkString(", ")})"
+      case _ => s"$col LIKE '${pick(r, vals).take(1 + r.nextInt(3))}%'"
+    }
+
+  private def tsPred(r: Random, col: String): String = {
+    val y = 1995 + r.nextInt(6)
+    val m = 1 + r.nextInt(12)
+    val op = if (r.nextBoolean()) ">=" else "<"
+    f"$col $op TIMESTAMP '$y%04d-$m%02d-01 00:00:00'"
+  }
+
+  /** One random predicate on any column class the table has. */
+  private def anyPred(r: Random, t: T, alias: String = ""): String = {
+    val p = if (alias.isEmpty) "" else s"$alias."
+    val choices = Seq.newBuilder[() => String]
+    t.ints.foreach { case (c, mx) => choices += (() => intPred(r, p + c, mx)) }
+    t.doubles.foreach { case (c, lo, hi) =>
+      choices += (() => dblPred(r, p + c, lo, hi)) }
+    t.strs.foreach { case (c, vs) => choices += (() => strPred(r, p + c, vs)) }
+    t.ts.foreach { c => choices += (() => tsPred(r, p + c)) }
+    pick(r, choices.result())()
+  }
+
+  private def wherePreds(r: Random, t: T, alias: String = ""): String = {
+    val n = 1 + r.nextInt(2)
+    (0 until n).map(_ => anyPred(r, t, alias))
+      .mkString(if (r.nextInt(4) == 0) " OR " else " AND ")
+  }
+
+  // ------------------------------------------------------------- aggregates
+  /** Aggregate select-list items (beyond count(*) which is always present).
+    *
+    * DIALECT TRAP (found by this fuzzer, seed 20260814 shape fz_0208, kept
+    * out of the vocabulary like srt_nulls/f_cast): `round(avg(money), 2)`
+    * diverges when the true average lands EXACTLY on a decimal half —
+    * avg(10681.87 / 2) = 5340.935 stores as 5340.93499…95, Spark's HALF_UP
+    * on the double gives .93 while DuckDB gives .94. SUMS of 2-decimal
+    * money values are boundary-safe (the true sum has 2 decimals, so ulp
+    * noise cannot reach a .005 boundary) and stay in the pool; averages
+    * produce arbitrary decimals including exact halves and are excluded —
+    * a caller who needs a cross-engine-stable mean ships sum and count. */
+  private def aggs(r: Random, t: T, alias: String = ""): Seq[String] = {
+    val p = if (alias.isEmpty) "" else s"$alias."
+    val pool = Seq.newBuilder[String]
+    t.doubles.foreach { case (c, _, _) =>
+      pool += s"round(sum($p$c), 2) AS sum_${c.drop(2)}"
+      pool += s"min($p$c) AS min_${c.drop(2)}"
+      pool += s"max($p$c) AS max_${c.drop(2)}"
+    }
+    t.ints.foreach { case (c, _) =>
+      pool += s"count(DISTINCT $p$c) AS nd_${c.drop(2)}"
+      pool += s"max($p$c) AS mx_${c.drop(2)}"
+    }
+    t.strs.foreach { case (c, _) =>
+      pool += s"min($p$c) AS lo_${c.drop(2)}"
+    }
+    val all = r.shuffle(pool.result())
+    all.take(1 + r.nextInt(math.min(3, all.size)))
+  }
+
+  private def groupCol(r: Random, t: T, alias: String = ""): (String, String) = {
+    val p = if (alias.isEmpty) "" else s"$alias."
+    val opts = Seq.newBuilder[(String, String)]
+    t.strs.foreach { case (c, _) => opts += (s"$p$c" -> c) }
+    t.ints.foreach { case (c, _) =>
+      opts += (s"$p$c % ${3 + r.nextInt(5)}" -> s"grp_${c.drop(2)}") }
+    t.ts.foreach { c =>
+      opts += (s"extract(year FROM $p$c)" -> s"yr_${c.drop(2)}") }
+    pick(r, opts.result())
+  }
+
+  // ----------------------------------------------------------------- shapes
+  private def shapeAgg(r: Random, t: T): String = {
+    val (gExpr, gName) = groupCol(r, t)
+    val extra = aggs(r, t)
+    val having = if (r.nextInt(3) == 0) s"\nHAVING count(*) > ${1 + r.nextInt(5)}" else ""
+    s"""SELECT $gExpr AS $gName, count(*) AS n,
+       |       ${extra.mkString(",\n       ")}
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}
+       |GROUP BY 1$having""".stripMargin
+  }
+
+  private def shapeDistinct(r: Random, t: T): String = {
+    val cols = r.shuffle(
+      t.strs.map(_._1) ++ t.ints.map(i => s"${i._1} % ${2 + r.nextInt(5)}"))
+      .take(2).zipWithIndex.map { case (e, i) => s"$e AS d$i" }
+    s"""SELECT DISTINCT ${cols.mkString(", ")}
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}""".stripMargin
+  }
+
+  private def shapeJoinAgg(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins)
+    val (gExpr, gName) = if (r.nextBoolean()) groupCol(r, rt, "b")
+                         else groupCol(r, lt, "a")
+    val extra = aggs(r, lt, "a")
+    s"""SELECT $gExpr AS $gName, count(*) AS n,
+       |       ${extra.mkString(",\n       ")}
+       |FROM ${lt.name} a
+       |JOIN ${rt.name} b ON a.$lc = b.$rc
+       |WHERE ${wherePreds(r, lt, "a")}
+       |  AND ${wherePreds(r, rt, "b")}
+       |GROUP BY 1""".stripMargin
+  }
+
+  private def shapeThreeJoin(r: Random): String = {
+    // lineitem -> orders -> customer: the hub chain
+    val (gExpr, gName) = groupCol(r, customer, "c")
+    s"""SELECT $gExpr AS $gName, count(*) AS n,
+       |       round(sum(l.l_extendedprice), 2) AS rev,
+       |       count(DISTINCT o.o_orderkey) AS nd_ord
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE ${wherePreds(r, lineitem, "l")}
+       |  AND ${wherePreds(r, orders, "o")}
+       |GROUP BY 1""".stripMargin
+  }
+
+  private def shapeWindow(r: Random): String = {
+    val t = pick(r, Seq(orders, customer, part, supplier))
+    val key = t.uniqueKey.get
+    val (s, _) = pick(r, t.strs.map(x => (x._1, x._1)) ++
+      t.ints.map(i => (s"${i._1} % ${3 + r.nextInt(4)}", i._1)))
+    val (d, _, _) = pick(r, t.doubles)
+    val j = 1 + r.nextInt(4)
+    if (r.nextBoolean())
+      s"""SELECT key, part_of, rn FROM (
+         |  SELECT $key AS key, $s AS part_of,
+         |         row_number() OVER (PARTITION BY $s
+         |           ORDER BY round($d, 2) DESC, $key) AS rn
+         |  FROM ${t.name}
+         |  WHERE ${wherePreds(r, t)}) x
+         |WHERE rn <= $j""".stripMargin
+    else
+      s"""SELECT $key AS key,
+         |       round(sum($d) OVER (PARTITION BY $s ORDER BY $key
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rsum
+         |FROM ${t.name}
+         |WHERE ${wherePreds(r, t)}""".stripMargin
+  }
+
+  private def shapeSetop(r: Random, t: T): String = {
+    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+    val cols = (t.strs.map(_._1) ++
+      t.ints.map(i => s"${i._1} % ${2 + r.nextInt(4)}"))
+    val proj = r.shuffle(cols).take(2).zipWithIndex
+      .map { case (e, i) => s"$e AS c$i" }.mkString(", ")
+    s"""SELECT $proj FROM ${t.name} WHERE ${wherePreds(r, t)}
+       |$op
+       |SELECT $proj FROM ${t.name} WHERE ${wherePreds(r, t)}""".stripMargin
+  }
+
+  private def shapeInSub(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins)
+    val (gExpr, gName) = groupCol(r, lt)
+    val neg = if (r.nextInt(3) == 0) "NOT " else ""
+    s"""SELECT $gExpr AS $gName, count(*) AS n
+       |FROM ${lt.name}
+       |WHERE $lc ${neg}IN (SELECT $rc FROM ${rt.name}
+       |                WHERE ${wherePreds(r, rt)})
+       |GROUP BY 1""".stripMargin
+  }
+
+  private def shapeScalarSub(r: Random, t: T): String = {
+    val (d, _, _) = pick(r, t.doubles)
+    val (gExpr, gName) = groupCol(r, t)
+    // "above the mean" spelled boundary-safely: d > avg ⟺ d·n > sum, and
+    // round(sum, 2) is the exact decimal in both engines (see aggs note) —
+    // a rounded-avg threshold could flip rows on decimal halves
+    s"""SELECT $gExpr AS $gName, count(*) AS n, round(sum($d), 2) AS s
+       |FROM ${t.name}
+       |WHERE $d * (SELECT count(*) FROM ${t.name})
+       |      > (SELECT round(sum($d), 2) FROM ${t.name})
+       |GROUP BY 1""".stripMargin
+  }
+
+  private def shapeCase(r: Random, t: T): String = {
+    val pred = anyPred(r, t)
+    val extra = aggs(r, t)
+    s"""SELECT CASE WHEN $pred THEN 'hit' ELSE 'miss' END AS band,
+       |       count(*) AS n,
+       |       ${extra.mkString(",\n       ")}
+       |FROM ${t.name}
+       |GROUP BY 1""".stripMargin
+  }
+
+  private def shapePage(r: Random): String = {
+    val t = pick(r, Seq(orders, customer, part, supplier))
+    val key = t.uniqueKey.get
+    val cols = Seq(key) ++ t.strs.headOption.map(_._1) ++
+      t.doubles.headOption.map(_._1)
+    val lim = 5 + r.nextInt(20)
+    val off = r.nextInt(50)
+    s"""SELECT ${cols.mkString(", ")}
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}
+       |ORDER BY ${cols.mkString(", ")}
+       |LIMIT $lim OFFSET $off""".stripMargin
+  }
+
+  private def shapeStrFns(r: Random, t: T): String = {
+    val (s, _) = pick(r, t.strs)
+    s"""SELECT upper($s) AS u, substr($s, 1, ${1 + r.nextInt(4)}) AS pfx,
+       |       length($s) AS len, count(*) AS n
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  // --------------------------------------------------------------- generate
+  /** `n` deterministic queries for `seed`. Pure: no I/O, no global state. */
+  def generate(seed: Long, n: Int): Seq[Q] = {
+    val r = new Random(seed)
+    val withStrs = tables.filter(_.strs.nonEmpty)
+    val withDbls = tables.filter(_.doubles.nonEmpty)
+    (0 until n).map { i =>
+      val sql = r.nextInt(10) match {
+        case 0 => shapeAgg(r, pick(r, withDbls))
+        case 1 => shapeDistinct(r, pick(r, withStrs))
+        case 2 => shapeJoinAgg(r)
+        case 3 => shapeThreeJoin(r)
+        case 4 => shapeWindow(r)
+        case 5 => shapeSetop(r, pick(r, withStrs))
+        case 6 => shapeInSub(r)
+        case 7 => shapeScalarSub(r, pick(r, withDbls))
+        case 8 => shapeCase(r, pick(r, withDbls))
+        case _ => if (r.nextBoolean()) shapePage(r)
+                  else shapeStrFns(r, pick(r, withStrs))
+      }
+      Q(f"fz_$i%04d", sql)
+    }
+  }
+}
