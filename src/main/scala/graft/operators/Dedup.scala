@@ -330,8 +330,16 @@ object Dedup {
     * file counts sane locally; a 100 TB index wants O(cluster cores). */
   val PostingsBuckets = 64
 
-  private def postingsTable(path: String): String = {
-    val abs = new java.io.File(path).getAbsolutePath
+  /** Fully-qualified URI of the index root — via the Hadoop FileSystem
+    * API, not java.io (round 12, same deployability rule as the COW
+    * machinery: a 100 TB index lives on HDFS/S3, where java.io.File would
+    * mangle the scheme; local scheme-less paths qualify to file:/…). */
+  private def indexUri(spark: SparkSession, path: String): String =
+    graft.sources.Fs.of(spark, path)
+      .makeQualified(new org.apache.hadoop.fs.Path(path)).toString
+
+  private def postingsTable(spark: SparkSession, path: String): String = {
+    val abs = indexUri(spark, path)
     // hash + sanitized tail: the tail keeps two different index paths
     // from colliding into one catalog name even on a hashCode collision
     val tail = abs.replaceAll("[^A-Za-z0-9]", "_").takeRight(32)
@@ -346,10 +354,13 @@ object Dedup {
     * re-declaration a later serve session would find data but no table
     * (caught by ServeProfile during the round-11 stress runs). */
   private def ensurePostingsTable(spark: SparkSession, path: String): String = {
-    val t = postingsTable(path)
-    val loc = new java.io.File(path, "postings").getAbsolutePath
+    val t = postingsTable(spark, path)
+    val fs = graft.sources.Fs.of(spark, path)
+    val locPath = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(path, "postings"))
+    val loc = locPath.toString
     // loud, not an empty table: a typo'd path must not serve zero pairs
-    require(new java.io.File(loc).exists(),
+    require(fs.exists(locPath),
       s"no stored postings at $loc — run minhashIndexWrite first")
     if (!spark.catalog.tableExists(t))
       spark.sql(
@@ -379,7 +390,7 @@ object Dedup {
     val spark = sh.sparkSession
     val p = persistShingles(sh)
     p.write.mode("overwrite").parquet(s"$path/shingles")
-    spark.sql(s"DROP TABLE IF EXISTS ${postingsTable(path)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${postingsTable(spark, path)}")
     // bucket columns = the delta join's EXACT key set (band_id, band_hash):
     // Spark only treats the bucketed side as pre-distributed when the
     // equi-join keys match the bucket spec, so a band_hash-only bucketing
@@ -387,8 +398,9 @@ object Dedup {
     sigBands(p).write.format("parquet").mode("overwrite")
       .bucketBy(PostingsBuckets, "band_id", "band_hash")
       .sortBy("band_id", "band_hash")
-      .option("path", new java.io.File(path, "postings").getAbsolutePath)
-      .saveAsTable(postingsTable(path))
+      .option("path", graft.sources.Fs.of(spark, path).makeQualified(
+        new org.apache.hadoop.fs.Path(path, "postings")).toString)
+      .saveAsTable(postingsTable(spark, path))
   }
 
   /** Delta dedup against the STORED index: no base-side shingling or

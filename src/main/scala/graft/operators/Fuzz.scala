@@ -322,6 +322,76 @@ object Fuzz {
        |LIMIT $lim OFFSET $off""".stripMargin
   }
 
+  private def shapeLeftJoin(r: Random): String = {
+    // LEFT joins exercise NULL production: the right side is pre-filtered
+    // in a derived table (a WHERE on the outer query would re-inner it);
+    // count(b-col) vs count(*) pins the matched/unmatched split
+    val (lt, lc, rt, rc) = pick(r, joins)
+    val (gExpr, gName) = groupCol(r, lt, "a")
+    s"""SELECT $gExpr AS $gName, count(*) AS n, count(b.$rc) AS matched
+       |FROM ${lt.name} a
+       |LEFT JOIN (SELECT $rc FROM ${rt.name}
+       |           WHERE ${wherePreds(r, rt)}) b ON a.$lc = b.$rc
+       |WHERE ${wherePreds(r, lt, "a")}
+       |GROUP BY 1""".stripMargin
+  }
+
+  private def shapeFullJoin(r: Random, t: T): String = {
+    // FULL OUTER between two filtered projections of one table: NULLs on
+    // both sides, coalesced key, raw measure columns pass through
+    val key = t.uniqueKey.get
+    val (d, _, _) = pick(r, t.doubles)
+    s"""SELECT coalesce(x.k, y.k) AS k, x.va AS va, y.vb AS vb
+       |FROM (SELECT $key AS k, $d AS va FROM ${t.name}
+       |      WHERE ${wherePreds(r, t)}) x
+       |FULL JOIN (SELECT $key AS k, $d AS vb FROM ${t.name}
+       |           WHERE ${wherePreds(r, t)}) y ON x.k = y.k""".stripMargin
+  }
+
+  private def shapeCte(r: Random, t: T): String = {
+    val (gExpr, gName) = groupCol(r, t)
+    val (d, _, _) = pick(r, t.doubles)
+    s"""WITH f AS (SELECT * FROM ${t.name} WHERE ${wherePreds(r, t)}),
+       |     g AS (SELECT $gExpr AS $gName, count(*) AS n,
+       |                  round(sum($d), 2) AS s
+       |           FROM f GROUP BY 1)
+       |SELECT $gName, n, s FROM g WHERE n > ${r.nextInt(4)}""".stripMargin
+  }
+
+  private def shapeExists(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins)
+    val (gExpr, gName) = groupCol(r, lt, "a")
+    val neg = if (r.nextInt(3) == 0) "NOT " else ""
+    s"""SELECT $gExpr AS $gName, count(*) AS n
+       |FROM ${lt.name} a
+       |WHERE ${neg}EXISTS (SELECT 1 FROM ${rt.name} b
+       |              WHERE b.$rc = a.$lc AND ${wherePreds(r, rt, "b")})
+       |GROUP BY 1""".stripMargin
+  }
+
+  private def shapeRollup(r: Random, t: T): String = {
+    // ROLLUP produces NULL group labels — the subtotal semantics both
+    // engines must agree on (incl. the grand-total row).
+    //
+    // DIALECT TRAP #2 (found by this fuzzer, shapes fz_0075/fz_0526 of
+    // seed 20260814 before the guard): over an EMPTY filtered input,
+    // DuckDB emits the grand-total `()` grouping-set row with count 0 —
+    // the SQL-standard reading, since GROUP BY () over empty input is one
+    // row like a bare aggregate — while Spark returns NO rows. The
+    // `HAVING count(*) > 0` below is a no-op on non-empty input (every
+    // rollup row aggregates ≥1 source row) and removes exactly the
+    // divergent empty-input row, so the shape keeps testing the subtotal
+    // semantics without tripping the engine gap.
+    val (s1, _) = pick(r, t.strs)
+    val (s2loop, _) = pick(r, t.strs.filter(_._1 != s1) ++
+      t.ints.map(i => (s"${i._1} % ${2 + r.nextInt(4)}", i._1)))
+    s"""SELECT $s1 AS g1, $s2loop AS g2, count(*) AS n
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}
+       |GROUP BY ROLLUP($s1, $s2loop)
+       |HAVING count(*) > 0""".stripMargin
+  }
+
   private def shapeStrFns(r: Random, t: T): String = {
     val (s, _) = pick(r, t.strs)
     s"""SELECT upper($s) AS u, substr($s, 1, ${1 + r.nextInt(4)}) AS pfx,
@@ -337,8 +407,9 @@ object Fuzz {
     val r = new Random(seed)
     val withStrs = tables.filter(_.strs.nonEmpty)
     val withDbls = tables.filter(_.doubles.nonEmpty)
+    val fullable = Seq(orders, customer, part, supplier)
     (0 until n).map { i =>
-      val sql = r.nextInt(10) match {
+      val sql = r.nextInt(15) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -348,6 +419,11 @@ object Fuzz {
         case 6 => shapeInSub(r)
         case 7 => shapeScalarSub(r, pick(r, withDbls))
         case 8 => shapeCase(r, pick(r, withDbls))
+        case 9 => shapeLeftJoin(r)
+        case 10 => shapeFullJoin(r, pick(r, fullable))
+        case 11 => shapeCte(r, pick(r, withDbls))
+        case 12 => shapeExists(r)
+        case 13 => shapeRollup(r, pick(r, withStrs))
         case _ => if (r.nextBoolean()) shapePage(r)
                   else shapeStrFns(r, pick(r, withStrs))
       }
