@@ -47,7 +47,19 @@ object GraftFunctions {
     "nearest_centroid" -> (c =>
       if (c.length > 3) NearestCentroid(c(0), c(1), c(2), c(3))
       else NearestCentroid(c(0), c(1), c(2))),
-    "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()))
+    "topk_pairs" -> (c => TopKPairs(c(0), c(1), c(2)).toAggregateExpression()),
+    // Spark's OWN bloom-filter pair (catalyst .aggregate.BloomFilterAggregate
+    // / BloomFilterMightContain — the machinery behind runtime row-group
+    // filters), registered under graft names because Spark keeps them
+    // internal: the membership sketch the d_bloom_delta ingest gate builds
+    // over corpus content hashes. No new kernel code — reusing the engine's
+    // battle-tested implementation is the Spark-first move.
+    "bloom_filter_agg" -> (c =>
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c(0), c(1), c(2), 0, 0).toAggregateExpression()),
+    "bloom_might_contain" -> (c =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(c(0), c(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

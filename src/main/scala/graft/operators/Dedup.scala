@@ -637,6 +637,67 @@ object Dedup {
       |GROUP BY h
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ d_bloom_delta
+  /** Bloom-prefiltered ingest dedup — d_incremental's semantics with the
+    * 100 TB corpus side collapsed to a ~1 MB MEMBERSHIP SKETCH: the corpus
+    * contributes ONE partial-aggregated pass building a bloom filter over
+    * xxhash64(text) (Spark's own BloomFilterAggregate — the runtime-filter
+    * machinery, registered as graft `bloom_filter_agg`), and the batch is
+    * split by `bloom_might_contain` against the broadcast blob:
+    *  - bloom-NEGATIVES are provably new (no false negatives) and are
+    *    admitted with ZERO join work — on a mostly-fresh daily feed that
+    *    is most of the batch;
+    *  - bloom-POSITIVES (true dups + the configured false-positive
+    *    fraction) take the exact sha256 anti-join, but only THEY do —
+    *    the join's corpus side still reduces to hashes as in
+    *    d_incremental, while the batch side shrinks to the positive
+    *    sliver.
+    * The final answer is EXACT (the bloom only routes work), so the gate
+    * hash-checks it against the same anti-join oracle as d_incremental —
+    * approximation in the plan, none in the result. The blob is collected
+    * once (a model value, like the IVF centroids: ~1 MB at the configured
+    * 8M bits / 1M items ≈ 0.02% FP at corpus 10⁵, sized for the gate; a
+    * 100 TB deployment sizes bits ≈ 10–15 × corpus count and still holds
+    * ~GBs, or shards the sketch by hash prefix). */
+  def dBloomDelta(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = docs(spark, dir).select(col("doc_id"), col("text"))
+    val resent = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val fresh = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+    val freshDup = corpus.filter(col("doc_id") % 14 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+    val batch = resent.union(fresh).union(freshDup)
+    // the sketch: one corpus pass, ~1 MB blob on the driver (model value);
+    // might_contain requires a LITERAL/scalar sketch, hence the collect
+    val blob = corpus
+      .agg(call_function("bloom_filter_agg", xxhash64(col("text")),
+        lit(1000000L), lit(8388608L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val flagged = batch.withColumn("maybe",
+      call_function("bloom_might_contain", lit(blob), xxhash64(col("text"))))
+    val negatives = flagged.filter(!col("maybe")).select("doc_id", "text")
+    val positives = flagged.filter(col("maybe")).select("doc_id", "text")
+    val corpusHashes = corpus
+      .select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+    val positivesNew = positives
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .select("doc_id", "text")
+    negatives.union(positivesNew)
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Same oracle semantics as d_incremental: the bloom routes work, the
+    * answer is the exact anti-join. */
+  val dBloomDeltaSql: String = dIncrementalSql
+
   // ----------------------------------------------------------- x_fingerprint
   /** 64-bit rolling fingerprint: a seeded-hash chain
     * fp_i = xxh64(w_i, seed = fp_{i-1}) — order-sensitive (unlike the shingle
@@ -961,9 +1022,10 @@ object Dedup {
     "d_ngram_jaccard" -> (dNgramJaccard _), "d_simhash" -> (dSimhash _),
     "d_embed_dup" -> (dEmbedDup _), "d_semantic" -> (dSemantic _),
     "x_fingerprint" -> (xFingerprint _),
-    "d_incremental" -> (dIncremental _))
+    "d_incremental" -> (dIncremental _), "d_bloom_delta" -> (dBloomDelta _))
 
   val oracle: Map[String, String] = Map("d_exact" -> dExactSql,
-    "d_incremental" -> dIncrementalSql, "d_lines" -> dLinesSql,
+    "d_incremental" -> dIncrementalSql, "d_bloom_delta" -> dBloomDeltaSql,
+    "d_lines" -> dLinesSql,
     "d_soft" -> dSoftSql, "d_url" -> dUrlSql)
 }

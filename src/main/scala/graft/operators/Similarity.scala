@@ -170,6 +170,39 @@ object Similarity {
        |      FROM scored)
        |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
+  // ------------------------------------------------- n_l2_topk / n_ip_topk
+  /** The metric knob's OWN oracle-checked entries (round 12): exact top-k
+    * under l2 and inner-product, hash-verified against DuckDB's native
+    * `list_distance` / `list_inner_product` — so the metric tier is gated
+    * by a second engine, not only by the recall specs. Score column stays
+    * `cos` (higher-is-closer; l2 = negated distance) per the tier-wide
+    * convention. */
+  def nL2Topk(spark: SparkSession, dir: String): DataFrame =
+    bruteTopk(emb(spark, dir), queriesDf(spark, dir), K,
+      excludeSelf = true, metric = "l2")
+
+  def nIpTopk(spark: SparkSession, dir: String): DataFrame =
+    bruteTopk(emb(spark, dir), queriesDf(spark, dir), K,
+      excludeSelf = true, metric = "ip")
+
+  private def bruteMetricSql(scoreExpr: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS vid,
+       |         round($scoreExpr, 6) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> qid)
+       |SELECT qid, vid, cos, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+       |      FROM scored)
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  val nL2TopkSql: String =
+    bruteMetricSql("-list_distance(CAST(e.embedding AS DOUBLE[]), qv)")
+
+  val nIpTopkSql: String =
+    bruteMetricSql("list_inner_product(CAST(e.embedding AS DOUBLE[]), qv)")
+
   // ---------------------------------------------------------- LSH machinery
   /** Sign-bit signature w.r.t. fixed splitmix64-derived hyperplanes → int
     * bucket, via the native `hyperplane_sign_bits` kernel (the round-1
@@ -1037,6 +1070,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_brute_topk" -> (nBruteTopk _), "n_lsh_topk" -> (nLshTopk _),
+    "n_l2_topk" -> (nL2Topk _), "n_ip_topk" -> (nIpTopk _),
     "n_ivf_topk" -> (nIvfTopk _), "n_ivf_big" -> (nIvfBig _),
     "n_quant_topk" -> (nQuantTopk _),
     "n_pq_topk" -> (nPqTopk _), "n_ivfpq_topk" -> (nIvfpqTopk _),
@@ -1045,6 +1079,7 @@ object Similarity {
     "e_normalize" -> (eNormalize _), "e_quantize" -> (eQuantize _))
 
   val oracle: Map[String, String] = Map("n_brute_topk" -> nBruteTopkSql,
+    "n_l2_topk" -> nL2TopkSql, "n_ip_topk" -> nIpTopkSql,
     "n_range_search" -> nRangeSearchSql, "n_rrf_hybrid" -> nRrfHybridSql,
     "e_normalize" -> eNormalizeSql, "e_quantize" -> eQuantizeSql)
 }

@@ -342,4 +342,33 @@ class DedupSpec extends SparkSpec {
     assert(planted.filter(col("weight") > 0.5).count() == 0,
       "planted copies can never carry more than half weight")
   }
+
+  test("d_bloom_delta: bloom routing changes the plan, not the answer — " +
+    "result identical to d_incremental, and the sketch genuinely splits " +
+    "the planted batch") {
+    val bloom = Dedup.dBloomDelta(spark, sf).collect().toSeq
+    val exact = Dedup.dIncremental(spark, sf).collect().toSeq
+    assert(bloom == exact, "bloom-prefiltered admission diverged from exact")
+    // the sketch must do real routing on the planted batch: resent docs
+    // are bloom-positive (no false negatives ⇒ every true dup flags), and
+    // at 0.02% FP the ' fresh' docs are overwhelmingly bloom-negative
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val blob = corpus.agg(org.apache.spark.sql.functions.call_function(
+        "bloom_filter_agg", xxhash64(col("text")), lit(1000000L),
+        lit(8388608L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    def flags(d: org.apache.spark.sql.DataFrame) = d.withColumn("maybe",
+      org.apache.spark.sql.functions.call_function("bloom_might_contain",
+        lit(blob), xxhash64(col("text"))))
+    val resent = flags(corpus.filter(col("doc_id") % 10 === 0))
+    assert(resent.filter(!col("maybe")).count() == 0,
+      "a true duplicate was bloom-negative — the filter has false negatives?!")
+    val freshFlags = flags(corpus.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" fresh"))))
+    val fpRate = freshFlags.filter(col("maybe")).count().toDouble /
+      math.max(1L, freshFlags.count())
+    assert(fpRate < 0.05,
+      f"bloom false-positive rate $fpRate%.3f — the prefilter routes nothing")
+  }
 }
