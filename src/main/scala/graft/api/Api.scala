@@ -145,6 +145,21 @@ object DedupApi {
     clusters(minhashPairs(docs, minJaccard, idCol, textCol,
       persistIntermediate))
 
+  /** Bloom-prefiltered ingest admission (the d_bloom_delta core): rows of
+    * `batch` whose text is genuinely new against `corpus`, one survivor
+    * (min id) per distinct batch text — returned as (doc_id, text) in the
+    * canonical names. The corpus collapses to a ~numBits/8-byte membership
+    * sketch (Spark's BloomFilterAggregate): bloom-negatives admit with
+    * zero join work, only the positive sliver pays the exact anti-join —
+    * the answer is EXACT, the bloom only routes work. Size
+    * `numBits ≈ 10–15 × corpus count` for a sub-percent false-positive
+    * (= wasted-join) rate. */
+  def bloomAdmit(corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.bloomAdmitOn(canon(corpus, idCol, textCol),
+      canon(batch, idCol, textCol), expectedItems, numBits)
+
   /** Embedding-cosine near-dup pairs (sign-bit blocked, exact-verified
     * at `minCos`): (vec_a, vec_b, cos). */
   def embeddingDupPairs(vectors: DataFrame, minCos: Double,

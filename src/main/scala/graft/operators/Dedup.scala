@@ -660,7 +660,6 @@ object Dedup {
     * 100 TB deployment sizes bits ≈ 10–15 × corpus count and still holds
     * ~GBs, or shards the sketch by hash prefix). */
   def dBloomDelta(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
     val corpus = docs(spark, dir).select(col("doc_id"), col("text"))
     val resent = corpus.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
@@ -670,12 +669,25 @@ object Dedup {
     val freshDup = corpus.filter(col("doc_id") % 14 === 0)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         concat(col("text"), lit(" fresh")).as("text"))
-    val batch = resent.union(fresh).union(freshDup)
-    // the sketch: one corpus pass, ~1 MB blob on the driver (model value);
-    // might_contain requires a LITERAL/scalar sketch, hence the collect
+    bloomAdmitOn(corpus, resent.union(fresh).union(freshDup))
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Frame-based core (gate entry above; graft.api.DedupApi.bloomAdmit):
+    * rows of `batch` admitted as genuinely new against `corpus`, one
+    * survivor (min doc_id) per distinct batch text. Exact answer, bloom
+    * routing — see [[dBloomDelta]]'s Scaladoc for the shape. Sketch knobs
+    * follow the standard sizing rule bits ≈ 10–15 × expected corpus
+    * count. */
+  def bloomAdmitOn(corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // the sketch: one corpus pass, ~numBits/8 bytes on the driver (a model
+    // value); might_contain requires a LITERAL/scalar sketch, hence the
+    // collect
     val blob = corpus
       .agg(call_function("bloom_filter_agg", xxhash64(col("text")),
-        lit(1000000L), lit(8388608L)).as("bf"))
+        lit(expectedItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val flagged = batch.withColumn("maybe",
       call_function("bloom_might_contain", lit(blob), xxhash64(col("text"))))
@@ -689,9 +701,9 @@ object Dedup {
       .select("doc_id", "text")
     negatives.union(positivesNew)
       .withColumn("h", sha2(col("text").cast("binary"), 256))
-      .groupBy("h").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-      .orderBy("doc_id")
+      .groupBy("h").agg(min("doc_id").as("doc_id"),
+        first("text").as("text"))
+      .select("doc_id", "text")
   }
 
   /** Same oracle semantics as d_incremental: the bloom routes work, the

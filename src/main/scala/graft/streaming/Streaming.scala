@@ -116,14 +116,15 @@ object Streaming {
     * Partition discovery exposes batch_id AND cell to readers, so the
     * serve path's cell IN-filter still prunes the scan to probed cells
     * only; the epoch level just adds one directory depth. */
-  def ivfpqEpochAppend(out: String, c: DataFrame, books: Array[Double])
+  def ivfpqEpochAppend(out: String, c: DataFrame, books: Array[Double],
+      metric: String = "cosine")
       (batch: DataFrame, batchId: Long): Unit = {
     val fs = graft.sources.Fs.of(batch.sparkSession, out)
     val dir = fs.makeQualified(
       new org.apache.hadoop.fs.Path(out, s"batch_id=$batchId"))
     val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED")
     if (fs.exists(marker)) return // replay of a committed epoch
-    graft.operators.Similarity.ivfpqEncode(batch, c, books)
+    graft.operators.Similarity.ivfpqEncode(batch, c, books, metric = metric)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(dir.toString)
     graft.sources.Fs.touch(fs, marker)
@@ -140,11 +141,11 @@ object Streaming {
     * results to the all-at-once batch build and that a replayed epoch —
     * even with different data — touches nothing. */
   def annIngest(vectors: DataFrame, c: DataFrame, books: Array[Double],
-      out: String, checkpoint: String)
+      out: String, checkpoint: String, metric: String = "cosine")
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(ivfpqEpochAppend(out, c, books) _)
+      .foreachBatch(ivfpqEpochAppend(out, c, books, metric) _)
       .start()
 
   /** One epoch of streaming CDC upsert against the copy-on-write orders

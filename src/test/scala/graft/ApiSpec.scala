@@ -196,6 +196,27 @@ class ApiSpec extends SparkSpec {
     assert(es.getMessage.contains("no_such_text"), es.getMessage)
   }
 
+  test("DedupApi.bloomAdmit over renamed frames: admitted set equals the " +
+    "exact anti-join, resent content rejected, fresh content admitted") {
+    import spark.implicits._
+    val corpus = Tables.t(spark, sf, "documents")
+      .select(col("doc_id").as("k"), col("text").as("t"))
+    val batch = corpus.filter(col("k") % 10 === 0) // resent verbatim
+      .select((col("k") + 900000L).as("k"), col("t"))
+      .union(corpus.filter(col("k") % 7 === 0)    // genuinely new
+        .select((col("k") + 800000L).as("k"),
+          concat(col("t"), lit(" brand new")).as("t")))
+    val admitted = DedupApi.bloomAdmit(corpus, batch, idCol = "k",
+      textCol = "t").select("doc_id").as[Long].collect().toSet
+    val exact = batch.join(
+        corpus.select(col("t")).distinct(), Seq("t"), "left_anti")
+      .groupBy("t").agg(org.apache.spark.sql.functions.min("k").as("k"))
+      .select("k").as[Long].collect().toSet
+    assert(admitted == exact, "bloomAdmit diverged from the exact anti-join")
+    assert(admitted.nonEmpty && admitted.forall(_ >= 800000L) &&
+      !admitted.exists(_ >= 900000L), "resent content was admitted")
+  }
+
   test("DedupApi persist knob: persistIntermediate=false returns the " +
     "identical pairs and clusters as the cached default (VERDICT r11 #7)") {
     val plantedNear = Dedup.withPlantedNear(Tables.t(spark, sf, "documents"))
