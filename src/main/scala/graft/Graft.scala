@@ -153,4 +153,69 @@ object Graft {
     import scala.jdk.CollectionConverters._
     stmts(spark).keySet().asScala.toSeq.sorted
   }
+
+  // ------------------------------------------------------------ cancellation
+  /** Cooperative query cancellation — the concern the reference benchmarks
+    * in `benchmarks/src/cancellation.rs` (a cancelled query must stop
+    * "quickly" after the caller gives up, not at an operator boundary
+    * minutes away).
+    *
+    * Spark's native mechanism is the job group: every action launched from
+    * a thread tagged with a group id can be cancelled BY that id, and
+    * `interruptOnCancel = true` interrupts the executor task threads
+    * themselves (codegen'd operators and shuffle writers observe the
+    * interrupt at row-batch boundaries), so kill latency is bounded by a
+    * batch, not by the full operator. These helpers wrap the tag/cancel
+    * protocol so callers never touch SparkContext state directly — the
+    * group tag is always cleared, even on failure, so later work on the
+    * same thread is not silently cancellable under a stale tag.
+    *
+    * Scale note: cancellation cost is driver-side metadata (one RPC per
+    * executor) regardless of data size; at 100 TB the latency is dominated
+    * by the in-flight batch each task finishes, same as on a laptop. */
+  def cancellable[A](spark: SparkSession, tag: String)(body: => A): A = {
+    require(tag.nonEmpty, "graft.Graft.cancellable: tag is empty")
+    val sc = spark.sparkContext
+    sc.setJobGroup(tag, s"graft cancellable [$tag]", interruptOnCancel = true)
+    try body finally sc.clearJobGroup()
+  }
+
+  /** Cancel every running Spark job launched under [[cancellable]]'s tag
+    * (callable from any thread; no-op if nothing is running). */
+  def cancel(spark: SparkSession, tag: String): Unit =
+    spark.sparkContext.cancelJobGroup(tag)
+
+  /** Run `body`, cancelling its Spark jobs if it exceeds `timeoutMs` —
+    * a watchdog timer fires [[cancel]] on the private tag, the interrupted
+    * action surfaces as a TimeoutException (cause preserved). The watchdog
+    * is a shared daemon timer; a completed body always cancels its timer
+    * task, so no thread or timer leaks per call. */
+  def withTimeout[A](spark: SparkSession, timeoutMs: Long)(body: => A): A = {
+    require(timeoutMs > 0, "graft.Graft.withTimeout: timeoutMs must be > 0")
+    val tag = s"graft-timeout-${java.util.UUID.randomUUID()}"
+    val sc = spark.sparkContext
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val task = new java.util.TimerTask {
+      def run(): Unit = { fired.set(true); sc.cancelJobGroup(tag) }
+    }
+    sc.setJobGroup(tag, s"graft withTimeout($timeoutMs ms)",
+      interruptOnCancel = true)
+    try {
+      watchdog.schedule(task, timeoutMs)
+      try body
+      catch {
+        case e: Throwable if fired.get() =>
+          val te = new java.util.concurrent.TimeoutException(
+            s"graft.Graft.withTimeout: query cancelled after $timeoutMs ms")
+          te.initCause(e)
+          throw te
+      }
+    } finally {
+      task.cancel()
+      sc.clearJobGroup()
+    }
+  }
+
+  private lazy val watchdog =
+    new java.util.Timer("graft-timeout-watchdog", true)
 }

@@ -401,6 +401,73 @@ object Fuzz {
        |GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Random numeric scalar-expression tree, every leaf cast to double up
+    * front so the whole tree evaluates in IEEE-754 double arithmetic —
+    * identical bit-for-bit across engines for the same text (which also
+    * sidesteps Spark's ANSI integer-overflow errors on deep int
+    * multiplication). Division always guards its denominator with
+    * nullif(…, 0.0), so the tree doubles as a NULL-propagation probe:
+    * a NULL born deep inside must surface through +,*,abs, CASE and
+    * coalesce with the same semantics in both engines.
+    *
+    * DIALECT TRAP (found by this tier, seed 20260814, 20/1000 shapes at
+    * ~1e-6 relative divergence): a bare literal like `-27.9` is DOUBLE in
+    * DuckDB but DECIMAL(3,1) in Spark, so a literal-over-literal division
+    * runs Spark's DECIMAL division — quotient rounded to the result
+    * type's bounded scale — instead of IEEE double division. Literals are
+    * therefore emitted in scientific notation (`-27.9e0`), which BOTH
+    * engines type as DOUBLE; with every leaf double the whole tree is
+    * IEEE arithmetic and compares bit-equal. */
+  private def numExpr(r: Random, cols: Seq[String], depth: Int): String = {
+    def leaf(): String =
+      if (r.nextBoolean()) s"cast(${pick(r, cols)} AS double)"
+      else f"${(r.nextInt(4000) - 2000) / 10.0}%.1fe0"
+    if (depth <= 0 || r.nextInt(4) == 0) leaf()
+    else r.nextInt(7) match {
+      case 0 => s"(${numExpr(r, cols, depth - 1)} + ${numExpr(r, cols, depth - 1)})"
+      case 1 => s"(${numExpr(r, cols, depth - 1)} - ${numExpr(r, cols, depth - 1)})"
+      case 2 => s"(${numExpr(r, cols, depth - 1)} * ${numExpr(r, cols, depth - 1)})"
+      case 3 => s"(${numExpr(r, cols, depth - 1)} / nullif(${numExpr(r, cols, depth - 1)}, 0.0))"
+      case 4 => s"abs(${numExpr(r, cols, depth - 1)})"
+      case 5 =>
+        s"CASE WHEN ${numExpr(r, cols, depth - 1)} > ${numExpr(r, cols, depth - 1)} " +
+          s"THEN ${numExpr(r, cols, depth - 1)} ELSE ${numExpr(r, cols, depth - 1)} END"
+      case _ =>
+        s"coalesce(nullif(${numExpr(r, cols, depth - 1)}, ${r.nextInt(50)}.0e0), " +
+          s"${numExpr(r, cols, depth - 1)})"
+    }
+  }
+
+  /** Row-level expression-tree probe: no aggregation, unique-keyed rows, two
+    * independent random trees per query. Exercises the scalar evaluator
+    * (codegen path) rather than plan shapes — the tier the other 15 shapes
+    * don't touch. */
+  private def shapeExprTree(r: Random, t: T): String = {
+    val uk = t.uniqueKey.get
+    val cols = t.ints.map(_._1) ++ t.doubles.map(_._1)
+    s"""SELECT $uk AS k,
+       |       ${numExpr(r, cols, 2 + r.nextInt(2))} AS e1,
+       |       ${numExpr(r, cols, 2 + r.nextInt(2))} AS e2
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}""".stripMargin
+  }
+
+  /** Date-part grouping probe: extract(year|quarter|month|day) — the
+    * portable intersection (dow/doy numbering diverges across engines and
+    * stays out, like round(avg) — see the aggs note). */
+  private def shapeDateFns(r: Random): String = {
+    val t = if (r.nextBoolean()) orders else lineitem
+    val c = t.ts.head
+    val parts = r.shuffle(Seq("year", "quarter", "month", "day")).take(2)
+    val sel = parts.map(p => s"extract($p FROM $c) AS ${p.take(2)}_$c")
+    val (mc, mlo, mhi) = pick(r, t.doubles)
+    s"""SELECT ${sel.mkString(", ")},
+       |       count(*) AS n, round(sum($mc), 2) AS sum_${mc.drop(2)}
+       |FROM ${t.name}
+       |WHERE ${dblPred(r, mc, mlo, mhi)}
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // --------------------------------------------------------------- generate
   /** `n` deterministic queries for `seed`. Pure: no I/O, no global state. */
   def generate(seed: Long, n: Int): Seq[Q] = {
@@ -409,7 +476,7 @@ object Fuzz {
     val withDbls = tables.filter(_.doubles.nonEmpty)
     val fullable = Seq(orders, customer, part, supplier)
     (0 until n).map { i =>
-      val sql = r.nextInt(15) match {
+      val sql = r.nextInt(17) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -424,6 +491,9 @@ object Fuzz {
         case 11 => shapeCte(r, pick(r, withDbls))
         case 12 => shapeExists(r)
         case 13 => shapeRollup(r, pick(r, withStrs))
+        case 14 => shapeExprTree(r, pick(r, tables.filter(t =>
+          t.uniqueKey.isDefined && t.doubles.nonEmpty)))
+        case 15 => shapeDateFns(r)
         case _ => if (r.nextBoolean()) shapePage(r)
                   else shapeStrFns(r, pick(r, withStrs))
       }

@@ -1,51 +1,67 @@
 package graft
 
-import java.util.concurrent.{Executors, TimeUnit}
 import org.apache.spark.sql.functions._
 
-/** Query cancellation (reference: benchmarks/src/cancellation.rs — the
-  * engine must abandon a running query promptly and stay healthy). Spark's
-  * unit of cancellation is the job group. */
+/** Query cancellation (Graft.cancellable / cancel / withTimeout) — the
+  * reference benchmarks this surface in `benchmarks/src/cancellation.rs`:
+  * a cancelled query must stop QUICKLY once the caller gives up, not run
+  * its operator to completion. The probe query is a nested-loop cross
+  * count (~1.6e10 output rows — minutes of work at local[4]); the specs
+  * pin that cancellation lands within a small wall bound, the failure
+  * surfaces in the caller's vocabulary, and the session stays fully
+  * usable afterwards (group tags never leak onto the thread).
+  */
 class CancellationSpec extends SparkSpec {
 
-  test("a running query cancels promptly and the session stays usable") {
-    val sc = spark.sparkContext
-    val pool = Executors.newSingleThreadExecutor()
-    val started = new java.util.concurrent.CountDownLatch(1)
-    val outcome = pool.submit(new java.util.concurrent.Callable[String] {
-      override def call(): String = {
-        sc.setJobGroup("graft-cancel-test", "unbounded work", true)
-        try {
-          started.countDown()
-          // ~3.6G-row cartesian aggregate at sf0.01 — minutes of work
-          val l = Tables.t(spark, sf01, "lineitem").select("l_orderkey")
-          l.as("a").crossJoin(l.as("b"))
-            .agg(avg(col("a.l_orderkey").cast("double") *
-              col("b.l_orderkey").cast("double"))).collect()
-          "finished"
-        } catch {
-          case _: Throwable => "cancelled"
-        } finally sc.clearJobGroup()
-      }
-    })
-    started.await(30, TimeUnit.SECONDS)
-    Thread.sleep(1000) // let tasks actually launch
-    val t0 = System.nanoTime()
-    // cancel in a loop: AQE may run broadcast-build sub-jobs on separate
-    // threads, so one cancel can land in the gap between jobs and miss —
-    // repeated group cancellation is the robust client pattern
-    var result: Option[String] = None
-    while (result.isEmpty && (System.nanoTime() - t0) / 1e9 < 30) {
-      sc.cancelJobGroup("graft-cancel-test")
-      try result = Some(outcome.get(2, TimeUnit.SECONDS))
-      catch { case _: java.util.concurrent.TimeoutException => }
+  /** Minutes of work if left alone; interrupt-friendly (row batches). */
+  private def slowCount(): Long =
+    spark.range(125000).crossJoin(spark.range(125000))
+      .agg(count(lit(1))).head().getLong(0)
+
+  test("withTimeout: fast body returns its value, no exception") {
+    val n = Graft.withTimeout(spark, timeoutMs = 120000) {
+      spark.range(1000).agg(sum("id")).head().getLong(0)
     }
-    val cancelSecs = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
-    assert(result.nonEmpty, "query did not terminate within 30s of cancellation")
-    assert(result.get == "cancelled", s"query ${result.get} instead of being cancelled")
-    assert(cancelSecs < 15, f"cancellation took $cancelSecs%.1f s")
-    // the session must remain fully usable afterwards
-    assert(Tables.t(spark, sf, "nation").count() == 25)
+    assert(n == 499500L)
+  }
+
+  test("withTimeout: slow query is cancelled near the deadline and " +
+    "surfaces as TimeoutException; session stays usable") {
+    val t0 = System.nanoTime()
+    val e = intercept[java.util.concurrent.TimeoutException] {
+      Graft.withTimeout(spark, timeoutMs = 1500) { slowCount() }
+    }
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    assert(e.getMessage.contains("1500 ms"), e.getMessage)
+    assert(e.getCause != null, "cancellation cause was dropped")
+    // deadline 1.5 s; generous stop bound well under the query's natural
+    // minutes-long runtime — the reference's "cancels quickly" criterion
+    assert(wallMs < 30000, s"took $wallMs ms to stop after cancellation")
+    // the thread's group tag must be cleared: this query must NOT be
+    // cancellable under the stale tag, and must succeed
+    assert(spark.range(10).count() == 10L)
+  }
+
+  test("cancellable + cancel from another thread stops the running " +
+    "action quickly; later work on the tagged thread unaffected") {
+    @volatile var failure: Throwable = null
+    @volatile var stoppedAtNs = 0L
+    val worker = new Thread(() => {
+      try Graft.cancellable(spark, "cancel-spec-tag") { slowCount(); () }
+      catch { case t: Throwable => failure = t }
+      finally stoppedAtNs = System.nanoTime()
+    }, "cancel-spec-worker")
+    worker.start()
+    Thread.sleep(2000) // let the jobs actually launch
+    val cancelNs = System.nanoTime()
+    Graft.cancel(spark, "cancel-spec-tag")
+    worker.join(30000)
+    assert(!worker.isAlive, "worker did not stop within 30 s of cancel")
+    assert(failure != null, "cancelled action did not raise")
+    val stopMs = (stoppedAtNs - cancelNs) / 1000000L
+    assert(stopMs < 30000, s"took $stopMs ms from cancel to stop")
+    // cancelling an idle tag is a no-op, and the session still works
+    Graft.cancel(spark, "cancel-spec-tag")
+    assert(spark.range(10).count() == 10L)
   }
 }
