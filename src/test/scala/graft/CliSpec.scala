@@ -1,0 +1,82 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+
+/** The interactive shell (graft.Cli — reference: datafusion-cli). The loop
+  * is driven with scripted input; assertions are on the captured output,
+  * which is the shell's entire contract. */
+class CliSpec extends SparkSpec {
+
+  private def run(script: String): String = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new PrintStream(bytes, true, "UTF-8")
+    Cli.repl(spark, new BufferedReader(new StringReader(script)), out)
+    new String(bytes.toByteArray, "UTF-8")
+  }
+
+  test("\\load + SQL: testdata registers as views and a query prints an " +
+    "aligned table with a row count") {
+    val o = run(
+      s"""\\load $sf
+         |SELECT n_name FROM nation WHERE n_nationkey < 2
+         |ORDER BY n_name;
+         |\\q
+         |""".stripMargin)
+    assert(o.contains("loaded nation") && o.contains("loaded orders"), o)
+    assert(o.contains("| n_name"), o)
+    assert(o.contains("2 row(s)"), o)
+    val names = o.linesIterator.filter(_.startsWith("| ")).toSeq
+    assert(names.exists(_.contains("NATION_0")), o)
+  }
+
+  test("multi-line buffering: a statement only runs at ';'") {
+    val o = run(
+      s"""\\load $sf
+         |SELECT count(*) AS n
+         |FROM region;
+         |\\q
+         |""".stripMargin)
+    assert(o.contains("| n") && o.contains("| 5"), o)
+    assert(o.contains("1 row(s)"), o)
+  }
+
+  test("display cap pushes LIMIT into the plan and marks the truncation") {
+    val o = run(
+      s"""\\load $sf
+         |\\maxrows 3
+         |SELECT o_orderkey FROM orders ORDER BY o_orderkey;
+         |\\q
+         |""".stripMargin)
+    assert(o.contains("maxrows 3"), o)
+    assert(o.contains("3 row(s) (display capped)"), o)
+  }
+
+  test("errors keep the session healthy and print in one line") {
+    val o = run(
+      s"""SELECT * FROM no_such_table_xyz;
+         |\\nosuchcmd
+         |\\load /no/such/dir_xyz
+         |SELECT 1 AS ok;
+         |\\q
+         |""".stripMargin)
+    assert(o.contains("Error:"), o)
+    assert(o.contains("unknown command"), o)
+    // the loop survived all three failures and ran the last statement
+    assert(o.contains("| ok") && o.contains("| 1"), o)
+  }
+
+  test("\\d lists views, \\d <name> describes, \\timing prints wall time") {
+    val o = run(
+      s"""\\load $sf
+         |\\d
+         |\\d nation
+         |\\timing on
+         |SELECT 1 AS t;
+         |\\q
+         |""".stripMargin)
+    assert(o.linesIterator.exists(l => l.startsWith("nation") &&
+      l.contains("temporary")), o)
+    assert(o.contains("n_nationkey"), o)
+    assert("""1 row\(s\) in \d+\.\d{3} s""".r.findFirstIn(o).nonEmpty, o)
+  }
+}
