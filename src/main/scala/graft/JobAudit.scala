@@ -14,15 +14,26 @@ import org.apache.spark.sql.SparkSession
   * Usage: SPARK_GRAFT_CPUS=32 runMain graft.JobAudit <scaleGenDir>
   * Prints one line per family (wall seconds + verdict) and a final
   * `[jobaudit] == N ok, M flipped`; exit 1 on any flip.
+  *
+  * SPARK_GRAFT_SHUFFLE sizes the shuffle width independently of the core
+  * count (default: cpus). At 1000× the default is a trap this main itself
+  * exposed: 600M lineitem rows over 32 shuffle partitions is ~19M rows
+  * per sort-merge task — the per-task heap share (48 GB / 32 ≈ 1.5 GB)
+  * OOMs mid-sort. The spill-aware rule from SURVEY §1 is to size
+  * partitions to the DATA (≈ a few hundred MB each) and let AQE coalesce
+  * the post-filter small ones back down — on a real cluster this is the
+  * stock `2-3 × total cores` / `maxPartitionBytes` discipline; here it
+  * means SPARK_GRAFT_SHUFFLE=256 for the 1000× directory.
   */
 object JobAudit {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
