@@ -4,7 +4,10 @@
 # heavy pipeline entries through the normal Bench min-of-3 protocol.
 #
 # Usage: scripts/scale_stress.sh [multiplier] [outJson]
-#   multiplier: 10 (default, the sf1 shape) or 100 (the linearity decade)
+#   multiplier: 10 (default, the sf1 shape), 100 (the linearity decade),
+#   or 1000 (the deployment decade: 600M lineitem / 25 GB — needs
+#   SPARK_DRIVER_MEM≈64g and a data-sized shuffle width, both defaulted
+#   below per SURVEY §1's spill rule; see JobAudit's note)
 #
 # Interpretation: compare per-query mins against the sf0.1 table in
 # BASELINE.md. A heavy operator reading ≥ multiplier× its sf0.1 wall has
@@ -16,6 +19,11 @@ cd "$(dirname "$0")/.."
 MULT="${1:-10}"
 OUT="${2:-/tmp/bench_scale${MULT}.json}"
 DIR="/tmp/scale${MULT}"
+
+if [ "$MULT" -ge 1000 ]; then
+  : "${SPARK_DRIVER_MEM:=64g}"; export SPARK_DRIVER_MEM
+  : "${SPARK_GRAFT_SHUFFLE:=256}"; export SPARK_GRAFT_SHUFFLE
+fi
 
 sbt -batch "runMain graft.ScaleGen $DIR $MULT"
 

@@ -49,9 +49,14 @@ object Bench {
       case None => Headline
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE: shuffle width independent of core count — the
+    // 1000×-directory runs need partitions sized to the DATA (SURVEY §1
+    // spill rule; see JobAudit's note), with AQE coalescing the small
+    // ones. Default unchanged: cpus (the driver's bench protocol).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -36,14 +36,37 @@ object JobAudit {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle files are only deleted when the driver GC collects their
+      // ShuffleDependency (ContextCleaner is weak-reference driven); with
+      // a 64 GB audit heap that GC may never come, so 25 families × a
+      // fact-sized shuffle each accumulates >100 GB of dead shuffle files
+      // on one box. Shorten the cleaner's periodic-GC interval and nudge
+      // a GC after every family (below) so each family's shuffle space is
+      // reclaimed before the next one runs.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // SPARK_GRAFT_JOB_FILTER: comma-separated family subset (debugging);
-    // SPARK_GRAFT_JOB_PLANS=1: print each final plan after its verdict.
+    // SPARK_GRAFT_JOB_PLANS=1: print each final plan after its verdict;
+    // SPARK_GRAFT_JOB_EXPLAIN=1: print the INITIAL physical plan without
+    // executing — the join ORDER is static (Catalyst fixes it before
+    // execution; AQE only swaps strategies/sides), so this inspects a
+    // family whose execution exceeds a single box (disk/hours) for the
+    // ordering defects the audit hunts, at zero data cost.
     val only = sys.env.get("SPARK_GRAFT_JOB_FILTER")
       .map(_.split(",").map(_.trim).toSet)
     val dumpPlans = sys.env.get("SPARK_GRAFT_JOB_PLANS").contains("1")
+    val explainOnly = sys.env.get("SPARK_GRAFT_JOB_EXPLAIN").contains("1")
+    if (explainOnly) {
+      operators.Job.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
+          println(s"[jobaudit-initial] $name:\n" +
+            fn(spark, dir).queryExecution.executedPlan.toString)
+        }
+      spark.stop(); return
+    }
     var flipped = 0
     val rows = operators.Job.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -77,6 +100,7 @@ object JobAudit {
       }
       println(f"[jobaudit] $name%-10s $wall%8.2fs  $verdict")
       if (dumpPlans) println(s"[jobaudit-plan] $name:\n$p")
+      System.gc() // release this family's shuffle files (see conf note)
       f""""$name":$wall%.2f"""
     }
     println(s"""[jobaudit-json] {${rows.mkString(",")}}""")

@@ -476,15 +476,18 @@ object Job {
     * (returnflag IN, quantity range, shipdate range) and a hub BETWEEN.
     * Seventeen relations, every join equi, no hints: the stress is pure
     * enumeration scale — AQE must still find broadcast builds for every
-    * filtered dim and keep all five fact roles on probe sides. */
+    * filtered dim and keep all five fact roles on probe sides. FROM
+    * follows the round-12 leg-interleaved order (see job_19a): each fact
+    * role joins its gating dim chain before the next role attaches, so
+    * the per-order closure peaks at ~2 rows instead of ~28. */
   val job29aSql: String =
     """SELECT min(p1.p_name) AS voiced_part,
       |       min(s1.s_name) AS voicing_supplier,
       |       min(o.o_totalprice) AS voiced_price
-      |FROM orders o, lineitem l1, lineitem l2, lineitem l3, lineitem l4,
-      |     lineitem l5, part p1, part p2, supplier s1, nation n1,
-      |     region r1, supplier s2, nation n2, region r2, customer c,
-      |     nation n3, region r3
+      |FROM orders o, customer c, nation n3, region r3, lineitem l5,
+      |     lineitem l1, part p1, lineitem l2, part p2, lineitem l3,
+      |     supplier s1, nation n1, region r1, lineitem l4, supplier s2,
+      |     nation n2, region r2
       |WHERE p1.p_type = 'PROMO'
       |  AND p2.p_name IS NOT NULL
       |  AND (p2.p_name LIKE '%red%' OR p2.p_name LIKE '%blue%')
@@ -658,12 +661,24 @@ object Job {
     * The l4 guard below (linenumber + quantity, ~2% of lines) restores the
     * alias-table cardinality profile while keeping the defining trait —
     * the fact attached by suppkey only — and job_9a's documented design
-    * rule that the axis fact must carry its own reducing filter. */
+    * rule that the axis fact must carry its own reducing filter.
+    *
+    * Round-12 join-order fix (the 1000× stress exposed it): without CBO
+    * statistics Spark's ReorderJoin builds the left-deep tree in FROM
+    * order, so the ORIGINAL text (l1..l4 first, o/c last) materialized
+    * the full three-leg per-order fan-out × the per-supplier l4
+    * multiplicity (~17B intermediate rows at 1000×) BEFORE the reducing
+    * hub landed — linear in data but ~10× a single box's shuffle disk at
+    * the deployment decade. The FROM below encodes the order a
+    * cost-based optimizer derives (the reference's own JOB lesson):
+    * hub ⋈ customer first (date × segment+LIKE cuts orders ~25×), facts
+    * onto the reduced hub, the suppkey-only alias leg LAST — same
+    * tables, predicates and edges, ~40× smaller peak intermediate. */
   val job19aSql: String =
     """SELECT min(s.s_name) AS voicing_actress,
       |       min(o.o_totalprice) AS voiced_price
-      |FROM lineitem l1, lineitem l2, lineitem l3, lineitem l4,
-      |     supplier s, nation n, customer c, orders o
+      |FROM orders o, customer c, lineitem l1, lineitem l2,
+      |     lineitem l3, supplier s, nation n, lineitem l4
       |WHERE l3.l_returnflag IN ('N', 'A')
       |  AND l4.l_linenumber = 1 AND l4.l_quantity <= 4
       |  AND (l2.l_quantity > 45 OR l2.l_extendedprice > 90000)
@@ -755,13 +770,15 @@ object Job {
     * cardinality guard as job_19a (see its Scaladoc: IMDB aka_name is ~1
     * row per person; an unfiltered suppkey-attached lineitem multiplied
     * the movie axis by ~600 — 711 s at sf0.1, ~20 h extrapolated at
-    * 100×). */
+    * 100×), and the same round-12 hub-first FROM order (Spark's
+    * ReorderJoin is syntax-driven without CBO stats; the reduced hub
+    * joins before the fact legs, the suppkey-only alias leg last). */
   val job24aSql: String =
     """SELECT min(s.s_name) AS voicing_actress_name,
       |       min(p3.p_name) AS voiced_action_part,
       |       min(o.o_totalprice) AS voiced_price
-      |FROM lineitem l1, lineitem l2, lineitem l3, lineitem l4, lineitem l5,
-      |     part p3, supplier s, nation n, customer c, orders o
+      |FROM orders o, customer c, lineitem l1, lineitem l2, lineitem l3,
+      |     lineitem l5, part p3, supplier s, nation n, lineitem l4
       |WHERE l3.l_returnflag IN ('N', 'A')
       |  AND l4.l_linenumber = 1 AND l4.l_quantity <= 4
       |  AND p3.p_brand IN ('Brand#5', 'Brand#9', 'Brand#23')
@@ -861,14 +878,17 @@ object Job {
     * conjunction on a gating dim, a fact value UPPER bound, a hub status
     * IN and a customer-class inequality, over FIVE fact roles in full
     * pairwise closure: 29a's enumeration stress with predicates that
-    * subtract instead of select. */
+    * subtract instead of select. FROM follows the round-12
+    * leg-interleaved order (see job_19a): hub ⋈ customer chain first,
+    * then each fact role with its gating dim chain, most selective
+    * chains (the nation-IN supplier leg) earliest. */
   val job28aSql: String =
     """SELECT min(s1.s_name) AS movie_company,
       |       min(l4.l_extendedprice) AS rating,
       |       min(o.o_totalprice) AS complete_euro_price
-      |FROM orders o, lineitem l1, lineitem l2, lineitem l3, lineitem l4,
-      |     lineitem l5, part p1, part p2, supplier s1, nation n1,
-      |     supplier s2, nation n2, customer c, nation n3
+      |FROM orders o, customer c, nation n3, lineitem l5, supplier s2,
+      |     nation n2, lineitem l1, part p1, lineitem l2, part p2,
+      |     lineitem l4, lineitem l3, supplier s1, nation n1
       |WHERE n1.n_name <> 'NATION_9'
       |  AND p2.p_name NOT LIKE '%green%' AND p2.p_name LIKE '%o%'
       |  AND p1.p_brand IN ('Brand#2', 'Brand#8', 'Brand#14', 'Brand#20')
@@ -904,14 +924,15 @@ object Job {
   /** imdb/30a.sql family: complete_cast AND the person axis AND typed
     * info facts in one web — the writer IN on the cast bridge, a person
     * gender equality, genre/votes typed roles, the keyword IN, and the cc
-    * bridge double-gated like 26a (equality type part + status flag). */
+    * bridge double-gated like 26a (equality type part + status flag).
+    * FROM follows the round-12 leg-interleaved order (see job_19a). */
   val job30aSql: String =
     """SELECT min(l1.l_extendedprice) AS movie_budget,
       |       min(l2.l_extendedprice) AS movie_votes,
       |       min(s.s_name) AS writer,
       |       min(o.o_totalprice) AS complete_violent_price
-      |FROM orders o, lineitem l1, lineitem l2, lineitem l3, lineitem l4,
-      |     lineitem l5, part p1, part p2, part p3, supplier s
+      |FROM orders o, lineitem l1, part p1, lineitem l5, part p3,
+      |     lineitem l4, part p2, lineitem l2, lineitem l3, supplier s
       |WHERE l3.l_returnflag IN ('R', 'N')
       |  AND l1.l_linestatus = 'F'
       |  AND l2.l_linestatus = 'O'
@@ -946,14 +967,21 @@ object Job {
     * selectivity lives on the dims (a PREFIX LIKE on the company name,
     * writer IN on the cast bridge, genre/keyword IN lists), so the
     * optimizer must derive the join order purely from dim filters with
-    * nothing to prune the hub scan: the pure join-ordering stress. */
+    * nothing to prune the hub scan: the pure join-ordering stress.
+    *
+    * Round-12: the FROM encodes exactly that derivation (Spark's
+    * ReorderJoin is syntax-driven without CBO stats — see job_19a): each
+    * fact leg joins its gating part dim BEFORE the next leg attaches, so
+    * the per-order closure fan-out peaks at ~5 rows/order instead of
+    * ~100 (all four unreduced legs first, dims last). The unpredicated
+    * hub joins dead last — it reduces nothing, the family's trait. */
   val job31aSql: String =
     """SELECT min(l1.l_extendedprice) AS movie_budget,
       |       min(l2.l_extendedprice) AS movie_votes,
       |       min(s.s_name) AS writer,
       |       min(o.o_totalprice) AS violent_price
-      |FROM lineitem l1, lineitem l2, lineitem l3, lineitem l4,
-      |     part p1, part p2, supplier s, nation n, orders o
+      |FROM part p1, lineitem l1, lineitem l4, part p2,
+      |     lineitem l3, supplier s, nation n, lineitem l2, orders o
       |WHERE l3.l_returnflag IN ('A', 'R')
       |  AND n.n_name LIKE 'NATION_1%'
       |  AND p1.p_type IN ('PROMO', 'ECONOMY')
