@@ -89,10 +89,22 @@ object JobAudit {
       // nested-loop, a plan with no broadcast at all (the genuinely tiny
       // dims — nation, region, equality-filtered part — fit at every
       // scale), or filters not reaching the scans.
+      // "no broadcast at all" only flags families that actually join a
+      // genuinely tiny dim (nation/region — broadcastable at EVERY
+      // scale). A family whose smallest relations are filtered part/
+      // customer slices (job_27a: Brand#15 = ~800k rows at 1000×)
+      // legitimately sees every build side outgrow the broadcast
+      // threshold at the deployment decade — all-shuffle is the plan a
+      // 1000-executor cluster wants there, not a flip.
+      val hasTinyDim = {
+        val sql = operators.Job.oracle(name)
+        sql.contains(" nation ") || sql.contains(" region ")
+      }
       val problems = Seq(
         (p.contains("CartesianProduct")) -> "CartesianProduct",
         (p.contains("BroadcastNestedLoopJoin")) -> "BroadcastNestedLoopJoin",
-        (!p.contains("BroadcastHashJoin")) -> "no broadcast build at all",
+        (hasTinyDim && !p.contains("BroadcastHashJoin")) ->
+          "no broadcast build despite a tiny dim",
         (!p.contains("PushedFilters: [")) -> "no pushed filters"
       ).collect { case (true, msg) => msg }
       val verdict = if (problems.isEmpty) "ok" else {
@@ -100,7 +112,12 @@ object JobAudit {
       }
       println(f"[jobaudit] $name%-10s $wall%8.2fs  $verdict")
       if (dumpPlans) println(s"[jobaudit-plan] $name:\n$p")
-      System.gc() // release this family's shuffle files (see conf note)
+      // release this family's shuffle files (see conf note). Two passes
+      // with a settle: the first GC enqueues the weak references, the
+      // ContextCleaner drains them asynchronously — without the pause a
+      // 20 GB family's files are still on disk when the next family's
+      // shuffle starts, and back-to-back heavy families sum past the box.
+      System.gc(); Thread.sleep(2000); System.gc(); Thread.sleep(2000)
       f""""$name":$wall%.2f"""
     }
     println(s"""[jobaudit-json] {${rows.mkString(",")}}""")

@@ -845,13 +845,21 @@ object Job {
     * company chain: the first order tree carries the keyword dim and the
     * cc bridge (status-typed, an IN on its own flag), the second tree
     * carries the company dim — the distinct-trees guard rides the
-    * equi-linked lineitem pair exactly as in job_32a. */
+    * equi-linked lineitem pair exactly as in job_32a.
+    *
+    * FROM follows the round-12 syntax-driven order (see job_19a), with
+    * the link-specific twist: the SECOND tree's hub reduction
+    * (o2 ⋈ FURNITURE customer, ~1/5) lands on l2 BEFORE the partkey
+    * pairing, so the quadratic per-part line pairing — the family's
+    * defining cost — runs over a reduced l2 leg and every downstream
+    * exchange carries ~5× fewer rows (at 1000× the unreduced pairing's
+    * cumulative shuffles exceeded a single box's disk). */
   val job27aSql: String =
     """SELECT min(c.c_name) AS producing_company,
       |       min(p.p_name) AS link_part,
       |       min(o1.o_orderdate) AS complete_western_sequel
-      |FROM part p, part p2, orders o1, orders o2, customer c,
-      |     lineitem l1, lineitem l2, lineitem l3, lineitem l4
+      |FROM orders o2, customer c, lineitem l2, part p, lineitem l1,
+      |     orders o1, lineitem l3, part p2, lineitem l4
       |WHERE p.p_brand = 'Brand#15'
       |  AND p2.p_type = 'STANDARD'
       |  AND c.c_mktsegment = 'FURNITURE'
