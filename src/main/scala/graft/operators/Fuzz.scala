@@ -362,10 +362,18 @@ object Fuzz {
     val (lt, lc, rt, rc) = pick(r, joins)
     val (gExpr, gName) = groupCol(r, lt, "a")
     val neg = if (r.nextInt(3) == 0) "NOT " else ""
+    // ENGINE TRAP #4 (found by this tier, seed 20260815 shape fz_0740):
+    // wherePreds can emit a top-level OR, and unparenthesized it binds
+    // as `(correlation AND p1) OR p2` — the correlation lands under a
+    // disjunction. DuckDB executes that fine; Spark 4.1.2's
+    // RewritePredicateSubquery throws an INTERNAL `None.get` on the
+    // NOT EXISTS form (rewriteDomainJoinsIfPresent, subquery.scala:76 —
+    // an error-class gap, not an "unsupported" error). The parens keep
+    // the correlation conjunctive, which is also the shape's intent.
     s"""SELECT $gExpr AS $gName, count(*) AS n
        |FROM ${lt.name} a
        |WHERE ${neg}EXISTS (SELECT 1 FROM ${rt.name} b
-       |              WHERE b.$rc = a.$lc AND ${wherePreds(r, rt, "b")})
+       |              WHERE b.$rc = a.$lc AND (${wherePreds(r, rt, "b")}))
        |GROUP BY 1""".stripMargin
   }
 
