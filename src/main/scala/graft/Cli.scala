@@ -74,8 +74,12 @@ object Cli {
             timing = parts.lift(1).contains("on")
             out.println(s"timing ${if (timing) "on" else "off"}")
           case "\\maxrows" if parts.size > 1 && parts(1).forall(_.isDigit) =>
-            maxRows = parts(1).toInt.max(1)
-            out.println(s"maxrows $maxRows")
+            // toIntOption, not toInt: an all-digit value past Int.MaxValue
+            // must degrade gracefully, never throw out of the REPL loop.
+            parts(1).toIntOption match {
+              case Some(n) => maxRows = n.max(1); out.println(s"maxrows $maxRows")
+              case None => out.println(s"Error: maxrows out of range: ${parts(1)}")
+            }
           case other =>
             out.println(s"Error: unknown command '$other' (\\? for help)")
         }

@@ -97,8 +97,10 @@ object JobAudit {
       // threshold at the deployment decade — all-shuffle is the plan a
       // 1000-executor cluster wants there, not a flip.
       val hasTinyDim = {
+        // word-boundary match, not space-padded substrings: a table name at
+        // line start/end or tab-delimited must still arm the invariant.
         val sql = operators.Job.oracle(name)
-        sql.contains(" nation ") || sql.contains(" region ")
+        "\\b(nation|region)\\b".r.findFirstIn(sql).isDefined
       }
       val problems = Seq(
         (p.contains("CartesianProduct")) -> "CartesianProduct",

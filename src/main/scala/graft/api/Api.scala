@@ -153,7 +153,17 @@ object DedupApi {
     * zero join work, only the positive sliver pays the exact anti-join —
     * the answer is EXACT, the bloom only routes work. Size
     * `numBits ≈ 10–15 × corpus count` for a sub-percent false-positive
-    * (= wasted-join) rate. */
+    * (= wasted-join) rate.
+    *
+    * TRANSPORT BOUND: the sketch ships as a plan literal (`lit(blob)` —
+    * `might_contain` requires a scalar), so its size rides in every task
+    * binary; `numBits` is therefore capped at
+    * [[graft.operators.Dedup.MaxBloomBits]] (64 MB sketch, ~500M corpus
+    * items at 10 bits/item) with a loud require. Beyond that, shard the
+    * corpus by hash prefix and run one admit per shard — the documented
+    * 100 TB contract — rather than pushing a GB literal through the plan
+    * serializer. An empty corpus (NULL sketch) degrades safely: the whole
+    * batch takes the exact anti-join leg and is admitted. */
   def bloomAdmit(corpus: DataFrame, batch: DataFrame,
       expectedItems: Long = 1000000L, numBits: Long = 8388608L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =

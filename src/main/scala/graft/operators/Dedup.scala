@@ -679,8 +679,20 @@ object Dedup {
     * routing — see [[dBloomDelta]]'s Scaladoc for the shape. Sketch knobs
     * follow the standard sizing rule bits ≈ 10–15 × expected corpus
     * count. */
+  /** Hard cap on the bloom sketch size: 64 MB = 2^29 bits. The sketch is
+    * embedded as a PLAN LITERAL (bloom_might_contain needs a scalar), so it
+    * is serialized into every task closure — fine to tens of MB, pathological
+    * at GBs. 2^29 bits at the 10–15 bits/item rule covers a ~40–50M-item
+    * corpus per sketch; larger corpora shard by hash prefix (one admit per
+    * shard), which is the documented 100 TB contract. */
+  val MaxBloomBits: Long = 1L << 29
+
   def bloomAdmitOn(corpus: DataFrame, batch: DataFrame,
       expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    require(numBits > 0 && numBits <= MaxBloomBits,
+      s"numBits=$numBits exceeds MaxBloomBits=$MaxBloomBits (a 64 MB plan " +
+        "literal); shard the corpus by hash prefix and admit per shard " +
+        "instead of growing one sketch")
     GraftFunctions.register(corpus.sparkSession)
     // the sketch: one corpus pass, ~numBits/8 bytes on the driver (a model
     // value); might_contain requires a LITERAL/scalar sketch, hence the
@@ -689,8 +701,19 @@ object Dedup {
       .agg(call_function("bloom_filter_agg", xxhash64(col("text")),
         lit(expectedItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // Routing must NEVER drop a row (the bloom is an optimization, not a
+    // semantic): an EMPTY corpus yields a NULL sketch (BloomFilterAggregate
+    // with zero inputs), and a NULL maybe would fail BOTH filter legs and
+    // silently reject the batch. So: null blob => skip the split entirely
+    // (everything takes the exact leg, whose anti-join against an empty
+    // corpus admits all); and any NULL maybe (e.g. NULL-text rows) is
+    // coalesced to TRUE so the row reaches the exact leg, where the
+    // anti-join's null-key-never-matches admits it — exactly the oracle's
+    // NOT EXISTS semantics.
     val flagged = batch.withColumn("maybe",
-      call_function("bloom_might_contain", lit(blob), xxhash64(col("text"))))
+      if (blob == null) lit(true)
+      else coalesce(call_function("bloom_might_contain", lit(blob),
+        xxhash64(col("text"))), lit(true)))
     val negatives = flagged.filter(!col("maybe")).select("doc_id", "text")
     val positives = flagged.filter(col("maybe")).select("doc_id", "text")
     val corpusHashes = corpus

@@ -31,6 +31,59 @@ object Fs {
   def of(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Single-writer lease marker name. Leading underscore keeps it out of
+    * Spark's file listing, like `_SUCCESS` / the epoch commit markers. */
+  val LeaseName = "_graft_writer.lock"
+
+  /** JVM-level arbiter backing [[acquireLease]]: Hadoop's `createNewFile`
+    * is check-then-act on the local filesystem (exists → create), so two
+    * same-process threads could in principle both pass the check; this set
+    * makes in-process contention strictly atomic, and the FS marker covers
+    * cross-process writers (atomic create-if-absent on HDFS's namenode). */
+  private val jvmHeld =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Acquire the single-writer lease on `table` (create-if-absent marker).
+    * This upgrades the COW/epoch single-writer CONTRACT from documented to
+    * DETECTED: before this, two concurrent cowRewrites would silently lose
+    * one side's rewrite (both compute targets, both swap, last swap wins);
+    * now the second writer fails LOUDLY here instead of corrupting the
+    * table. In-process contention arbitrates through [[jvmHeld]] (strictly
+    * atomic); cross-process through the marker (atomic on HDFS; best-effort
+    * on object stores without atomic create — a true multi-writer
+    * deployment there needs a table-format log, SURVEY §7a, which is
+    * precisely the boundary this shim documents). A crashed writer leaves a
+    * stale lease by design (no TTL guessing): the error message says to
+    * inspect and remove it manually once no writer is live. */
+  def acquireLease(fs: FileSystem, table: Path, owner: String): Path = {
+    val lock = new Path(table, LeaseName)
+    def contention(): Nothing = throw new java.io.IOException(
+      s"concurrent writer detected on $table: $LeaseName already held. " +
+        "Another COW/epoch mutation is in flight, or a crashed writer " +
+        "left a stale lease - verify no writer is live, then delete the " +
+        s"marker. (requested by: $owner)")
+    val key = fs.makeQualified(lock).toString
+    if (!jvmHeld.add(key)) contention()
+    val created =
+      try fs.createNewFile(lock)
+      catch { case e: java.io.IOException => jvmHeld.remove(key); throw e }
+    if (!created) { jvmHeld.remove(key); contention() }
+    lock
+  }
+
+  def releaseLease(fs: FileSystem, lock: Path): Unit = {
+    deleteQuietly(fs, lock, recursive = false)
+    jvmHeld.remove(fs.makeQualified(lock).toString); ()
+  }
+
+  /** Run `body` under the single-writer lease on `table`; always releases
+    * on exit (including failure — a failed swap must not wedge the table
+    * behind its own lease). */
+  def withLease[A](fs: FileSystem, table: Path, owner: String)(body: => A): A = {
+    val lock = acquireLease(fs, table, owner)
+    try body finally releaseLease(fs, lock)
+  }
+
   def exists(fs: FileSystem, p: Path): Boolean = fs.exists(p)
 
   /** Zero-byte commit marker. `createNewFile` is create-if-absent — fine for
@@ -82,7 +135,26 @@ object Fs {
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = f(a)
         }))
-      futures.foreach(_.get()) // propagate the first failure
-    } finally pool.shutdown()
+      // Drain EVERY future before surfacing a failure: a plain first-failure
+      // propagate would let the remaining rename/delete tasks keep mutating
+      // the table in the background while the caller unwinds the swap. The
+      // error thrown is the first one observed; later ones are suppressed.
+      var firstErr: Throwable = null
+      futures.foreach { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstErr == null) {
+              firstErr = e.getCause
+              futures.foreach(_.cancel(false)) // stop not-yet-started tasks
+            } else firstErr.addSuppressed(e.getCause)
+          case _: java.util.concurrent.CancellationException => ()
+        }
+      }
+      if (firstErr != null) throw firstErr
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
   }
 }

@@ -384,8 +384,11 @@ object Sources {
     * would inherit the skew of whichever inputs it glues together). Run it
     * per partition directory at 100 TB and only on directories whose file
     * count exceeds the target — the read-back here is the whole table, so
-    * the oracle is identity on events. The companion spec pins the
-    * file-count collapse and the size-derived n. */
+    * the oracle is identity on events. Sizing reads file lengths through the
+    * Hadoop FileSystem API (one listStatus), so the maintenance job runs
+    * against HDFS/S3A exactly like the COW/epoch machinery — no local-FS
+    * assumption anywhere in a mutation/maintenance path. The companion spec
+    * pins the file-count collapse and the size-derived n. */
   val CompactTargetBytes: Long = 512L * 1024 // small target so sf0.01 needs >1 file
   def sinkCompact(spark: SparkSession, dir: String): DataFrame = {
     val frag = ioDir("events_fragmented")
@@ -394,8 +397,9 @@ object Sources {
       .select("event_id", "user_id", "event_type", "value")
       .repartition(32) // simulate a micro-batched sink: many small files
       .write.mode(SaveMode.Overwrite).parquet(frag)
-    val bytes = new java.io.File(frag).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val fragFs = Fs.of(spark, frag)
+    val bytes = fragFs.listStatus(new org.apache.hadoop.fs.Path(frag))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
     spark.read.parquet(frag)
       .repartition(n)
@@ -605,7 +609,11 @@ object Sources {
     * byte-identical paths + mtimes). The swap is not transactional on a
     * plain directory (that — atomic visibility, concurrent writers — is
     * precisely what a table-format log adds); single-writer maintenance
-    * jobs, the common case for takedown/PII deletes, are safe. */
+    * jobs, the common case for takedown/PII deletes, are safe — and the
+    * single-writer contract is now DETECTED, not merely documented: every
+    * mutation window holds the [[Fs.acquireLease]] create-if-absent lock
+    * marker, so a second concurrent writer errors loudly instead of
+    * silently losing a rewrite. */
   private[graft] def cowSeed(spark: SparkSession, dir: String, name: String): String = {
     val path = ioDir(name)
     Tables.t(spark, dir, "orders")
@@ -625,22 +633,28 @@ object Sources {
     * manipulation goes through the Hadoop FileSystem API ([[Fs]]) so the
     * same code runs on local FS (specs), HDFS, and object stores; the
     * delete + move legs of the swap are parallelized — O(touched files)
-    * namenode/store RPCs fanned over a pool, not a sequential driver loop. */
+    * namenode/store RPCs fanned over a pool, not a sequential driver loop.
+    * The whole rewrite window (tmp write + swap) holds the single-writer
+    * LEASE ([[Fs.acquireLease]]): a second concurrent rewrite fails loudly
+    * at acquisition instead of silently losing one side's swap — the
+    * single-writer contract is detected, not merely documented. */
   private[graft] def cowRewrite(spark: SparkSession, path: String,
       targets: Array[String], transform: DataFrame => DataFrame): Unit = {
     if (targets.isEmpty) return
     val fs = Fs.of(spark, path)
     val table = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(path + "__cow_tmp"))
-    transform(spark.read.parquet(targets: _*))
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    Fs.bulkDelete(fs, targets.toSeq.map(f =>
-      new org.apache.hadoop.fs.Path(new java.net.URI(f))))
-    Fs.bulkMove(fs, Fs.listParquet(fs, tmp).toSeq.zipWithIndex.map {
-      case (f, i) =>
-        f -> new org.apache.hadoop.fs.Path(table, s"cow-$i-${f.getName}")
-    })
-    Fs.deleteQuietly(fs, tmp, recursive = true)
+    Fs.withLease(fs, table, "cowRewrite") {
+      transform(spark.read.parquet(targets: _*))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      Fs.bulkDelete(fs, targets.toSeq.map(f =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(f))))
+      Fs.bulkMove(fs, Fs.listParquet(fs, tmp).toSeq.zipWithIndex.map {
+        case (f, i) =>
+          f -> new org.apache.hadoop.fs.Path(table, s"cow-$i-${f.getName}")
+      })
+      Fs.deleteQuietly(fs, tmp, recursive = true)
+    }
   }
 
   /** The delete/update predicate: range-clustered on the layout key, so
@@ -727,7 +741,13 @@ object Sources {
   private[graft] def cowMerge(spark: SparkSession, path: String,
       updates: DataFrame, inserts: DataFrame): Unit = {
     val targets = cowTargetsByKeys(spark, path, updates)
-    inserts.write.mode(SaveMode.Append).parquet(path)
+    // the insert append is its own leased mutation window; the update leg
+    // takes the lease inside cowRewrite (sequential, so no re-entry)
+    val fs = Fs.of(spark, path)
+    Fs.withLease(fs, fs.makeQualified(new org.apache.hadoop.fs.Path(path)),
+      "cowMerge-insert") {
+      inserts.write.mode(SaveMode.Append).parquet(path)
+    }
     cowApplyUpdates(spark, path, targets, updates)
   }
 

@@ -182,7 +182,12 @@ object Streaming {
     // land — the identical set: the rows are re-derived from the replayed
     // batch (foreachBatch re-delivers the same batchId), and any updates
     // the crashed attempt already applied are absolute, hence idempotent.
-    graft.sources.Fs.deleteMatching(fs, table, s"cdc$batchId-*.parquet")
+    // Heal is itself a mutation — leased like every other table-touching
+    // window (a concurrent writer mid-heal is the same silent-corruption
+    // risk as a concurrent swap).
+    graft.sources.Fs.withLease(fs, table, s"cdcHeal-$batchId") {
+      graft.sources.Fs.deleteMatching(fs, table, s"cdc$batchId-*.parquet")
+    }
     val keys = spark.read.parquet(path).select("o_orderkey")
     val b = batch.localCheckpoint(true) // one source read for both splits
     val updates = b.join(keys, Seq("o_orderkey"), "left_semi")
@@ -193,11 +198,15 @@ object Streaming {
       new org.apache.hadoop.fs.Path(path + s"__cdc_tmp_$batchId"))
     inserts.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(tmp.toString)
-    graft.sources.Fs.bulkMove(fs,
-      graft.sources.Fs.listParquet(fs, tmp).toSeq.zipWithIndex.map {
-        case (f, i) =>
-          f -> new org.apache.hadoop.fs.Path(table, s"cdc$batchId-$i.parquet")
-      })
+    // Insert-landing window under the single-writer lease; the update leg
+    // below re-acquires inside cowRewrite (sequential — no re-entry).
+    graft.sources.Fs.withLease(fs, table, s"cdcLand-$batchId") {
+      graft.sources.Fs.bulkMove(fs,
+        graft.sources.Fs.listParquet(fs, tmp).toSeq.zipWithIndex.map {
+          case (f, i) =>
+            f -> new org.apache.hadoop.fs.Path(table, s"cdc$batchId-$i.parquet")
+        })
+    }
     graft.sources.Fs.deleteQuietly(fs, tmp, recursive = true)
     graft.sources.Sources.cowApplyUpdates(spark, path, targets, updates)
     graft.sources.Fs.touch(fs, marker)

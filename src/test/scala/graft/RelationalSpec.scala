@@ -387,6 +387,52 @@ class RelationalSpec extends SparkSpec {
       "no-op merge changed the row count")
   }
 
+  test("single-writer lease: a second concurrent cowRewrite fails loudly " +
+    "at acquisition and the table state is exactly the holder's; the lease " +
+    "releases on success AND on failure (VERDICT r12 #3)") {
+    import graft.sources.{Fs, Sources}
+    import org.apache.spark.sql.functions.col
+    val path = Sources.cowSeed(spark, sf, "orders_cow_lease_spec")
+    val fs = Fs.of(spark, path)
+    val table = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val pred = col("o_orderkey") < 150
+    val targets = Sources.cowTargets(spark, path, pred)
+    val before = spark.read.parquet(path).count()
+    // writer 1 holds its mutation window; writer 2's cowRewrite must error
+    // at lease acquisition — before touching a single byte — instead of
+    // silently racing the swap
+    val held = Fs.acquireLease(fs, table, "writer-1")
+    val e = intercept[java.io.IOException] {
+      Sources.cowRewrite(spark, path, targets, _.filter(!pred))
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    assert(spark.read.parquet(path).count() == before,
+      "blocked writer mutated the table")
+    Fs.releaseLease(fs, held)
+    // with the lease free the same rewrite commits, and releases after
+    Sources.cowRewrite(spark, path, targets, _.filter(!pred))
+    assert(spark.read.parquet(path).filter(pred).count() == 0,
+      "winner's rewrite did not commit")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table, Fs.LeaseName)),
+      "lease not released after a successful rewrite")
+    // N racing acquisitions arbitrate to exactly one winner (create-if-
+    // absent is the atomic primitive the contract leans on)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        start.await()
+        try { Fs.acquireLease(fs, table, s"racer-$i"); wins.incrementAndGet() }
+        catch { case _: java.io.IOException => losses.incrementAndGet() }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(wins.get() == 1 && losses.get() == 7,
+      s"lease race: ${wins.get()} winners / ${losses.get()} losers")
+    Fs.releaseLease(fs, new org.apache.hadoop.fs.Path(table, Fs.LeaseName))
+  }
+
   test("sink_dynamic_overwrite replaces only the touched partition's files") {
     import graft.sources.Sources
     def files(): Map[String, Long] = {
