@@ -314,6 +314,48 @@ object FunctionLib {
       |  date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS hrs_since
       |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------- f_tz
+  /** Cross-timezone conversion — the reference's to_local_time /
+    * AT TIME ZONE surface (datafusion/functions/src/datetime/
+    * to_local_time.rs; timestamps.slt) and the last user-visible §7a gap.
+    * Deliberately SPEC-GATED rather than DuckDB-oracled: the engines'
+    * timezone machinery is configured at different levels (DuckDB renders
+    * TIMESTAMPTZ through its ICU session zone; Spark renders instants in
+    * spark.sql.session.timeZone), so a text-identical oracle would test
+    * session configuration, not conversion semantics — exactly the
+    * passes-by-construction trap §7a documents. The SEMANTICS are pinned
+    * by FunctionLibSpec against hand-computed instants on both sides of
+    * the US and EU DST transitions (spring-forward gap hour, fall-back
+    * repeated hour) and a half-hour-offset zone (Asia/Kolkata).
+    *
+    * Shape: events.ts is a UTC instant. For three zones the entry emits
+    * the LOCAL wall-clock (`from_utc_timestamp` — the engine-native
+    * to_local_time), a rendered form (to pin formatting stability), and
+    * the `to_utc_timestamp` round trip vs the original instant:
+    * round-trip equality holds for every instant whose local wall-clock
+    * is unambiguous; instants rendering into the fall-back REPEATED hour
+    * map back to the zone's canonical pick (Java time: the EARLIER
+    * offset), so first-pass instants round-trip true and second-pass
+    * false — the spec pins exactly that, because silently asserting
+    * always-true would paper over the ambiguity every tz library must
+    * resolve. At 100 TB this is a pure per-row projection (codegen'd,
+    * no shuffle) — conversion cost is embarrassingly parallel. */
+  def fTz(spark: SparkSession, dir: String): DataFrame = {
+    def loc(z: String) = from_utc_timestamp(col("ts"), z)
+    graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("ts"))
+      .select(
+        col("event_id"),
+        col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("utc_wall"),
+        loc("America/New_York").as("ny_wall"),
+        loc("Europe/Berlin").as("berlin_wall"),
+        loc("Asia/Kolkata").as("kolkata_wall"),
+        (to_utc_timestamp(loc("America/New_York"), "America/New_York")
+          === col("ts")).as("ny_round_trip"))
+      .orderBy("event_id")
+  }
+
   // --------------------------------------------------------------- f_decimal
   /** DECIMAL exact arithmetic (reference decimal.slt; Decimal128 kernels):
     * the TPC-H money discipline done in decimals — cast the double columns
@@ -1252,6 +1294,7 @@ object FunctionLib {
     "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
     "f_trig" -> (fTrig _), "f_bitwise" -> (fBitwise _),
     "f_datetime" -> (fDatetime _), "f_interval" -> (fInterval _),
+    "f_tz" -> (fTz _),
     "f_decimal" -> (fDecimal _), "f_cast" -> (fCast _),
     "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
     "f_hash" -> (fHash _),

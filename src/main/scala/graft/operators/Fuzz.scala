@@ -476,6 +476,142 @@ object Fuzz {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Explicit ROWS/RANGE window frames (VERDICT r12 #4 — the frame
+    * vocabulary the original window shape left untouched). ROWS frames are
+    * only deterministic under a TOTAL order, so they ORDER BY the unique
+    * key; RANGE frames define the frame by VALUE (all peers included), so
+    * an int order key with ties is deterministic by construction — which
+    * is exactly the semantics difference this tier cross-checks. Bounds
+    * stay ≥1 (0 PRECEDING is not in the portable intersection). */
+  private def shapeWinFrames(r: Random, t: T): String = {
+    val key = t.uniqueKey.get
+    val (s, _) = pick(r, t.strs.map(x => (x._1, x._1)) ++
+      t.ints.map(i => (s"${i._1} % ${3 + r.nextInt(4)}", i._1)))
+    val (d, _, _) = pick(r, t.doubles)
+    val a = 1 + r.nextInt(4)
+    val b = 1 + r.nextInt(4)
+    if (r.nextBoolean())
+      s"""SELECT $key AS k,
+         |       round(sum($d) OVER (PARTITION BY $s ORDER BY $key
+         |         ROWS BETWEEN $a PRECEDING AND $b FOLLOWING), 2) AS fr_sum,
+         |       min($d) OVER (PARTITION BY $s ORDER BY $key
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND $b FOLLOWING) AS fr_min
+         |FROM ${t.name}
+         |WHERE ${wherePreds(r, t)}""".stripMargin
+    else {
+      val (ic, _) = pick(r, t.ints)
+      val w = 1 + r.nextInt(10)
+      s"""SELECT $key AS k,
+         |       count(*) OVER (ORDER BY $ic
+         |         RANGE BETWEEN $w PRECEDING AND $w FOLLOWING) AS fr_n,
+         |       max($ic) OVER (ORDER BY $ic
+         |         RANGE BETWEEN UNBOUNDED PRECEDING AND $w FOLLOWING) AS fr_mx
+         |FROM ${t.name}
+         |WHERE ${wherePreds(r, t)}""".stripMargin
+    }
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL — multiset bag semantics (duplicate
+    * counts subtract/min, not collapse), the set-op vocabulary the plain
+    * setop shape (UNION/INTERSECT/EXCEPT) doesn't reach. Projections are
+    * deliberately non-unique so duplicates actually exist. */
+  private def shapeSetopAll(r: Random, t: T): String = {
+    val op = if (r.nextBoolean()) "INTERSECT ALL" else "EXCEPT ALL"
+    val cols = (t.strs.map(_._1) ++
+      t.ints.map(i => s"${i._1} % ${2 + r.nextInt(4)}"))
+    val proj = r.shuffle(cols).take(2).zipWithIndex
+      .map { case (e, i) => s"$e AS c$i" }.mkString(", ")
+    s"""SELECT $proj FROM ${t.name} WHERE ${wherePreds(r, t)}
+       |$op
+       |SELECT $proj FROM ${t.name} WHERE ${wherePreds(r, t)}""".stripMargin
+  }
+
+  /** Correlated scalar subquery in the SELECT list — per-outer-row
+    * aggregate over the FK child, the decorrelation path (Spark rewrites
+    * to an outer join + aggregate; count must coalesce to 0 on empty,
+    * min to NULL — exactly the semantics both engines must agree on).
+    * Correlation stays conjunctive and parenthesized (engine trap #4:
+    * Spark 4.1.2's RewritePredicateSubquery None.get under a disjunctive
+    * correlation — same discipline as shapeExists). */
+  private def shapeCorrSelect(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins)
+    val key = rt.uniqueKey.get
+    val sub =
+      if (r.nextBoolean() && lt.doubles.nonEmpty) {
+        val (d, _, _) = pick(r, lt.doubles)
+        s"""(SELECT min(i.$d) FROM ${lt.name} i
+           |        WHERE i.$lc = o.$rc AND (${wherePreds(r, lt, "i")})) AS sub_m"""
+      } else
+        s"""(SELECT count(*) FROM ${lt.name} i
+           |        WHERE i.$lc = o.$rc AND (${wherePreds(r, lt, "i")})) AS sub_n"""
+    s"""SELECT o.$key AS k,
+       |       ${sub.stripMargin}
+       |FROM ${rt.name} o
+       |WHERE ${wherePreds(r, rt, "o")}""".stripMargin
+  }
+
+  /** Date/interval arithmetic: +INTERVAL n DAY|MONTH shifts (month
+    * arithmetic end-of-month clamping must agree), date_trunc bucketing,
+    * and an interval-shifted range predicate.
+    *
+    * DIALECT NOTE (probed before this tier shipped, then refined by its
+    * own first run): DuckDB's `date_trunc('month'|'quarter'|'year', ts)`
+    * returns DATE while Spark's returns TIMESTAMP — same instant,
+    * different type. The bucket is therefore cast to TIMESTAMP on both
+    * sides, NOT Date: a Spark-written parquet DATE column loads into the
+    * checker's pandas as dtype `object` (python date objects) while
+    * DuckDB's DATE arrives as datetime64 — a dtype drift the checker
+    * rightly flags even when values agree. TIMESTAMP round-trips as
+    * datetime64 from both engines (the same reason every ts column in the
+    * corpus compares clean). */
+  private def shapeDateArith(r: Random): String = {
+    val t = if (r.nextBoolean()) orders else lineitem
+    val c = t.ts.head
+    val n = 1 + r.nextInt(90)
+    val unit = pick(r, Seq("DAY", "MONTH"))
+    val part = pick(r, Seq("month", "quarter", "year"))
+    s"""SELECT cast(date_trunc('$part', $c + INTERVAL $n $unit) AS TIMESTAMP) AS bucket,
+       |       count(*) AS n, min($c) AS first_ts
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}
+       |  AND $c + INTERVAL $n $unit < TIMESTAMP '2000-06-01 00:00:00'
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Random string-function composition tree over the portable
+    * intersection (upper/lower/substr/concat/replace/trim/reverse/lpad —
+    * all probed to agree, incl. lpad TRUNCATION when the target length is
+    * below the input's and replace-with-empty, which is '' in both
+    * engines, not NULL). Row-level like shapeExprTree: exercises the
+    * string evaluator, not plan shapes. */
+  private def strExpr(r: Random, col: String, depth: Int): String = {
+    def leaf(): String =
+      if (r.nextInt(3) == 0) s"'${pick(r, Seq("xy", "Ab3", "_q", "##", "zz9"))}'"
+      else col
+    if (depth <= 0 || r.nextInt(5) == 0) leaf()
+    else r.nextInt(8) match {
+      case 0 => s"upper(${strExpr(r, col, depth - 1)})"
+      case 1 => s"lower(${strExpr(r, col, depth - 1)})"
+      case 2 => s"substr(${strExpr(r, col, depth - 1)}, ${1 + r.nextInt(3)}, ${1 + r.nextInt(6)})"
+      case 3 => s"concat(${strExpr(r, col, depth - 1)}, ${strExpr(r, col, depth - 1)})"
+      case 4 => s"replace(${strExpr(r, col, depth - 1)}, " +
+        s"'${pick(r, Seq("a", "e", "1", "N", "#"))}', '${pick(r, Seq("x", "", "9"))}')"
+      case 5 => s"trim(${strExpr(r, col, depth - 1)})"
+      case 6 => s"reverse(${strExpr(r, col, depth - 1)})"
+      case _ => s"lpad(${strExpr(r, col, depth - 1)}, ${1 + r.nextInt(12)}, '#')"
+    }
+  }
+
+  private def shapeStrCompose(r: Random, t: T): String = {
+    val key = t.uniqueKey.get
+    val (s, _) = pick(r, t.strs)
+    s"""SELECT $key AS k,
+       |       ${strExpr(r, s, 2 + r.nextInt(2))} AS s1,
+       |       length(${strExpr(r, s, 2)}) AS len1
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}""".stripMargin
+  }
+
   // --------------------------------------------------------------- generate
   /** `n` deterministic queries for `seed`. Pure: no I/O, no global state. */
   def generate(seed: Long, n: Int): Seq[Q] = {
@@ -483,8 +619,11 @@ object Fuzz {
     val withStrs = tables.filter(_.strs.nonEmpty)
     val withDbls = tables.filter(_.doubles.nonEmpty)
     val fullable = Seq(orders, customer, part, supplier)
+    val keyedStrs = tables.filter(t => t.uniqueKey.isDefined && t.strs.nonEmpty)
+    val keyedDbls = tables.filter(t =>
+      t.uniqueKey.isDefined && t.doubles.nonEmpty && t.ints.nonEmpty)
     (0 until n).map { i =>
-      val sql = r.nextInt(17) match {
+      val sql = r.nextInt(22) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -502,6 +641,11 @@ object Fuzz {
         case 14 => shapeExprTree(r, pick(r, tables.filter(t =>
           t.uniqueKey.isDefined && t.doubles.nonEmpty)))
         case 15 => shapeDateFns(r)
+        case 16 => shapeWinFrames(r, pick(r, keyedDbls))
+        case 17 => shapeSetopAll(r, pick(r, withStrs))
+        case 18 => shapeCorrSelect(r)
+        case 19 => shapeDateArith(r)
+        case 20 => shapeStrCompose(r, pick(r, keyedStrs))
         case _ => if (r.nextBoolean()) shapePage(r)
                   else shapeStrFns(r, pick(r, withStrs))
       }

@@ -1056,6 +1056,50 @@ object Job {
     "job_28a" -> viaSql(job28aSql), "job_30a" -> viaSql(job30aSql),
     "job_31a" -> viaSql(job31aSql))
 
+  /** PRE-round-12 FROM lists for the heavy-tail families — the ORIGINAL,
+    * syntax-hostile relation orders the r12 hub-first rewrite replaced
+    * (fact legs first, reducing hub last; git 922110c/5f49d52). Kept as
+    * the INPUT to JobAudit's stats mode (SPARK_GRAFT_JOB_STATS=1): the
+    * r12 fix hand-encodes the order a cost-based optimizer derives, but a
+    * real user's query arrives in arbitrary FROM order — the engine-native
+    * answer is `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS` +
+    * `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled`, which
+    * must recover the reduced-hub-first tree from STATISTICS alone when
+    * handed these worst-case orders. Same tables/predicates/edges as the
+    * shipped texts (the splice below touches only the FROM list), so
+    * results stay oracle-identical. */
+  val originalFrom: Map[String, String] = Map(
+    "job_19a" -> ("lineitem l1, lineitem l2, lineitem l3, lineitem l4, " +
+      "supplier s, nation n, customer c, orders o"),
+    "job_24a" -> ("lineitem l1, lineitem l2, lineitem l3, lineitem l4, " +
+      "lineitem l5, part p3, supplier s, nation n, customer c, orders o"),
+    "job_27a" -> ("part p, part p2, orders o1, orders o2, customer c, " +
+      "lineitem l1, lineitem l2, lineitem l3, lineitem l4"),
+    "job_28a" -> ("orders o, lineitem l1, lineitem l2, lineitem l3, " +
+      "lineitem l4, lineitem l5, part p1, part p2, supplier s1, " +
+      "nation n1, supplier s2, nation n2, customer c, nation n3"),
+    "job_29a" -> ("orders o, lineitem l1, lineitem l2, lineitem l3, " +
+      "lineitem l4, lineitem l5, part p1, part p2, supplier s1, " +
+      "nation n1, region r1, supplier s2, nation n2, region r2, " +
+      "customer c, nation n3, region r3"),
+    "job_30a" -> ("orders o, lineitem l1, lineitem l2, lineitem l3, " +
+      "lineitem l4, lineitem l5, part p1, part p2, part p3, supplier s"),
+    "job_31a" -> ("lineitem l1, lineitem l2, lineitem l3, lineitem l4, " +
+      "part p1, part p2, supplier s, nation n, orders o"))
+
+  /** `sql` with its FROM list swapped for `fromList` — the stats-mode
+    * splice. Every JOB text has exactly one `FROM … WHERE` span and no
+    * subqueries, so the regex is total here; outputs and predicates are
+    * untouched, keeping the result oracle-identical by construction. */
+  def withFromOrder(sql: String, fromList: String): String = {
+    val spliced = "(?s)\\nFROM .*?\\nWHERE ".r
+      .replaceFirstIn(sql, java.util.regex.Matcher.quoteReplacement(
+        s"\nFROM $fromList\nWHERE "))
+    require(spliced != sql || sql.contains(fromList),
+      s"FROM splice failed on: ${sql.take(80)}")
+    spliced
+  }
+
   val oracle: Map[String, String] = Map(
     "job_17f" -> job17fSql,
     "job_2a" -> job2aSql, "job_7a" -> job7aSql, "job_9a" -> job9aSql,

@@ -25,6 +25,65 @@ class FunctionLibSpec extends SparkSpec {
     }
   }
 
+  test("f_tz: conversion semantics pinned against hand-computed instants " +
+    "across the US/EU DST transitions and a half-hour-offset zone — the " +
+    "spec-only gate the DuckDB oracle can't provide (SURVEY §7a)") {
+    import spark.implicits._
+    // (utc instant, expected NY wall, expected Berlin wall, expected
+    //  Kolkata wall, expected NY round-trip) — offsets hand-derived from
+    // the zone rules: US transition 2021-03-14 07:00 UTC / 2021-11-07
+    // 06:00 UTC; EU transition 2021-03-28 01:00 UTC / 2021-10-31 01:00 UTC
+    val cases = Seq(
+      // pre-spring-forward: NY still EST (-5), Berlin CET (+1)
+      ("2021-03-14 06:30:00", "01:30:00", "07:30:00", "12:00:00", true),
+      // post-gap: NY 02:30 local never exists — lands at 03:30 EDT (-4)
+      ("2021-03-14 07:30:00", "03:30:00", "08:30:00", "13:00:00", true),
+      // fall-back FIRST pass of the repeated hour: 01:30 EDT (-4);
+      // to_utc resolves the ambiguous wall-clock to the EARLIER offset
+      // (java.time overlap rule) = this very instant → round-trips true
+      ("2021-11-07 05:30:00", "01:30:00", "06:30:00", "11:00:00", true),
+      // SECOND pass: same 01:30 wall-clock, now EST (-5); the reverse
+      // mapping picks the first pass → round-trip FALSE by design
+      ("2021-11-07 06:30:00", "01:30:00", "07:30:00", "12:00:00", false),
+      // EU spring-forward: Berlin 02:30 local never exists → 03:30 CEST
+      ("2021-03-28 00:30:00", "20:30:00", "01:30:00", "06:00:00", true),
+      ("2021-03-28 01:30:00", "21:30:00", "03:30:00", "07:00:00", true),
+      // plain summer instant: NY EDT (-4), Berlin CEST (+2), Kolkata +5:30
+      ("2021-06-01 00:00:00", "20:00:00", "02:00:00", "05:30:00", true))
+    val got = cases.map(_._1).toDF("s")
+      .select(to_timestamp(col("s")).as("ts")) // session is UTC → instants
+      .select(col("ts"),
+        date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+          "HH:mm:ss").as("ny"),
+        date_format(from_utc_timestamp(col("ts"), "Europe/Berlin"),
+          "HH:mm:ss").as("berlin"),
+        date_format(from_utc_timestamp(col("ts"), "Asia/Kolkata"),
+          "HH:mm:ss").as("kolkata"),
+        (to_utc_timestamp(from_utc_timestamp(col("ts"), "America/New_York"),
+          "America/New_York") === col("ts")).as("rt"))
+      .collect().map(r => (r.getAs[String]("ny"), r.getAs[String]("berlin"),
+        r.getAs[String]("kolkata"), r.getAs[Boolean]("rt")))
+    cases.zip(got).foreach { case ((utc, ny, be, ko, rt), (gNy, gBe, gKo, gRt)) =>
+      assert(gNy == ny, s"$utc NY wall: got $gNy want $ny")
+      assert(gBe == be, s"$utc Berlin wall: got $gBe want $be")
+      assert(gKo == ko, s"$utc Kolkata wall: got $gKo want $ko")
+      assert(gRt == rt, s"$utc NY round-trip: got $gRt want $rt")
+    }
+    // the entry itself: every event converts, and round-trip is true for
+    // all events whose NY wall-clock avoids the repeated hour (the corpus
+    // spans 1995-2000 summer/winter dates — ambiguous instants are rare
+    // but not impossible, so assert the overwhelming majority, not all)
+    val e = FunctionLib.fTz(spark, sf).cache()
+    try {
+      val n = e.count()
+      assert(n > 0)
+      val rtTrue = e.filter(col("ny_round_trip")).count()
+      assert(rtTrue >= n - (n / 100),
+        s"round-trip true for only $rtTrue/$n events")
+      assert(e.filter(col("kolkata_wall").isNull).count() == 0)
+    } finally e.unpersist()
+  }
+
   test("sha1/sha2-224/384/512 match java.security.MessageDigest; crc32 matches zlib") {
     import spark.implicits._
     val s = "Customer#000000001"
