@@ -612,6 +612,65 @@ object Fuzz {
        |WHERE ${wherePreds(r, t)}""".stripMargin
   }
 
+  /** DISTINCT aggregates — the dedup-inside-aggregation path (Spark plans
+    * a two-phase expand/partial distinct; DuckDB a hash distinct) whose
+    * results must agree exactly. sum(DISTINCT) stays on ints / int
+    * expressions so the sum is exact in both engines, and is cast to
+    * BIGINT explicitly: DuckDB's integer sum returns HUGEINT (int128),
+    * which lands in the checker's pandas as float64 while Spark's BIGINT
+    * arrives as int64 — a dtype drift on the identical values (the same
+    * class as the date_trunc trap on shapeDateArith). */
+  private def shapeDistinctAgg(r: Random, t: T): String = {
+    val (gExpr, gName) = groupCol(r, t)
+    val (i1, _) = pick(r, t.ints)
+    val (i2, _) = pick(r, t.ints)
+    s"""SELECT $gExpr AS $gName, count(*) AS n,
+       |       count(DISTINCT $i1) AS nd,
+       |       cast(sum(DISTINCT $i2 % ${3 + r.nextInt(7)}) AS BIGINT) AS sd
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** GROUPING SETS — the general grouping-set vocabulary beyond ROLLUP's
+    * prefix chain: the (a), (b), (a,b) lattice produces NULL labels on
+    * DIFFERENT dimensions per set. Same empty-input guard as shapeRollup
+    * (dialect trap #2: DuckDB emits the `()` grand-total row over empty
+    * input, Spark doesn't — no `()` set here, but the guard also protects
+    * the all-NULL-label sets over empty input for free). */
+  private def shapeGroupingSets(r: Random, t: T): String = {
+    val (s1, _) = pick(r, t.strs)
+    val (s2, _) = pick(r, t.strs.filter(_._1 != s1) ++
+      t.ints.map(i => (s"${i._1} % ${2 + r.nextInt(4)}", i._1)))
+    val sets = pick(r, Seq(
+      s"(($s1), ($s2))",
+      s"(($s1), ($s2), ($s1, $s2))",
+      s"(($s1, $s2), ($s1))"))
+    s"""SELECT $s1 AS g1, $s2 AS g2, count(*) AS n
+       |FROM ${t.name}
+       |WHERE ${wherePreds(r, t)}
+       |GROUP BY GROUPING SETS $sets
+       |HAVING count(*) > 0""".stripMargin
+  }
+
+  /** HAVING over a join aggregate — post-aggregation filtering where the
+    * aggregate input is a filtered FK join (the HAVING predicate must see
+    * the POST-join groups in both engines). */
+  private def shapeJoinHaving(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins)
+    val (gExpr, gName) = if (r.nextBoolean()) groupCol(r, rt, "b")
+                         else groupCol(r, lt, "a")
+    val (d, _, _) = pick(r, (if (lt.doubles.nonEmpty) lt.doubles
+                             else rt.doubles))
+    val dp = if (lt.doubles.nonEmpty) s"a.$d" else s"b.$d"
+    s"""SELECT $gExpr AS $gName, count(*) AS n, round(sum($dp), 2) AS s
+       |FROM ${lt.name} a
+       |JOIN ${rt.name} b ON a.$lc = b.$rc
+       |WHERE ${wherePreds(r, lt, "a")}
+       |GROUP BY 1
+       |HAVING count(*) > ${1 + r.nextInt(4)} AND min($dp) > 0.0e0""".stripMargin
+  }
+
   // --------------------------------------------------------------- generate
   /** `n` deterministic queries for `seed`. Pure: no I/O, no global state. */
   def generate(seed: Long, n: Int): Seq[Q] = {
@@ -623,7 +682,7 @@ object Fuzz {
     val keyedDbls = tables.filter(t =>
       t.uniqueKey.isDefined && t.doubles.nonEmpty && t.ints.nonEmpty)
     (0 until n).map { i =>
-      val sql = r.nextInt(22) match {
+      val sql = r.nextInt(25) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -646,6 +705,9 @@ object Fuzz {
         case 18 => shapeCorrSelect(r)
         case 19 => shapeDateArith(r)
         case 20 => shapeStrCompose(r, pick(r, keyedStrs))
+        case 21 => shapeDistinctAgg(r, pick(r, withStrs.filter(_.ints.size >= 2)))
+        case 22 => shapeGroupingSets(r, pick(r, withStrs))
+        case 23 => shapeJoinHaving(r)
         case _ => if (r.nextBoolean()) shapePage(r)
                   else shapeStrFns(r, pick(r, withStrs))
       }
