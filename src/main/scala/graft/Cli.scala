@@ -39,6 +39,7 @@ object Cli {
       |  \d                 list tables and views
       |  \d <name>          describe a table or view
       |  \load <dir>        register <dir>/*.parquet as temp views
+      |  \analyze <dir>     catalog tables + ANALYZE + cost-based join reorder
       |  \timing on|off     toggle per-statement wall-clock timing
       |  \maxrows <n>       rows displayed per result (default 40)
       |  \q                 quit
@@ -70,6 +71,19 @@ object Cli {
               timing = false)
           case "\\load" if parts.size > 1 =>
             load(spark, parts(1), out)
+          case "\\analyze" if parts.size > 1 =>
+            // the stats path \load can't give: catalog tables carry the
+            // row-count/column stats CBO join reorder reads (temp views
+            // don't), so multi-join SQL typed here plans from DATA, not
+            // FROM order (BASELINE.md round-13)
+            try {
+              Graft.enableCbo(spark, parts(1))
+              out.println(s"analyzed 7 tables under ${parts(1)}; " +
+                "cost-based join reorder enabled")
+            } catch {
+              case NonFatal(e) =>
+                out.println(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+            }
           case "\\timing" =>
             timing = parts.lift(1).contains("on")
             out.println(s"timing ${if (timing) "on" else "off"}")

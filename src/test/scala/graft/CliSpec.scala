@@ -51,6 +51,34 @@ class CliSpec extends SparkSpec {
     assert(o.contains("3 row(s) (display capped)"), o)
   }
 
+  test("\\analyze wires Graft.enableCbo: catalog stats land, join reorder " +
+    "enabled, a join still answers; bad dir errors in one line") {
+    val before = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      val o = run(
+        s"""\\analyze $sf
+           |SELECT count(*) AS n
+           |FROM spark_catalog.default.nation n, spark_catalog.default.region r
+           |WHERE n.n_regionkey = r.r_regionkey;
+           |\\analyze /no/such/dir_zzz
+           |\\q
+           |""".stripMargin)
+      assert(o.contains("analyzed 7 tables"), o)
+      assert(o.contains("| 25") && o.contains("1 row(s)"), o)
+      assert(o.contains("Error:"), o)
+      assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
+      val stats = spark.table("spark_catalog.default.orders")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined, "ANALYZE left no rowCount")
+    } finally {
+      Tables.all.filterNot(t => t == "events" || t == "documents" ||
+        t == "embeddings").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS spark_catalog.default.$t"))
+      spark.conf.set("spark.sql.cbo.enabled", before.getOrElse("false"))
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    }
+  }
+
   test("errors keep the session healthy and print in one line") {
     val o = run(
       s"""SELECT * FROM no_such_table_xyz;
