@@ -99,19 +99,7 @@ object JobAudit {
       // legitimately sees every build side outgrow the broadcast
       // threshold at the deployment decade — all-shuffle is the plan a
       // 1000-executor cluster wants there, not a flip.
-      val hasTinyDim = {
-        // word-boundary match, not space-padded substrings: a table name at
-        // line start/end or tab-delimited must still arm the invariant.
-        val sql = operators.Job.oracle(name)
-        "\\b(nation|region)\\b".r.findFirstIn(sql).isDefined
-      }
-      val problems = Seq(
-        (p.contains("CartesianProduct")) -> "CartesianProduct",
-        (p.contains("BroadcastNestedLoopJoin")) -> "BroadcastNestedLoopJoin",
-        (hasTinyDim && !p.contains("BroadcastHashJoin")) ->
-          "no broadcast build despite a tiny dim",
-        (!p.contains("PushedFilters: [")) -> "no pushed filters"
-      ).collect { case (true, msg) => msg }
+      val problems = planProblems(name, p)
       val verdict = if (problems.isEmpty) "ok" else {
         flipped += 1; s"FLIPPED: ${problems.mkString("; ")}"
       }
@@ -129,6 +117,23 @@ object JobAudit {
     println(s"[jobaudit] == ${rows.size - flipped} ok, $flipped flipped")
     spark.stop()
     if (flipped > 0) sys.exit(1)
+  }
+
+  /** Scale-invariant plan problems (shared by the main audit and the stats
+    * mode's CBO leg): cartesian, nested-loop, a tiny-dim family with no
+    * broadcast at all, filters not reaching the scans. The tiny-dim arm
+    * uses a word-boundary match on the family's SQL (nation/region are
+    * broadcastable at EVERY scale). */
+  private def planProblems(name: String, p: String): Seq[String] = {
+    val hasTinyDim =
+      "\\b(nation|region)\\b".r.findFirstIn(operators.Job.oracle(name)).isDefined
+    Seq(
+      (p.contains("CartesianProduct")) -> "CartesianProduct",
+      (p.contains("BroadcastNestedLoopJoin")) -> "BroadcastNestedLoopJoin",
+      (hasTinyDim && !p.contains("BroadcastHashJoin")) ->
+        "no broadcast build despite a tiny dim",
+      (!p.contains("PushedFilters: [")) -> "no pushed filters"
+    ).collect { case (true, msg) => msg }
   }
 
   /** STATS mode (SPARK_GRAFT_JOB_STATS=1) — the engine-native answer to
@@ -154,9 +159,12 @@ object JobAudit {
     *     to 18 for the 14/17-relation webs (28a/29a) to measure where
     *     Spark's DP join reorder really stops;
     *  4. assert both runs return the SAME single MIN-row (the splice
-    *     changes only FROM order, so any divergence is a planner bug), and
-    *     report wall/planning-time ratios — the gate from the verdict is
-    *     cbo-from-original within ~1.2× of hand-ordered.
+    *     changes only FROM order, so any divergence is a planner bug),
+    *     assert the CBO tree holds the main audit's scale invariants
+    *     ([[planProblems]] — no cartesian/BNLJ, tiny dims broadcast,
+    *     filters pushed), and report wall/planning-time ratios — the gate
+    *     from the verdict is cbo-from-original within ~1.2× of
+    *     hand-ordered.
     *
     * SPARK_GRAFT_JOB_HIST=1 additionally builds equi-height histograms
     * (better range selectivity, pricier ANALYZE). */
@@ -175,7 +183,7 @@ object JobAudit {
         val handSql = Job.oracle(name)
         val origSql = Job.withFromOrder(handSql, Job.originalFrom(name))
         val nRel = Job.originalFrom(name).split(",").length
-        def run(sql: String, cbo: Boolean): (Double, Double, Seq[Any]) = {
+        def run(sql: String, cbo: Boolean): (Double, Double, Seq[Any], String) = {
           spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
           spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
           spark.conf.set("spark.sql.cbo.joinReorder.dp.threshold",
@@ -186,13 +194,21 @@ object JobAudit {
           val plan = (System.nanoTime() - p0) / 1e9
           val e0 = System.nanoTime()
           val row = df.collect()(0).toSeq // 1-row MIN outputs in every family
-          (plan, (System.nanoTime() - e0) / 1e9, row)
+          val finalPlan = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+          (plan, (System.nanoTime() - e0) / 1e9, row, finalPlan)
         }
-        val (_, wallHand, rowHand) = run(handSql, cbo = false)
-        val (planCbo, wallCbo, rowCbo) = run(origSql, cbo = true)
+        val (_, wallHand, rowHand, _) = run(handSql, cbo = false)
+        val (planCbo, wallCbo, rowCbo, cboPlan) = run(origSql, cbo = true)
         assert(rowHand == rowCbo,
           s"$name: CBO plan over the original FROM changed the RESULT: " +
             s"$rowHand vs $rowCbo")
+        // the CBO tree must hold the same scale invariants the main audit
+        // pins — a result-correct plan with a cartesian/BNLJ or unpushed
+        // filters would be a CBO regression this mode exists to catch
+        val cboProblems = planProblems(name, cboPlan)
+        assert(cboProblems.isEmpty,
+          s"$name: CBO plan violates scale invariants: ${cboProblems.mkString("; ")}")
         val ratio = wallCbo / wallHand
         worst = math.max(worst, ratio)
         println(f"[jobstats] $name%-8s nRel=$nRel%2d hand=$wallHand%7.2fs " +
