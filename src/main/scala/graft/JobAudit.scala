@@ -209,8 +209,14 @@ object JobAudit {
             .split("== Initial Plan ==").head
           (plan, (System.nanoTime() - e0) / 1e9, row, finalPlan)
         }
-        val (_, wallHand, rowHand, _) = run(handSql, cbo = false)
+        val (_, wallHand, rowHand, handPlan) = run(handSql, cbo = false)
         val (planCbo, wallCbo, rowCbo, cboPlan) = run(origSql, cbo = true)
+        // SPARK_GRAFT_JOB_STATS_PLANS=1: dump both final plans (how the
+        // job_33a 1.15× miss was diagnosed — diff the join trees)
+        if (sys.env.get("SPARK_GRAFT_JOB_STATS_PLANS").contains("1")) {
+          println(s"[jobstats-plan] $name HAND:\n$handPlan")
+          println(s"[jobstats-plan] $name CBO:\n$cboPlan")
+        }
         assert(rowHand == rowCbo,
           s"$name: CBO plan over the original FROM changed the RESULT: " +
             s"$rowHand vs $rowCbo")
