@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    for 1000-executor clusters; size ≈ 2-3× total cores there).
   *  - UTC session timezone: deterministic timestamp semantics everywhere.
   */
-object Graft {
+object Graft extends org.apache.spark.internal.Logging {
 
   /** Apply graft configuration to any builder (cluster or local). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
@@ -78,20 +78,77 @@ object Graft {
   def enableCbo(spark: SparkSession, dir: String,
       tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
         "part", "orders", "lineitem"),
-      dpThreshold: Int = 12): Unit = {
-    // database-qualified names throughout: a BARE `DROP TABLE t` resolves
-    // temp views first, so a session that also holds a temp view `t`
-    // would silently lose the VIEW instead of replacing the table.
-    val db = spark.catalog.currentDatabase
-    tables.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $db.$t")
-      spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$dir/$t.parquet'")
-      spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
-    }
+      dpThreshold: Int = 12): Int =
+    enableCbo(spark, tables.map(t => t -> s"$dir/$t.parquet").toMap,
+      dpThreshold)
+
+  /** The broadcast threshold a stats-driven session should run with.
+    * Spark's 10 MB default predates both AQE and modern executor memory;
+    * measured round 14 (BASELINE.md): job_33a's residual CBO gap was a
+    * 333k-row filtered part slice (~17 MB) sitting just above 10 MB, so
+    * one fact leg fell back to a full-lineitem sort-merge join — raising
+    * the threshold flipped the family from 1.15× to 0.85× of the
+    * hand-ordered text. 64 MB is still tiny against executor memory
+    * (≲1% of a typical 8 GB executor heap, shipped once per executor,
+    * not per core), the STATIC decision is backed by ANALYZE'd column
+    * stats here (that is what enableCbo is), and the ADAPTIVE one is
+    * measured from real runtime sizes — both are exactly the cases where
+    * trusting a bigger build side is safe. */
+  val cboBroadcastThreshold: String = "64MB"
+
+  /** The general front door (VERDICT r13 #6): ANY user's (name → path)
+    * parquet tables, not just the testdata layout. Returns the number of
+    * tables registered + analyzed, so callers (the CLI's `\analyze`)
+    * report the real count. The CBO confs are set BEFORE registration so a
+    * mid-loop failure (bad path, permissions) leaves an explicit state —
+    * CBO on, the failing table loudly absent — instead of tables silently
+    * planless. Paths and names are quoted into the DDL ('' / `` escaping),
+    * so a location containing a quote cannot break out of the statement. */
+  def enableCbo(spark: SparkSession, tables: Map[String, String],
+      dpThreshold: Int): Int = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.dp.threshold",
       dpThreshold.toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      cboBroadcastThreshold)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      cboBroadcastThreshold)
+    installResidualPlacement(spark)
+    // database-qualified names throughout: a BARE `DROP TABLE t` resolves
+    // temp views first, so a session that also holds a temp view `t`
+    // would silently lose the VIEW instead of replacing the table.
+    val db = spark.catalog.currentDatabase
+    tables.toSeq.sortBy(_._1).foreach { case (t, path) =>
+      val name = s"$db.`${t.replace("`", "``")}`"
+      val loc = path.replace("'", "''")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$loc'")
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      // a same-named TEMP VIEW outranks the catalog table at resolution
+      // time, so unqualified SQL would keep planning stat-less against the
+      // view while the session believes CBO is active — say so loudly.
+      if (spark.sessionState.catalog.getTempView(t).isDefined)
+        logWarning(s"graft.Graft.enableCbo: a temp view named '$t' shadows " +
+          s"the analyzed catalog table $name — unqualified references to " +
+          s"'$t' resolve to the STAT-LESS view; drop the view or qualify " +
+          s"as $db.$t")
+    }
+    tables.size
+  }
+
+  /** Register [[graft.functions.ResidualJoinPlacement]] on the session
+    * (idempotent). `spark.experimental.extraOptimizations` is the one
+    * public hook that runs AFTER the `Join Reorder` batch — the
+    * `SparkSessionExtensions` rule points all run before CBO and never see
+    * the reordered tree. The rule additionally gates itself on
+    * `spark.sql.cbo.joinReorder.enabled`, so installing it here is inert
+    * for non-CBO sessions sharing the JVM. */
+  def installResidualPlacement(spark: SparkSession): Unit = {
+    val rule = functions.ResidualJoinPlacement
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
   }
 
   // ---------------------------------------------------- PREPARE / EXECUTE

@@ -209,17 +209,36 @@ object JobAudit {
             .split("== Initial Plan ==").head
           (plan, (System.nanoTime() - e0) / 1e9, row, finalPlan)
         }
-        val (_, wallHand, rowHand, handPlan) = run(handSql, cbo = false)
-        val (planCbo, wallCbo, rowCbo, cboPlan) = run(origSql, cbo = true)
+        // ALTERNATED min-of-N protocol (VERDICT r13 #5): single-pass walls
+        // at 300×+ carry ±70% noise (page-cache boundary, residual shuffle
+        // files), and running all hand legs before all CBO legs folds any
+        // session drift INTO the ratio. Interleaving hand/CBO reps puts
+        // both legs through the same cache/shuffle state; min-of-N then
+        // reads the best-case of each, which is what plan quality means.
+        val reps = sys.env.get("SPARK_GRAFT_JOB_STATS_REPS")
+          .map(_.toInt).getOrElse(2)
+        var wallHand = Double.MaxValue
+        var wallCbo = Double.MaxValue
+        var planCbo = 0.0
+        var handPlan = ""
+        var cboPlan = ""
+        (1 to reps).foreach { _ =>
+          val (_, h, rowHand, hp) = run(handSql, cbo = false)
+          System.gc(); Thread.sleep(1000); System.gc()
+          val (p, c, rowCbo, cp) = run(origSql, cbo = true)
+          System.gc(); Thread.sleep(1000); System.gc()
+          assert(rowHand == rowCbo,
+            s"$name: CBO plan over the original FROM changed the RESULT: " +
+              s"$rowHand vs $rowCbo")
+          wallHand = math.min(wallHand, h); wallCbo = math.min(wallCbo, c)
+          planCbo = p; handPlan = hp; cboPlan = cp
+        }
         // SPARK_GRAFT_JOB_STATS_PLANS=1: dump both final plans (how the
-        // job_33a 1.15× miss was diagnosed — diff the join trees)
+        // job_33a miss was diagnosed — diff the join trees)
         if (sys.env.get("SPARK_GRAFT_JOB_STATS_PLANS").contains("1")) {
           println(s"[jobstats-plan] $name HAND:\n$handPlan")
           println(s"[jobstats-plan] $name CBO:\n$cboPlan")
         }
-        assert(rowHand == rowCbo,
-          s"$name: CBO plan over the original FROM changed the RESULT: " +
-            s"$rowHand vs $rowCbo")
         // the CBO tree must hold the same scale invariants the main audit
         // pins — a result-correct plan with a cartesian/BNLJ or unpushed
         // filters would be a CBO regression this mode exists to catch
@@ -229,8 +248,8 @@ object JobAudit {
         val ratio = wallCbo / wallHand
         worst = math.max(worst, ratio)
         println(f"[jobstats] $name%-8s nRel=$nRel%2d hand=$wallHand%7.2fs " +
-          f"cbo(orig FROM)=$wallCbo%7.2fs plan=$planCbo%6.2fs ratio=$ratio%5.2fx")
-        System.gc(); Thread.sleep(1500); System.gc()
+          f"cbo(orig FROM)=$wallCbo%7.2fs plan=$planCbo%6.2fs ratio=$ratio%5.2fx" +
+          s" (min of $reps, alternated)")
         f""""$name":{"hand":$wallHand%.2f,"cbo":$wallCbo%.2f,"plan":$planCbo%.2f}"""
       }
     println(s"""[jobstats-json] {${rows.mkString(",")}}""")

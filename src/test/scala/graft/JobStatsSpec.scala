@@ -48,8 +48,12 @@ class JobStatsSpec extends SparkSpec {
   test("Graft.enableCbo registers catalog tables with ROW-COUNT statistics " +
     "and turns on cost-based join reorder — the stats CBO actually reads") {
     val before = spark.conf.getOption("spark.sql.cbo.enabled")
+    val beforeBcast = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
     try {
-      Graft.enableCbo(spark, sf, tables = Seq("nation", "region"))
+      val n = Graft.enableCbo(spark, sf, tables = Seq("nation", "region"))
+      assert(n == 2, s"enableCbo returned $n, expected the table count 2")
       assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
       assert(spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "true")
       // catalog stats present (rowCount is the CBO join-size input; a
@@ -68,6 +72,10 @@ class JobStatsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS spark_catalog.default.region")
       spark.conf.set("spark.sql.cbo.enabled", before.getOrElse("false"))
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      beforeBcast.foreach { // enableCbo raises these session-wide now
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 }
