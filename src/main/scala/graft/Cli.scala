@@ -40,6 +40,7 @@ object Cli {
       |  \d <name>          describe a table or view
       |  \load <dir>        register <dir>/*.parquet as temp views
       |  \analyze <dir>     catalog tables + ANALYZE + cost-based join reorder
+      |  \analyze n=p [...] same, for arbitrary  name=path  parquet tables
       |  \timing on|off     toggle per-statement wall-clock timing
       |  \maxrows <n>       rows displayed per result (default 40)
       |  \q                 quit
@@ -77,9 +78,28 @@ object Cli {
             // don't), so multi-join SQL typed here plans from DATA, not
             // FROM order (BASELINE.md round-13)
             try {
-              Graft.enableCbo(spark, parts(1))
-              out.println(s"analyzed 7 tables under ${parts(1)}; " +
+              val args = parts.drop(1)
+              val named = args.filter(_.contains("="))
+                .map { a => val Array(k, v) = a.split("=", 2); k -> v }
+              val (n, names) =
+                if (named.nonEmpty)
+                  (Graft.enableCbo(spark, named.toMap, dpThreshold = 12),
+                    named.map(_._1))
+                else (Graft.enableCbo(spark, args.head),
+                  Graft.defaultCboTables)
+              out.println(s"analyzed $n tables; " +
                 "cost-based join reorder enabled")
+              // a \load-created temp view outranks a same-named catalog
+              // table at resolution, so unqualified SQL would keep
+              // planning STAT-LESS while this session believes CBO is on
+              val shadowed = names.filter(t =>
+                spark.sessionState.catalog.getTempView(t).isDefined)
+              if (shadowed.nonEmpty)
+                out.println("warning: temp view(s) shadow the analyzed " +
+                  s"catalog table(s): ${shadowed.mkString(", ")} - " +
+                  "unqualified SQL resolves to the STAT-LESS views; " +
+                  "qualify as spark_catalog.default.<name> or restart " +
+                  "without \\load")
             } catch {
               case NonFatal(e) =>
                 out.println(s"Error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")

@@ -75,9 +75,13 @@ object Graft extends org.apache.spark.internal.Logging {
     * amortized over every query after. `dpThreshold` bounds the join-count
     * the DP enumerator reorders (Spark default 12; the measured JOB webs
     * plan fine at 18 — raise it only as far as planning time allows). */
+  /** The testdata/ScaleGen relational table set [[enableCbo]] registers by
+    * default (callers like the CLI's `\analyze` report/check these names). */
+  val defaultCboTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem")
+
   def enableCbo(spark: SparkSession, dir: String,
-      tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
-        "part", "orders", "lineitem"),
+      tables: Seq[String] = defaultCboTables,
       dpThreshold: Int = 12): Int =
     enableCbo(spark, tables.map(t => t -> s"$dir/$t.parquet").toMap,
       dpThreshold)
@@ -87,14 +91,17 @@ object Graft extends org.apache.spark.internal.Logging {
     * measured round 14 (BASELINE.md): job_33a's residual CBO gap was a
     * 333k-row filtered part slice (~17 MB) sitting just above 10 MB, so
     * one fact leg fell back to a full-lineitem sort-merge join — raising
-    * the threshold flipped the family from 1.15× to 0.85× of the
-    * hand-ordered text. 64 MB is still tiny against executor memory
-    * (≲1% of a typical 8 GB executor heap, shipped once per executor,
-    * not per core), the STATIC decision is backed by ANALYZE'd column
-    * stats here (that is what enableCbo is), and the ADAPTIVE one is
-    * measured from real runtime sizes — both are exactly the cases where
-    * trusting a bigger build side is safe. */
-  val cboBroadcastThreshold: String = "64MB"
+    * the threshold flipped the family from 1.15× to 0.88× of the
+    * hand-ordered text. The VALUE was bisected, not guessed: at 64 MB
+    * two families regressed behind oversized broadcast builds
+    * (job_10a 1.14×, job_19a 1.29×); 32 MB keeps the job_33a fix and
+    * halves those costs (1.07×/1.16×) — the measured knee. 32 MB is
+    * still tiny against executor memory (shipped once per executor, not
+    * per core), the STATIC decision is backed by ANALYZE'd column stats
+    * here (that is what enableCbo is), and the ADAPTIVE one is measured
+    * from real runtime sizes — exactly the cases where trusting a
+    * bigger build side is safe. */
+  val cboBroadcastThreshold: String = "32MB"
 
   /** The general front door (VERDICT r13 #6): ANY user's (name → path)
     * parquet tables, not just the testdata layout. Returns the number of
@@ -124,7 +131,7 @@ object Graft extends org.apache.spark.internal.Logging {
       val loc = path.replace("'", "''")
       spark.sql(s"DROP TABLE IF EXISTS $name")
       spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$loc'")
-      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      analyzeStatSafeColumns(spark, name)
       // a same-named TEMP VIEW outranks the catalog table at resolution
       // time, so unqualified SQL would keep planning stat-less against the
       // view while the session believes CBO is active — say so loudly.
@@ -135,6 +142,38 @@ object Graft extends org.apache.spark.internal.Logging {
           s"as $db.$t")
     }
     tables.size
+  }
+
+  /** ANALYZE column statistics for every column whose type survives
+    * Spark's CBO estimation — NOT `FOR ALL COLUMNS`, for two reasons
+    * found round 14:
+    *  1. **TIMESTAMP_NTZ column stats CRASH CBO planning** in Spark
+    *     4.1.2: `FilterEstimation.evaluateBinary`'s type match lacks
+    *     `TimestampNTZType`, so any `ntz_col >= TIMESTAMP '…'` range
+    *     predicate over a stats-bearing NTZ column dies with a
+    *     `scala.MatchError` INTERNAL_ERROR at optimization time (found
+    *     by the round-14 CBO fuzz leg, minimal repro fz_0039 in
+    *     FuzzSpec; parquet written without isAdjustedToUTC — e.g. by
+    *     arrow — reads as NTZ, so real user tables hit this). Skipping
+    *     the column's stats keeps CBO working off the remaining columns
+    *     — the estimator falls back to default selectivity for that
+    *     predicate instead of crashing.
+    *  2. `FOR COLUMNS` on array/map/struct/binary types errors outright,
+    *     and user tables registered through [[enableCbo]]'s map form
+    *     (embeddings, documents) carry them. */
+  def analyzeStatSafeColumns(spark: SparkSession, qualName: String): Unit = {
+    import org.apache.spark.sql.types._
+    val safe = spark.table(qualName).schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == StringType || f.dataType == BooleanType ||
+        f.dataType == DateType || f.dataType == TimestampType =>
+        s"`${f.name.replace("`", "``")}`"
+    }
+    if (safe.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $qualName COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${safe.mkString(", ")}")
+    else // row count + size still feed join-size estimation
+      spark.sql(s"ANALYZE TABLE $qualName COMPUTE STATISTICS")
   }
 
   /** Register [[graft.functions.ResidualJoinPlacement]] on the session

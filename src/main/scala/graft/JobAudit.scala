@@ -176,6 +176,13 @@ object JobAudit {
     val tA = System.nanoTime()
     Graft.enableCbo(spark, dir) // the user-facing path — audited here
     println(f"[jobstats] analyze total ${(System.nanoTime() - tA) / 1e9}%.2fs")
+    // SPARK_GRAFT_JOB_BCAST: broadcast-threshold override (bytes) for
+    // bisecting enableCbo's 64 MB default against Spark's 10 MB stock —
+    // how the r14 job_3a regression was attributed
+    sys.env.get("SPARK_GRAFT_JOB_BCAST").foreach { v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+    }
     // SPARK_GRAFT_JOB_STATS_ALL=1 widens the sweep to EVERY family: the 27
     // families without a preserved worst-case FROM run the SHIPPED text on
     // both legs, measuring that enabling CBO session-wide REGRESSES nothing

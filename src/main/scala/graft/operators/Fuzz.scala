@@ -671,6 +671,91 @@ object Fuzz {
        |HAVING count(*) > ${1 + r.nextInt(4)} AND min($dp) > 0.0e0""".stripMargin
   }
 
+  /** LATERAL correlated subquery (VERDICT r13 #3 tier): the comma-LATERAL
+    * form both engines parse identically. Two sub-shapes: a correlated
+    * AGGREGATE lateral (one row per outer row — the de-correlation both
+    * planners must get right) and a correlated projection lateral (scalar
+    * arithmetic over outer columns). The outer WHERE keeps the outer side
+    * small so the shape stays sub-second at sf0.001 in both engines. */
+  private def shapeLateral(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins)
+    val key = rt.uniqueKey.get
+    if (r.nextBoolean() && lt.doubles.nonEmpty) {
+      val (d, _, _) = pick(r, lt.doubles)
+      s"""SELECT o.$key AS k, l.agg_v, l.n_in
+         |FROM ${rt.name} o,
+         |  LATERAL (SELECT round(sum(i.$d), 2) AS agg_v, count(*) AS n_in
+         |           FROM ${lt.name} i WHERE i.$lc = o.$rc) l
+         |WHERE ${wherePreds(r, rt, "o")}""".stripMargin
+    } else {
+      val (i1, m) = pick(r, rt.ints)
+      s"""SELECT o.$key AS k, x.v1, x.v2
+         |FROM ${rt.name} o,
+         |  LATERAL (SELECT o.$i1 + ${1 + r.nextInt(9)} AS v1,
+         |                  o.$i1 % ${2 + r.nextInt(5)} AS v2) x
+         |WHERE o.$i1 < ${1 + r.nextInt(m)}""".stripMargin
+    }
+  }
+
+  /** Windowed aggregates OVER A JOIN (VERDICT r13 #3 tier): the window
+    * input is a filtered FK join, so partition boundaries are post-join
+    * groups — the geometry where a planner that reorders the join under
+    * the window (or prunes a column the frame needs) diverges. Total
+    * ORDER BY inside the frame (unique composite) keeps running sums
+    * deterministic in both engines. */
+  private def shapeWinOverJoin(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins.filter(_._1.doubles.nonEmpty))
+    val (d, _, _) = pick(r, lt.doubles)
+    val (gExpr, gName) = groupCol(r, rt, "b")
+    // EVERY int column of the left table rides in the intra-frame ORDER BY:
+    // for lineitem that includes l_linenumber, completing the (l_orderkey,
+    // l_linenumber) primary key — anything less leaves running sums
+    // order-ambiguous across engines on duplicate prefixes
+    val keyCols = lt.ints.map(c => s"a.${c._1}").mkString(", ")
+    if (r.nextBoolean())
+      s"""SELECT $gExpr AS $gName,
+         |       round(sum(a.$d) OVER (PARTITION BY $gExpr
+         |         ORDER BY $keyCols
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rsum
+         |FROM ${lt.name} a
+         |JOIN ${rt.name} b ON a.$lc = b.$rc
+         |WHERE ${wherePreds(r, lt, "a")}""".stripMargin
+    else
+      s"""SELECT g, rk, nv FROM (
+         |  SELECT $gExpr AS g,
+         |         rank() OVER (PARTITION BY $gExpr
+         |           ORDER BY round(a.$d, 2) DESC, $keyCols) AS rk,
+         |         count(*) OVER (PARTITION BY $gExpr) AS nv
+         |  FROM ${lt.name} a
+         |  JOIN ${rt.name} b ON a.$lc = b.$rc
+         |  WHERE ${wherePreds(r, lt, "a")}) x
+         |WHERE rk <= ${1 + r.nextInt(3)}""".stripMargin
+  }
+
+  /** FILTER-clause aggregates over a join (replacing the planned
+    * UNION-BY-NAME tier: Spark 4.1's SQL parser rejects `UNION ALL BY
+    * NAME` — probed round 14, PARSE_SYNTAX_ERROR — so that semantics
+    * stays a DataFrame-level surface, s_union_by_name). Per-aggregate
+    * FILTER predicates over a filtered FK join: each aggregate sees a
+    * DIFFERENT subset of the same groups — the conditional-aggregation
+    * shape where engines disagree on empty-subset results (count→0 but
+    * sum/min→NULL) if either mishandles the clause. */
+  private def shapeFilterAgg(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins.filter(_._1.doubles.nonEmpty))
+    val (gExpr, gName) = groupCol(r, rt, "b")
+    val (d, _, _) = pick(r, lt.doubles)
+    val p1 = anyPred(r, lt, "a")
+    val p2 = anyPred(r, lt, "a")
+    s"""SELECT $gExpr AS $gName, count(*) AS n,
+       |       count(*) FILTER (WHERE $p1) AS n_f,
+       |       round(sum(a.$d) FILTER (WHERE $p2), 2) AS s_f,
+       |       min(a.$d) FILTER (WHERE $p1) AS m_f
+       |FROM ${lt.name} a
+       |JOIN ${rt.name} b ON a.$lc = b.$rc
+       |WHERE ${wherePreds(r, rt, "b")}
+       |GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------------- generate
   /** `n` deterministic queries for `seed`. Pure: no I/O, no global state. */
   def generate(seed: Long, n: Int): Seq[Q] = {
@@ -682,7 +767,7 @@ object Fuzz {
     val keyedDbls = tables.filter(t =>
       t.uniqueKey.isDefined && t.doubles.nonEmpty && t.ints.nonEmpty)
     (0 until n).map { i =>
-      val sql = r.nextInt(25) match {
+      val sql = r.nextInt(28) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -708,6 +793,9 @@ object Fuzz {
         case 21 => shapeDistinctAgg(r, pick(r, withStrs.filter(_.ints.size >= 2)))
         case 22 => shapeGroupingSets(r, pick(r, withStrs))
         case 23 => shapeJoinHaving(r)
+        case 24 => shapeLateral(r)
+        case 25 => shapeWinOverJoin(r)
+        case 26 => shapeFilterAgg(r)
         case _ => if (r.nextBoolean()) shapePage(r)
                   else shapeStrFns(r, pick(r, withStrs))
       }

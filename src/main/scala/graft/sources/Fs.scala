@@ -43,31 +43,66 @@ object Fs {
   private val jvmHeld =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Acquire the single-writer lease on `table` (create-if-absent marker).
-    * This upgrades the COW/epoch single-writer CONTRACT from documented to
-    * DETECTED: before this, two concurrent cowRewrites would silently lose
-    * one side's rewrite (both compute targets, both swap, last swap wins);
-    * now the second writer fails LOUDLY here instead of corrupting the
-    * table. In-process contention arbitrates through [[jvmHeld]] (strictly
-    * atomic); cross-process through the marker (atomic on HDFS; best-effort
-    * on object stores without atomic create — a true multi-writer
-    * deployment there needs a table-format log, SURVEY §7a, which is
-    * precisely the boundary this shim documents). A crashed writer leaves a
-    * stale lease by design (no TTL guessing): the error message says to
-    * inspect and remove it manually once no writer is live. */
+  /** Acquire the single-writer lease on `table` (create-if-absent marker
+    * holding an `owner#nonce` token). This upgrades the COW/epoch
+    * single-writer CONTRACT from documented to DETECTED: before this, two
+    * concurrent cowRewrites would silently lose one side's rewrite (both
+    * compute targets, both swap, last swap wins); now the second writer
+    * fails LOUDLY here instead of corrupting the table. In-process
+    * contention arbitrates through [[jvmHeld]] (strictly atomic);
+    * cross-process through the marker (atomic create on HDFS's namenode).
+    * On object stores without atomic create-if-absent, two same-instant
+    * writers can both pass the existence check — the OWNER ECHO-CHECK
+    * (VERDICT r13 #7) narrows that window from "both writers proceed" to
+    * "the loser detects on readback": each writer stores a unique token
+    * and re-reads the marker after the write lands; last-write-wins means
+    * at most one reads its own token back (S3 reads are strongly
+    * consistent since 2020). A token mismatch inside the same read/write
+    * race can still fail BOTH writers — safe, never silent — and a true
+    * multi-writer deployment still wants a table-format log (SURVEY §7a,
+    * the boundary this shim documents). A crashed writer leaves a stale
+    * lease by design (no TTL guessing): the error message says to inspect
+    * and remove it manually once no writer is live. */
   def acquireLease(fs: FileSystem, table: Path, owner: String): Path = {
     val lock = new Path(table, LeaseName)
-    def contention(): Nothing = throw new java.io.IOException(
-      s"concurrent writer detected on $table: $LeaseName already held. " +
+    def contention(detail: String): Nothing = throw new java.io.IOException(
+      s"concurrent writer detected on $table: $LeaseName $detail. " +
         "Another COW/epoch mutation is in flight, or a crashed writer " +
         "left a stale lease - verify no writer is live, then delete the " +
         s"marker. (requested by: $owner)")
     val key = fs.makeQualified(lock).toString
-    if (!jvmHeld.add(key)) contention()
-    val created =
-      try fs.createNewFile(lock)
-      catch { case e: java.io.IOException => jvmHeld.remove(key); throw e }
-    if (!created) { jvmHeld.remove(key); contention() }
+    if (!jvmHeld.add(key)) contention("already held")
+    val token =
+      s"$owner#${java.util.UUID.randomUUID()}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)
+    // any failure below must surrender the JVM slot, or every later
+    // in-process acquisition on this table reports a phantom writer
+    // (Hadoop FS code throws RuntimeExceptions too, not just IOException)
+    try {
+      val out =
+        try fs.create(lock, /* overwrite = */ false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            contention("already held")
+          case e: java.io.IOException
+              if fs.exists(lock) && e.getMessage != null &&
+                e.getMessage.contains("exist") =>
+            contention("already held") // RawLocalFs signals exists via IOE
+        }
+      try { out.write(token) } finally out.close()
+      val echoed = new Array[Byte](token.length)
+      val in = fs.open(lock)
+      val ok =
+        try {
+          in.readFully(0L, echoed, 0, token.length)
+          java.util.Arrays.equals(echoed, token)
+        } catch { case _: java.io.EOFException => false }
+        finally in.close()
+      if (!ok) contention("was overwritten by a racing writer " +
+        "(owner echo-check failed)")
+    } catch {
+      case e: Throwable => jvmHeld.remove(key); throw e
+    }
     lock
   }
 
@@ -151,10 +186,22 @@ object Fs {
           case _: java.util.concurrent.CancellationException => ()
         }
       }
+      pool.shutdown()
+      // a task hung past the deadline means in-flight table mutations may
+      // still be running while the caller proceeds — that must be LOUD,
+      // never a silent abandonment (ADVICE r13). get() above already
+      // joined every future, so a timeout here is a genuine wedge.
+      if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        pool.shutdownNow()
+        val hung = new java.io.IOException(
+          "Fs.parEach: worker pool failed to terminate within 10 minutes; " +
+            "abandoned tasks may still be mutating the table")
+        if (firstErr == null) firstErr = hung
+        else firstErr.addSuppressed(hung)
+      }
       if (firstErr != null) throw firstErr
     } finally {
-      pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      pool.shutdownNow(); ()
     }
   }
 }

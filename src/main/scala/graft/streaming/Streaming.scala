@@ -185,31 +185,33 @@ object Streaming {
     // Heal is itself a mutation — leased like every other table-touching
     // window (a concurrent writer mid-heal is the same silent-corruption
     // risk as a concurrent swap).
-    graft.sources.Fs.withLease(fs, table, s"cdcHeal-$batchId") {
+    // ONE lease across the WHOLE epoch — heal, key snapshot/split, insert
+    // landing, update rewrite, commit marker (ADVICE r13: per-leg leases
+    // let a writer interleave between legs undetected; the snapshot and
+    // target computation belong inside the same single-writer window the
+    // mutations run in).
+    graft.sources.Fs.withLease(fs, table, s"cdcUpsert-$batchId") {
       graft.sources.Fs.deleteMatching(fs, table, s"cdc$batchId-*.parquet")
-    }
-    val keys = spark.read.parquet(path).select("o_orderkey")
-    val b = batch.localCheckpoint(true) // one source read for both splits
-    val updates = b.join(keys, Seq("o_orderkey"), "left_semi")
-      .select(col("o_orderkey").as("mk"), col("o_totalprice").as("mp"))
-    val inserts = b.join(keys, Seq("o_orderkey"), "left_anti")
-    val targets = graft.sources.Sources.cowTargetsByKeys(spark, path, updates)
-    val tmp = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(path + s"__cdc_tmp_$batchId"))
-    inserts.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    // Insert-landing window under the single-writer lease; the update leg
-    // below re-acquires inside cowRewrite (sequential — no re-entry).
-    graft.sources.Fs.withLease(fs, table, s"cdcLand-$batchId") {
+      val keys = spark.read.parquet(path).select("o_orderkey")
+      val b = batch.localCheckpoint(true) // one source read for both splits
+      val updates = b.join(keys, Seq("o_orderkey"), "left_semi")
+        .select(col("o_orderkey").as("mk"), col("o_totalprice").as("mp"))
+      val inserts = b.join(keys, Seq("o_orderkey"), "left_anti")
+      val targets = graft.sources.Sources.cowTargetsByKeys(spark, path, updates)
+      val tmp = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(path + s"__cdc_tmp_$batchId"))
+      inserts.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
       graft.sources.Fs.bulkMove(fs,
         graft.sources.Fs.listParquet(fs, tmp).toSeq.zipWithIndex.map {
           case (f, i) =>
             f -> new org.apache.hadoop.fs.Path(table, s"cdc$batchId-$i.parquet")
         })
+      graft.sources.Fs.deleteQuietly(fs, tmp, recursive = true)
+      graft.sources.Sources.cowApplyUpdates(spark, path, targets, updates)
+      graft.sources.Fs.touch(fs, marker)
     }
-    graft.sources.Fs.deleteQuietly(fs, tmp, recursive = true)
-    graft.sources.Sources.cowApplyUpdates(spark, path, targets, updates)
-    graft.sources.Fs.touch(fs, marker)
+    graft.sources.Sources.postCowMutation(spark, path)
   }
 
   /** Epoch COMPACTION for the streamed ANN index — the standing

@@ -54,6 +54,9 @@ class CliSpec extends SparkSpec {
   test("\\analyze wires Graft.enableCbo: catalog stats land, join reorder " +
     "enabled, a join still answers; bad dir errors in one line") {
     val before = spark.conf.getOption("spark.sql.cbo.enabled")
+    val beforeBcast = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
     try {
       val o = run(
         s"""\\analyze $sf
@@ -76,6 +79,46 @@ class CliSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS spark_catalog.default.$t"))
       spark.conf.set("spark.sql.cbo.enabled", before.getOrElse("false"))
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      beforeBcast.foreach { // enableCbo raises these session-wide now
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("\\analyze name=path registers arbitrary user tables (VERDICT r13 " +
+    "#6) and warns when a \\load temp view shadows an analyzed table") {
+    val keep = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      val o = run(
+        s"""\\load $sf
+           |\\analyze my_nation=$sf/nation.parquet nation=$sf/nation.parquet
+           |SELECT count(*) AS n FROM spark_catalog.default.my_nation;
+           |\\q
+           |""".stripMargin)
+      assert(o.contains("analyzed 2 tables"), o)
+      // \load registered a temp view `nation` that shadows the analyzed
+      // catalog table of the same name — the CLI must say so
+      assert(o.contains("warning: temp view(s) shadow") &&
+        o.contains("nation"), o)
+      assert(!o.contains("my_nation,"), o) // unshadowed name not flagged
+      assert(o.contains("| 25"), o)
+      val stats = spark.table("spark_catalog.default.my_nation")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong == 25L),
+        s"user table stats missing: ${stats.rowCount}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spark_catalog.default.my_nation")
+      spark.sql("DROP TABLE IF EXISTS spark_catalog.default.nation")
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) =>
+          if (k.startsWith("spark.sql.cbo")) spark.conf.set(k, "false")
+          else spark.conf.unset(k)
+      }
     }
   }
 

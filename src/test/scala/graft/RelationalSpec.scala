@@ -433,6 +433,52 @@ class RelationalSpec extends SparkSpec {
     Fs.releaseLease(fs, new org.apache.hadoop.fs.Path(table, Fs.LeaseName))
   }
 
+  test("lease owner echo-check (VERDICT r13 #7): the marker stores the " +
+    "owner token; a racing overwrite between write and readback is " +
+    "DETECTED, and the failed acquisition surrenders its JVM slot") {
+    import graft.sources.Fs
+    import java.nio.charset.StandardCharsets.UTF_8
+    val fs = Fs.of(spark, "/tmp")
+    val table = fs.makeQualified(
+      new org.apache.hadoop.fs.Path("/tmp/graft_lease_echo_spec"))
+    fs.mkdirs(table)
+    fs.delete(new org.apache.hadoop.fs.Path(table, Fs.LeaseName), false)
+    // normal acquisition: the marker holds owner#nonce (the readback token)
+    val lock = Fs.acquireLease(fs, table, "echo-owner")
+    val in = fs.open(lock)
+    val buf = new Array[Byte](128)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, UTF_8).startsWith("echo-owner#"),
+      "marker does not store the owner token")
+    Fs.releaseLease(fs, lock)
+    // racing-writer simulation (object stores without atomic create): a
+    // FilterFileSystem overwrites the marker with an intruder token right
+    // before the readback — last-write-wins on a PUT race. The loser must
+    // detect contention, never proceed.
+    val racing = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream = {
+        if (f.getName == Fs.LeaseName) {
+          val out = fs.create(f, true)
+          out.write("intruder#deadbeef".getBytes(UTF_8)); out.close()
+        }
+        super.open(f, bufferSize)
+      }
+    }
+    val table2 = fs.makeQualified(
+      new org.apache.hadoop.fs.Path("/tmp/graft_lease_echo_spec2"))
+    fs.mkdirs(table2)
+    fs.delete(new org.apache.hadoop.fs.Path(table2, Fs.LeaseName), false)
+    val e = intercept[java.io.IOException] {
+      Fs.acquireLease(racing, table2, "victim")
+    }
+    assert(e.getMessage.contains("echo-check"), e.getMessage)
+    // the failed acquisition released its in-process slot: once the
+    // intruder's marker is cleared, a fresh acquisition succeeds
+    fs.delete(new org.apache.hadoop.fs.Path(table2, Fs.LeaseName), false)
+    Fs.releaseLease(fs, Fs.acquireLease(fs, table2, "later-writer"))
+  }
+
   test("sink_dynamic_overwrite replaces only the touched partition's files") {
     import graft.sources.Sources
     def files(): Map[String, Long] = {

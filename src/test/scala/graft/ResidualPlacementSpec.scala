@@ -41,6 +41,10 @@ class ResidualPlacementSpec extends SparkSpec {
       "spark.sql.adaptive.autoBroadcastJoinThreshold",
       ResidualJoinPlacement.flag).map(k => k -> spark.conf.getOption(k))
     try {
+      // same-named TEMP VIEWS from other suites outrank the catalog
+      // tables at resolution — drop them or the unqualified SQL below
+      // plans stat-less and this spec silently stops testing CBO
+      cboTables.foreach(spark.catalog.dropTempView)
       Graft.enableCbo(spark, sf, tables = cboTables)
       body
     } finally {
@@ -53,6 +57,7 @@ class ResidualPlacementSpec extends SparkSpec {
           if (k.startsWith("spark.sql.cbo")) spark.conf.set(k, "false")
           else spark.conf.unset(k)
       }
+      Tables.registerViews(spark, sf) // restore the shared-session views
     }
   }
 
