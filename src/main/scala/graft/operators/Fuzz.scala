@@ -707,15 +707,22 @@ object Fuzz {
     val (lt, lc, rt, rc) = pick(r, joins.filter(_._1.doubles.nonEmpty))
     val (d, _, _) = pick(r, lt.doubles)
     val (gExpr, gName) = groupCol(r, rt, "b")
-    // EVERY int column of the left table rides in the intra-frame ORDER BY:
-    // for lineitem that includes l_linenumber, completing the (l_orderkey,
-    // l_linenumber) primary key — anything less leaves running sums
-    // order-ambiguous across engines on duplicate prefixes
+    // EVERY int column of the left table rides in the intra-frame ORDER BY,
+    // and the SUMMED column itself is the final tiebreak. DIALECT TRAP
+    // (found by this tier, seed 555001 shape fz_0893, 1/1000): the
+    // synthetic lineitem carries 1161 duplicate (l_orderkey, l_linenumber)
+    // pairs — the "primary key" is NOT unique in this data, and one
+    // duplicate even shares all four int columns while differing in
+    // l_discount (0.03 vs 0.08), so engines ordered the tied prefix
+    // differently and the running sum diverged mid-partition by exactly
+    // that 0.05. Ordering by the summed value last makes tied rows
+    // value-identical, so every prefix sum is well-defined no matter how
+    // either engine breaks the residual tie.
     val keyCols = lt.ints.map(c => s"a.${c._1}").mkString(", ")
     if (r.nextBoolean())
       s"""SELECT $gExpr AS $gName,
          |       round(sum(a.$d) OVER (PARTITION BY $gExpr
-         |         ORDER BY $keyCols
+         |         ORDER BY $keyCols, a.$d
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rsum
          |FROM ${lt.name} a
          |JOIN ${rt.name} b ON a.$lc = b.$rc
