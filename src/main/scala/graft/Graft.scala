@@ -100,7 +100,16 @@ object Graft extends org.apache.spark.internal.Logging {
     * per core), the STATIC decision is backed by ANALYZE'd column stats
     * here (that is what enableCbo is), and the ADAPTIVE one is measured
     * from real runtime sizes — exactly the cases where trusting a
-    * bigger build side is safe. */
+    * bigger build side is safe.
+    *
+    * The knee is SCALE-DEPENDENT (BASELINE r14): at 300× two fact-heavy
+    * families prefer stock 10 MB (their 32 MB-estimated builds are
+    * net-negative there), and an adaptive-only raise was measured and
+    * rejected (AQE's SMJ→BHJ conversion happens after the fact shuffle
+    * is already written — the static decision is what avoids the 60M-row
+    * exchange entirely). Hence the map-form `enableCbo` takes
+    * `broadcastThreshold` as a parameter: re-bisect per deployment with
+    * `SPARK_GRAFT_JOB_BCAST`/`_STATIC` and pass the measured knee. */
   val cboBroadcastThreshold: String = "32MB"
 
   /** The general front door (VERDICT r13 #6): ANY user's (name → path)
@@ -112,15 +121,22 @@ object Graft extends org.apache.spark.internal.Logging {
     * planless. Paths and names are quoted into the DDL ('' / `` escaping),
     * so a location containing a quote cannot break out of the statement. */
   def enableCbo(spark: SparkSession, tables: Map[String, String],
-      dpThreshold: Int): Int = {
+      dpThreshold: Int): Int =
+    enableCbo(spark, tables, dpThreshold, cboBroadcastThreshold)
+
+  /** As above with an explicit broadcast threshold (no default here:
+    * Scala forbids default args on two overloads, and the dir form keeps
+    * its table-list defaults). */
+  def enableCbo(spark: SparkSession, tables: Map[String, String],
+      dpThreshold: Int, broadcastThreshold: String): Int = {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.dp.threshold",
       dpThreshold.toString)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-      cboBroadcastThreshold)
+      broadcastThreshold)
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
-      cboBroadcastThreshold)
+      broadcastThreshold)
     installResidualPlacement(spark)
     // database-qualified names throughout: a BARE `DROP TABLE t` resolves
     // temp views first, so a session that also holds a temp view `t`

@@ -183,6 +183,10 @@ object JobAudit {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
     }
+    // …and independently for the STATIC threshold alone (the static/
+    // adaptive split bisect: estimate-driven vs runtime-measured builds)
+    sys.env.get("SPARK_GRAFT_JOB_BCAST_STATIC").foreach(v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     // SPARK_GRAFT_JOB_STATS_ALL=1 widens the sweep to EVERY family: the 27
     // families without a preserved worst-case FROM run the SHIPPED text on
     // both legs, measuring that enabling CBO session-wide REGRESSES nothing
