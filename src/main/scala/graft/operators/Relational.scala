@@ -1668,6 +1668,70 @@ object Relational {
       |FROM nation n JOIN region r ON n_regionkey = r_regionkey
       |ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------------------- s_wildcard_exclude
+  /** `SELECT * EXCLUDE(...)` / `SELECT * EXCEPT(...)` wildcard options
+    * (reference: /root/reference/datafusion/sqllogictest/test_files/
+    * select.slt:1212-1320 — both spellings, single bare-name and
+    * parenthesized-list forms, nested one inside the other). Spark SQL has
+    * neither spelling, so the user surface is this desugaring: keep the
+    * star expansion's declared column order and drop the named columns,
+    * with the reference's validation semantics — unknown column errors,
+    * duplicate names in the list error, and excluding EVERY column yields
+    * a legal zero-column frame (select.slt:1295-1312). Pure projection:
+    * column pruning reaches the scan, no shuffle, codegen'd. */
+  def starExclude(df: DataFrame, cols: String*): DataFrame = {
+    val lower = cols.map(_.toLowerCase)
+    require(lower.distinct.size == lower.size,
+      s"EXCLUDE/EXCEPT list contains duplicate column names: ${cols.mkString(", ")}")
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missing = cols.filterNot(c => have(c.toLowerCase))
+    require(missing.isEmpty,
+      s"EXCLUDE/EXCEPT names columns not in the relation: ${missing.mkString(", ")}")
+    val excluded = lower.toSet
+    df.select(df.columns.filterNot(c => excluded(c.toLowerCase)).map(col).toSeq: _*)
+  }
+
+  def sWildcardExclude(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(spark, dir, "orders").where(col("o_orderkey") <= 2000)
+    // Nested, mirroring select.slt:1224-1231: bare-name EXCLUDE inside,
+    // list-form EXCEPT outside (the two spellings share one desugar).
+    starExclude(starExclude(o, "o_orderdate"), "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val sWildcardExcludeSql: String =
+    """SELECT * EXCLUDE (o_custkey, o_totalprice)
+      |FROM (SELECT * EXCLUDE (o_orderdate)
+      |      FROM orders WHERE o_orderkey <= 2000)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- o_all
+  /** `ORDER BY ALL [DESC]` (reference: /root/reference/datafusion/
+    * sqllogictest/test_files/order.slt:1383-1415, DuckDB-dialect): sort by
+    * every projected column left-to-right. Spark SQL has no ALL sort key,
+    * so the user surface is this desugaring over the frame's declared
+    * column list. Null placement follows the reference engine's defaults
+    * (ASC NULLS LAST / DESC NULLS FIRST — DataFusion and DuckDB agree),
+    * NOT Spark's ASC NULLS FIRST default, so the same data sorts
+    * identically in both engines. Plans as one global sort — at scale a
+    * range-partitioned TakeOrdered/Sort, same shape as any ORDER BY. */
+  def orderByAll(df: DataFrame, descending: Boolean = false): DataFrame =
+    df.orderBy(df.columns.map(c =>
+      if (descending) col(c).desc_nulls_first else col(c).asc_nulls_last).toSeq: _*)
+
+  def oAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    // GROUP BY ALL + ORDER BY ALL — the pairing the reference's DuckDB
+    // dialect tests use; the count column participates in the sort.
+    orderByAll(spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |FROM orders GROUP BY ALL""".stripMargin))
+  }
+
+  val oAllSql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+      |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
+
   private def viaSql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { Tables.registerViews(spark, dir); spark.sql(q) }
 
@@ -1712,6 +1776,8 @@ object Relational {
     "ddl_describe" -> (ddlDescribe _),
     "set_config" -> (setConfig _), "ident_norm" -> (identNorm _),
     "s_wildcard" -> (sWildcard _),
+    "s_wildcard_exclude" -> (sWildcardExclude _),
+    "o_all" -> (oAll _),
     "s_limit_offset" -> (sLimitOffset _))
 
   val oracle: Map[String, String] = Map(
@@ -1752,5 +1818,7 @@ object Relational {
     "ddl_function" -> ddlFunctionSql,
     "set_config" -> setConfigSql, "ident_norm" -> identNormSql,
     "s_wildcard" -> sWildcardSql,
+    "s_wildcard_exclude" -> sWildcardExcludeSql,
+    "o_all" -> oAllSql,
     "s_limit_offset" -> sLimitOffsetSql, "ddl_describe" -> ddlDescribeSql)
 }

@@ -616,4 +616,50 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists { case (t, c, ty) =>
       t == "lineitem" && c == "l_shipdate" && ty.startsWith("timestamp") })
   }
+
+  test("s_wildcard_exclude keeps declared column order and drops the named " +
+    "columns (reference select.slt:1212-1268)") {
+    val out = Relational.sWildcardExclude(spark, sf)
+    assert(out.columns.toSeq == Seq("o_orderkey", "o_orderstatus",
+      "o_orderpriority"), out.columns.mkString(","))
+    assert(out.count() > 0)
+  }
+
+  test("starExclude validates like the reference: unknown column errors, " +
+    "duplicate list errors, exclude-everything yields a zero-column frame " +
+    "(select.slt:1271-1312)") {
+    val n = Tables.t(spark, sf, "nation")
+    intercept[IllegalArgumentException] {
+      Relational.starExclude(n, "no_such_col")
+    }
+    intercept[IllegalArgumentException] {
+      Relational.starExclude(n, "n_name", "n_name")
+    }
+    // resolution is case-insensitive, matching Spark's default resolver
+    assert(Relational.starExclude(n, "N_NAME").columns.toSeq ==
+      Seq("n_nationkey", "n_regionkey"))
+    // excluding every column still succeeds and preserves the row count
+    val empty = Relational.starExclude(n, n.columns.toSeq: _*)
+    assert(empty.columns.isEmpty)
+    assert(empty.count() == n.count())
+    // mixed select list: `a AS a1, * EXCEPT(a)` (select.slt:1284-1289)
+    val mixed = n.select((col("n_name").as("name1") +:
+      Relational.starExclude(n, "n_name").columns.map(col).toSeq): _*)
+    assert(mixed.columns.toSeq == Seq("name1", "n_nationkey", "n_regionkey"))
+  }
+
+  test("orderByAll DESC mirrors the explicit desc_nulls_first column list " +
+    "(reference order.slt:1399-1405)") {
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .groupBy("o_orderpriority", "o_orderstatus").count()
+    val viaAll = Relational.orderByAll(base, descending = true).collect()
+    val explicit = base.orderBy(base.columns.map(c =>
+      col(c).desc_nulls_first).toSeq: _*).collect()
+    assert(viaAll.toSeq == explicit.toSeq)
+    // ASC desugar agrees with the entry itself
+    val entry = Relational.oAll(spark, sf).collect()
+    assert(entry.toSeq == entry.sortBy(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+  }
 }
