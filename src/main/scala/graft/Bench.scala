@@ -203,17 +203,21 @@ object Bench {
               noop(Similarity.ivfpqServeFromStore(spark, dir, ivfpqStore, c, books))),
             // n_ivfpq_delta priced at scale (VERDICT r13 #4): ONE daily
             // batch — 10% of the corpus as new arrivals, id-offset above
-            // the true max (the r11 ScaleGen lesson: fixed offsets collide
-            // past 1e6 ids) — encoded with the FROZEN model and appended to
-            // the stored index. Each timed run appends one fresh batch:
-            // that IS the per-batch maintenance cost (delta-proportional
-            // encode + append, zero base rewrite; the max() scan is part of
-            // a real batch's id allocation). Runs LAST so the growing store
-            // never pollutes the serve_store timings above.
+            // the STORE's current max (ADVICE r14: offsetting from the
+            // immutable embeddings table made every timed rep append the
+            // same ids; a real batch allocates above everything already
+            // stored, so reps stay id-disjoint) — encoded with the FROZEN
+            // model and appended to the stored index. Each timed run
+            // appends one fresh batch: that IS the per-batch maintenance
+            // cost (delta-proportional encode + append, zero base rewrite;
+            // the max() scan is part of a real batch's id allocation).
+            // Runs LAST so the growing store never pollutes the
+            // serve_store timings above.
             "delta" -> (() => {
               import org.apache.spark.sql.functions.{col, max => fmax}
               val emb = graft.Tables.t(spark, dir, "embeddings")
-              val off = emb.agg(fmax("vec_id")).head.getLong(0) + 1L
+              val off = spark.read.parquet(ivfpqStore)
+                .agg(fmax("vec_id")).head.getLong(0) + 1L
               val delta = emb.filter(col("vec_id") % 10 === 0)
                 .withColumn("vec_id", col("vec_id") + off)
               Similarity.ivfpqIndexAppend(delta, c, books, ivfpqStore)

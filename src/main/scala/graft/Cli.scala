@@ -81,6 +81,12 @@ object Cli {
               val args = parts.drop(1)
               val named = args.filter(_.contains("="))
                 .map { a => val Array(k, v) = a.split("=", 2); k -> v }
+              // mixed spellings would silently drop the positional dir
+              // (named args win) — surface that instead (ADVICE r14)
+              if (named.nonEmpty && named.size < args.size)
+                out.println("warning: positional argument(s) " +
+                  s"${args.filterNot(_.contains("=")).mkString(", ")} " +
+                  "ignored - name=path pairs take precedence")
               val (n, names) =
                 if (named.nonEmpty)
                   (Graft.enableCbo(spark, named.toMap, dpThreshold = 12),

@@ -177,8 +177,9 @@ object JobAudit {
     Graft.enableCbo(spark, dir) // the user-facing path — audited here
     println(f"[jobstats] analyze total ${(System.nanoTime() - tA) / 1e9}%.2fs")
     // SPARK_GRAFT_JOB_BCAST: broadcast-threshold override (bytes) for
-    // bisecting enableCbo's 64 MB default against Spark's 10 MB stock —
-    // how the r14 job_3a regression was attributed
+    // bisecting enableCbo's Graft.cboBroadcastThreshold default (32 MB
+    // after the r14 bisect) against Spark's 10 MB stock — how the r14
+    // job_3a regression was attributed
     sys.env.get("SPARK_GRAFT_JOB_BCAST").foreach { v =>
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)

@@ -74,15 +74,19 @@ object ResidualJoinPlacement extends Rule[LogicalPlan]
           .getOrElse(j)
     }
 
-  /** Gate: the condition has at least one hash-joinable equality AND at
-    * least one non-equi conjunct spanning the join's two sides. */
+  /** Gate: the condition has at least one hash-joinable equality SPANNING
+    * the join's two sides AND at least one spanning non-equi conjunct. The
+    * spans() requirement on the equality matters (ADVICE r14): a
+    * single-side equality like `a.x = 5` is a filter, not a join key — a
+    * join sunk on its strength has no hashable key and plans as a nested
+    * loop at depth. */
   private def hasEquiAndNonEqui(j: Join, cond: Expression): Boolean = {
     def spans(e: Expression): Boolean =
       e.references.intersect(j.left.outputSet).nonEmpty &&
         e.references.intersect(j.right.outputSet).nonEmpty
     val conjuncts = splitConjunctivePredicates(cond)
     conjuncts.exists {
-      case EqualTo(_, _) | EqualNullSafe(_, _) => true
+      case e @ (EqualTo(_, _) | EqualNullSafe(_, _)) => spans(e)
       case _ => false
     } && conjuncts.exists { e =>
       spans(e) && !e.isInstanceOf[EqualTo] && !e.isInstanceOf[EqualNullSafe]

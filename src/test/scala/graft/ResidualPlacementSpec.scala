@@ -89,6 +89,27 @@ class ResidualPlacementSpec extends SparkSpec {
     }
   }
 
+  test("single-side equality + spanning inequality does not fire the rule: " +
+    "the equi conjunct must span the join or the sunk join has no hash " +
+    "key (ADVICE r14)") {
+    withCbo {
+      spark.conf.set(ResidualJoinPlacement.flag, "true")
+      // o1.o_orderkey = 32 is a filter, not a key; the only SPANNING
+      // conjunct is the inequality — the rule must leave the plan alone
+      // (byte-identical to flag-off), not sink a keyless nested loop.
+      val sql =
+        """SELECT count(*) AS n
+          |FROM orders o1, orders o2, customer c
+          |WHERE o1.o_orderkey = 32 AND o1.o_totalprice < o2.o_totalprice
+          |  AND o2.o_custkey = c.c_custkey""".stripMargin
+      val on = spark.sql(sql).queryExecution.optimizedPlan
+      spark.conf.set(ResidualJoinPlacement.flag, "false")
+      val off = spark.sql(sql).queryExecution.optimizedPlan
+      assert(on.canonicalized == off.canonicalized,
+        s"rule fired on a keyless residual join:\n$on\nvs\n$off")
+    }
+  }
+
   test("rule on vs off: identical results (pure reassociation)") {
     withCbo {
       spark.conf.set(ResidualJoinPlacement.flag, "false")
@@ -103,17 +124,32 @@ class ResidualPlacementSpec extends SparkSpec {
   test("non-CBO sessions are untouched: with join reorder off the " +
     "optimized plan is identical whatever the rule flag says") {
     // the rule self-gates on spark.sql.cbo.joinReorder.enabled, so a
-    // session that never opted into CBO gets byte-identical plans
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-    Graft.installResidualPlacement(spark)
-    Tables.registerViews(spark, sf)
-    spark.conf.set(ResidualJoinPlacement.flag, "true")
-    val on = spark.sql(Job.job33aSql).queryExecution.optimizedPlan
-    spark.conf.set(ResidualJoinPlacement.flag, "false")
-    val off = spark.sql(Job.job33aSql).queryExecution.optimizedPlan
-    assert(on.canonicalized == off.canonicalized,
-      s"rule touched a non-CBO plan:\n$on\nvs\n$off")
-    assert(residualJoins(on).nonEmpty)
+    // session that never opted into CBO gets byte-identical plans.
+    // Snapshot + restore both confs (ADVICE r14: leaving the flag at
+    // "false" made later suites that rely on its default-on behavior —
+    // FuzzSpec's residual-placement differential — silently skip the rule
+    // depending on suite order).
+    val prevReorder = spark.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+    val prevFlag = spark.conf.getOption(ResidualJoinPlacement.flag)
+    try {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      Graft.installResidualPlacement(spark)
+      Tables.registerViews(spark, sf)
+      spark.conf.set(ResidualJoinPlacement.flag, "true")
+      val on = spark.sql(Job.job33aSql).queryExecution.optimizedPlan
+      spark.conf.set(ResidualJoinPlacement.flag, "false")
+      val off = spark.sql(Job.job33aSql).queryExecution.optimizedPlan
+      assert(on.canonicalized == off.canonicalized,
+        s"rule touched a non-CBO plan:\n$on\nvs\n$off")
+      assert(residualJoins(on).nonEmpty)
+    } finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.cbo.joinReorder.enabled", prevReorder)
+      restore(ResidualJoinPlacement.flag, prevFlag)
+    }
   }
 
   test("equi conjuncts alone (no residual) are never touched: q3 plans " +
