@@ -285,8 +285,16 @@ object Similarity {
     centroidsOn(emb(spark, dir), cells)
 
   private def centroidsOn(vecs: DataFrame, cells: Int): DataFrame =
+    // summaryKey: the frame is the ≤`cells`-row MODEL seed (limit above),
+    // so one partition is the design; the non-foldable key keeps
+    // WindowExec's "No Partition Defined" WARN reserved for genuinely
+    // accidental corpus-wide windows (see Tables.summaryKey; this was the
+    // last warning-emitting site — PlanAuditSpec now pins zero such
+    // windows engine-wide).
     vecs.orderBy("vec_id").limit(cells)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cell"),
+      .select((row_number().over(Window
+        .partitionBy(graft.Tables.summaryKey(col("vec_id")))
+        .orderBy("vec_id")) - 1).as("cell"),
         col("embedding").as("cv"))
 
   /** Nearest-centroid assignment of the corpus to `cents` (cell, cv) as a
