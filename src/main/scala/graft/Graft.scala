@@ -168,9 +168,11 @@ object Graft extends org.apache.spark.internal.Logging {
     *     `TimestampNTZType`, so any `ntz_col >= TIMESTAMP '…'` range
     *     predicate over a stats-bearing NTZ column dies with a
     *     `scala.MatchError` INTERNAL_ERROR at optimization time (found
-    *     by the round-14 CBO fuzz leg, minimal repro fz_0039 in
-    *     FuzzSpec; parquet written without isAdjustedToUTC — e.g. by
-    *     arrow — reads as NTZ, so real user tables hit this). Skipping
+    *     by the round-14 CBO fuzz leg, shape fz_0039; standalone repro:
+    *     `scripts/repro_ntz_cbo.sh` → [[ReproNtzCbo]], which proves the
+    *     stock crash AND this workaround's pass in one run; parquet
+    *     written without isAdjustedToUTC — e.g. by arrow — reads as NTZ,
+    *     so real user tables hit this). Skipping
     *     the column's stats keeps CBO working off the remaining columns
     *     — the estimator falls back to default selectivity for that
     *     predicate instead of crashing.
