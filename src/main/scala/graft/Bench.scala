@@ -84,28 +84,35 @@ object Bench {
     // absorbs those compiles and the recorded spread hits 50–90%.
     headline.foreach { n => spark.catalog.clearCache(); runOnce(n, sfDir) }
 
-    // min of three runs: JIT deoptimization storms and GC pauses add seconds
-    // of one-sided noise on a shared JVM; the minimum is the steady state.
-    // Round 3 showed min-of-2 still lets ~10% phantom drift through — with
-    // three runs the min is covered twice over. Per-query `spread` = the
-    // relative gap between the two FASTEST runs: it measures whether the
-    // steady state reproduces (small gap → the min is trustworthy; a large
-    // gap → treat the number as noisy, not as a regression). The slowest of
-    // the three is deliberately excluded — it is the GC/scheduler outlier
-    // min-of-N exists to reject, and (max−min) would just measure that
-    // outlier. clearCache first so operators with internal persist()
-    // (minhash family) are timed cold — measuring cache hits would flatter
-    // them; System.gc() so one query's garbage is not another's pause.
+    // MEDIAN of five runs (VERDICT r14 #8 — the min-of-3 protocol's band
+    // was wide enough to hide a real 10% regression: q1's two-fastest gap
+    // was 63% of its 0.28 s wall). The median rejects BOTH one-sided GC/JIT
+    // outliers AND the lucky page-cache run the min would anoint; five reps
+    // give the median two-deep cover on each side. Per-query `spread` = the
+    // relative width of the TRIMMED range (drop the single fastest and
+    // slowest, (s[n-2]-s[1])/median): it measures whether the steady state
+    // reproduces — small → the median is trustworthy; large → treat the
+    // number as noisy, not as a regression. SPARK_GRAFT_BENCH_REPS
+    // overrides (the scale-stress decades keep 3 — a 1000× rep costs
+    // minutes and the linearity question tolerates decade-level noise).
+    // clearCache first so operators with internal persist() (minhash
+    // family) are timed cold — measuring cache hits would flatter them;
+    // System.gc() so one query's garbage is not another's pause.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(5)
+    def medianSpread(runs: Seq[Double]): (Double, Double) =
+      if (runs.exists(_ < 0) || runs.isEmpty) (-1.0, -1.0)
+      else {
+        val s = runs.sorted
+        val med = s(s.size / 2)
+        val (lo, hi) =
+          if (s.size >= 5) (s(1), s(s.size - 2)) else (s.head, s.last)
+        (med, if (med > 0) (hi - lo) / med else 0.0)
+      }
     val results = headline.map { n =>
       def cold(): Double = {
         spark.catalog.clearCache(); System.gc(); runOnce(n, sfDir)
       }
-      val runs = Seq(cold(), cold(), cold())
-      if (runs.exists(_ < 0)) n -> (-1.0, -1.0)
-      else {
-        val sorted = runs.sorted
-        n -> (sorted.head, if (sorted.head > 0) (sorted(1) - sorted.head) / sorted.head else 0.0)
-      }
+      n -> medianSpread(Seq.fill(reps)(cold()))
     }
 
     // ---- build vs serve split for the trained-index ANN tiers ----
@@ -115,9 +122,9 @@ object Bench {
     // BUILD (train + materialize the stored index, persist + noop-write)
     // and SERVE (the probe/score/top-k query against that materialized
     // index), the same setup-vs-measured-iterations separation the
-    // reference bench makes (benchmarks/src/util/run.rs). Same min-of-3 /
-    // spread protocol; serve runs against the LAST build's index (cache
-    // kept warm across serve runs — that IS the serve scenario).
+    // reference bench makes (benchmarks/src/util/run.rs). Same median-of-N
+    // / trimmed-spread protocol; serve runs against the LAST build's index
+    // (cache kept warm across serve runs — that IS the serve scenario).
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.storage.StorageLevel
     import graft.operators.Similarity
@@ -247,13 +254,7 @@ object Bench {
           spark.catalog.clearCache(); System.gc()
           timed { val r = mk(sfDir); cached = r._1; setup = r._2; serves = r._3 }
         }
-        val bRuns = Seq(buildCold(), buildCold(), buildCold())
-        def minSpread(runs: Seq[Double]): (Double, Double) =
-          if (runs.exists(_ < 0)) (-1.0, -1.0)
-          else {
-            val s = runs.sorted
-            (s.head, if (s.head > 0) (s(1) - s.head) / s.head else 0.0)
-          }
+        val bRuns = Seq.fill(reps)(buildCold())
         // a failed build must fail its serve rows too: timing the fallback
         // no-op (all builds failed) or a stale earlier index (only the last
         // failed) would report a great serve number for a broken tier
@@ -266,12 +267,12 @@ object Bench {
             setup()
             // serve runs against the warm index — no clearCache between them
             serves.map { case (sn, f) =>
-              val sRuns = Seq(timed(f()), timed(f()), timed(f()))
-              s"${tier}_$sn" -> minSpread(sRuns)
+              val sRuns = Seq.fill(reps)(timed(f()))
+              s"${tier}_$sn" -> medianSpread(sRuns)
             }
           }
         cached.foreach(_.unpersist(blocking = true))
-        Seq(s"${tier}_build" -> minSpread(bRuns)) ++ serveRows
+        Seq(s"${tier}_build" -> medianSpread(bRuns)) ++ serveRows
     }
 
     val all = results ++ buildServe
@@ -286,7 +287,7 @@ object Bench {
     val failed = results.collect { case (n, (v, _)) if v < 0 => n }
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2._1).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"queries":$qs,"spread":$spreads,"runs":3,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"queries":$qs,"spread":$spreads,"runs":$reps,"protocol":"median","sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] noise when run via `sbt runMain`, so
     // the canonical copy goes to a file the driver can read verbatim.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

@@ -194,19 +194,22 @@ object Graft extends org.apache.spark.internal.Logging {
       spark.sql(s"ANALYZE TABLE $qualName COMPUTE STATISTICS")
   }
 
-  /** Register [[graft.functions.ResidualJoinPlacement]] on the session
-    * (idempotent). `spark.experimental.extraOptimizations` is the one
-    * public hook that runs AFTER the `Join Reorder` batch — the
+  /** Register the post-reorder placement rules
+    * ([[graft.functions.MeasuredDimPlacement]] — the r14 job_3a
+    * LIKE-blind-DP fix — then [[graft.functions.ResidualJoinPlacement]])
+    * on the session (idempotent). `spark.experimental.extraOptimizations`
+    * is the one public hook that runs AFTER the `Join Reorder` batch — the
     * `SparkSessionExtensions` rule points all run before CBO and never see
-    * the reordered tree. The rule additionally gates itself on
-    * `spark.sql.cbo.joinReorder.enabled`, so installing it here is inert
+    * the reordered tree. Both rules additionally gate themselves on
+    * `spark.sql.cbo.joinReorder.enabled`, so installing them here is inert
     * for non-CBO sessions sharing the JVM. */
-  def installResidualPlacement(spark: SparkSession): Unit = {
-    val rule = functions.ResidualJoinPlacement
-    if (!spark.experimental.extraOptimizations.contains(rule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ rule
-  }
+  def installResidualPlacement(spark: SparkSession): Unit =
+    Seq(functions.MeasuredDimPlacement, functions.ResidualJoinPlacement)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
 
   // ---------------------------------------------------- PREPARE / EXECUTE
   /** Session-scoped named-statement registry — the reference's

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** TPC-H counterpart of [[JobAudit]] (VERDICT r14 #3/#4): the CBO headline
+  * was proven on JOB's join-web geometry only; this main extends the
+  * alternated hand-vs-CBO A/B to q1–q22 — aggregates above joins,
+  * correlated/scalar subqueries, and outer joins, the reorder surface where
+  * a cost-model bug hurts a real user first — and doubles as the
+  * three-decade wall runner (plain mode) for the 100×/1000× linearity
+  * tables BASELINE.md keeps per suite.
+  *
+  * Modes (SPARK_GRAFT_TPCH_MODE):
+  *  - `stats` (default): per query, run the SHARED ANSI text (the same
+  *    text the DuckDB oracle executes) with CBO OFF (the hand leg — the
+  *    texts are written join-order-sensible, like a careful user's SQL)
+  *    and with CBO ON over [[Graft.enableCbo]]'d catalog tables +
+  *    ANALYZE'd stats, ALTERNATED min-of-N with GC+settle between legs
+  *    (the r14 protocol — BASELINE.md round-14). Asserts (a) identical
+  *    sorted result rows (CBO must never change an answer) and (b)
+  *    COMPARATIVE plan invariants — the CBO tree introduces no cartesian
+  *    / nested-loop the hand tree didn't already carry (TPC-H's scalar
+  *    subqueries make a small BNLJ legitimate in ways JOB's pure webs do
+  *    not, so the absolute JOB bar would false-positive here).
+  *  - `walls`: CBO off, min-of-N walls per query, one JSON line — the
+  *    decade table input. Catalog tables (not temp views) either way, so
+  *    the two modes measure the same scan path.
+  *
+  * Env: SPARK_GRAFT_TPCH_REPS (default 2), SPARK_GRAFT_TPCH_FILTER
+  * (comma-separated query subset), SPARK_GRAFT_TPCH_PLANS=1 (dump both
+  * final plans per query), SPARK_GRAFT_CPUS / SPARK_GRAFT_SHUFFLE as in
+  * JobAudit (1000× needs SPARK_DRIVER_MEM≈64g + SPARK_GRAFT_SHUFFLE=256 —
+  * the spill rule in SURVEY §1).
+  */
+object TpchAudit {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val mode = sys.env.getOrElse("SPARK_GRAFT_TPCH_MODE", "stats")
+    val reps = sys.env.get("SPARK_GRAFT_TPCH_REPS").map(_.toInt).getOrElse(2)
+    val only = sys.env.get("SPARK_GRAFT_TPCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    val dumpPlans = sys.env.get("SPARK_GRAFT_TPCH_PLANS").contains("1")
+
+    // catalog tables + stats for BOTH modes: walls measured on the same
+    // resolution path the stats mode plans against
+    val tA = System.nanoTime()
+    Graft.enableCbo(spark, dir)
+    println(f"[tpchaudit] analyze total ${(System.nanoTime() - tA) / 1e9}%.2fs")
+
+    val names = (1 to 22).map(i => s"q$i")
+      .filter(n => only.forall(_.contains(n)))
+
+    def setCbo(on: Boolean): Unit = {
+      spark.conf.set("spark.sql.cbo.enabled", on.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", on.toString)
+    }
+    def run(sql: String, cbo: Boolean): (Double, Seq[String], String) = {
+      setCbo(cbo)
+      val df = spark.sql(sql)
+      val t0 = System.nanoTime()
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      val wall = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      (wall, rows, plan)
+    }
+    def settle(): Unit = { System.gc(); Thread.sleep(1000); System.gc() }
+
+    mode match {
+      case "walls" =>
+        val rows = names.map { name =>
+          val sql = operators.Tpch.oracle(name)
+          var best = Double.MaxValue
+          (1 to reps).foreach { _ =>
+            val (w, r, _) = run(sql, cbo = false)
+            if (r.isEmpty) println(s"[tpchaudit] WARN $name returned zero rows at $dir")
+            best = math.min(best, w)
+            settle()
+          }
+          println(f"[tpchaudit] $name%-4s ${best}%8.2fs (min of $reps)")
+          f""""$name":$best%.2f"""
+        }
+        println(s"""[tpchaudit-json] {${rows.mkString(",")}}""")
+
+      case _ => // stats: hand (CBO off) vs CBO on, alternated
+        var worst = 0.0
+        val rows = names.map { name =>
+          val sql = operators.Tpch.oracle(name)
+          var wallHand = Double.MaxValue
+          var wallCbo = Double.MaxValue
+          var handPlan = ""; var cboPlan = ""
+          (1 to reps).foreach { _ =>
+            val (h, rowsHand, hp) = run(sql, cbo = false); settle()
+            val (c, rowsCbo, cp) = run(sql, cbo = true); settle()
+            assert(rowsHand == rowsCbo,
+              s"$name: CBO changed the RESULT (${rowsHand.size} vs " +
+                s"${rowsCbo.size} rows)")
+            wallHand = math.min(wallHand, h); wallCbo = math.min(wallCbo, c)
+            handPlan = hp; cboPlan = cp
+          }
+          if (dumpPlans) {
+            println(s"[tpchaudit-plan] $name HAND:\n$handPlan")
+            println(s"[tpchaudit-plan] $name CBO:\n$cboPlan")
+          }
+          // comparative invariants: CBO may not INTRODUCE a plan class the
+          // hand tree didn't already need (subquery BNLJs are legitimate)
+          Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+            assert(!cboPlan.contains(bad) || handPlan.contains(bad),
+              s"$name: CBO introduced $bad:\n$cboPlan")
+          }
+          val ratio = wallCbo / wallHand
+          worst = math.max(worst, ratio)
+          println(f"[tpchaudit] $name%-4s hand=$wallHand%8.2fs cbo=$wallCbo%8.2fs " +
+            f"ratio=$ratio%5.2fx (min of $reps, alternated)")
+          f""""$name":{"hand":$wallHand%.2f,"cbo":$wallCbo%.2f}"""
+        }
+        println(s"""[tpchaudit-json] {${rows.mkString(",")}}""")
+        println(f"[tpchaudit] == ${rows.size} queries, worst cbo/hand ratio $worst%.2fx")
+    }
+    spark.stop()
+  }
+}

@@ -1,9 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeSet, EqualNullSafe, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Expression, LessThan, LessThanOrEqual, Like, Literal, MultiLikeBase, PredicateHelper, RLike, StringPredicate}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rules for graft's native expressions (SURVEY.md §2.10).
@@ -109,6 +111,220 @@ object ResidualJoinPlacement extends Rule[LogicalPlan]
  * just above the 10 MB broadcast threshold, fixed in Graft.enableCbo).
  * See BASELINE.md round-14. */
 
+/** Post-join-reorder placement of PATTERN-GATED dims by MEASURED
+  * selectivity — the round-14 job_3a finding (BASELINE.md r14): Spark's
+  * `FilterEstimation` assigns LIKE / contains / regexp predicates NO
+  * selectivity, so the cost-based DP sees a LIKE-filtered dim at full
+  * table size and orders it LAST — the reordered tree sort-merges the
+  * full fact through its fanout joins before the one join that would have
+  * reduced it. (DataFusion costs filtered cardinalities into its reorder —
+  * /root/reference/datafusion/optimizer/src/optimize_projections/ +
+  * the selectivity hooks in datafusion/physical-expr/src/analysis.rs —
+  * which is exactly the signal Spark's DP is missing here.)
+  *
+  * A default LIKE selectivity guess was rejected (it mis-ranks every
+  * NOT-LIKE family the other way — BASELINE r14); instead this rule
+  * MEASURES. For an inner equi-join whose one side is a dim leg
+  * (Projects over a Filter over a catalog-stats relation) gated by at least one
+  * pattern conjunct the estimator cannot see, it runs a one-off COUNT of
+  * the filtered dim (column-pruned parquet scan of just the predicate
+  * columns; TABLESAMPLE above a size bound; cached per session ×
+  * (table, predicate, stats) so repeated plans pay nothing) and, when the
+  * measured bytes clear the broadcast threshold AND the dim joins on a
+  * near-unique key (catalog ndv ≈ rowCount — the sunk join cannot fan
+  * out), sinks the join to the lowest covering descendant of the fact
+  * side with a BROADCAST hint. That is precisely the plan the hand-ordered
+  * text encodes — reduce the fact before its fanout, build-side the dim —
+  * derived from data instead of syntax. When the DP already placed the
+  * dim lowest but the full-size estimate denied the broadcast, the hint
+  * is applied in place (no sink), avoiding the fact-side shuffle a
+  * sort-merge join on a non-hub key would force.
+  *
+  * Correctness: the sink is the same pure inner-join reassociation as
+  * [[ResidualJoinPlacement]] (globally-unique exprIds, every predicate
+  * stays in scope — multiset result unchanged at any data); the hint only
+  * picks a physical strategy. Runs in `User Provided Optimizers` (after
+  * `Join Reorder`), registered by [[graft.Graft.enableCbo]], gated on the
+  * join-reorder conf + its own kill switch — non-CBO sessions never see
+  * it, and the measurement only ever touches pattern-gated CATALOG dims
+  * under the size bound (facts are excluded by `measure.maxTableBytes`).
+  */
+object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
+
+  val flag = "spark.graft.cbo.measuredDimPlacement"
+  /** Tables larger than this are never measured (a fact-table count at
+    * plan time would cost more than it saves). Dim-sized by default. */
+  val maxTableBytesKey = "spark.graft.cbo.measure.maxTableBytes"
+  /** Above this size the measurement uses TABLESAMPLE (1 PERCENT) ×100 —
+    * a selectivity estimate, not an exact count, which is all the
+    * broadcast decision needs. */
+  val sampleAboveBytesKey = "spark.graft.cbo.measure.sampleAboveBytes"
+
+  /** Guards against a measurement query re-entering the rule (its plan is
+    * joinless so it cannot match, but the guard makes that a non-issue). */
+  private val measuring = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  /** session → (table|predicate|stats fingerprint → measured row count).
+    * Weak-keyed so a dropped session takes its measurements with it; the
+    * fingerprint includes the catalog stats, so a re-ANALYZE (new data)
+    * invalidates naturally. */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Long]]())
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled(flag) || measuring.get()) plan
+    else plan.transformDown {
+      case j @ Join(left, right, Inner, Some(cond), JoinHint.NONE)
+          if cond.deterministic =>
+        place(j, left, right, moverIsRight = true)
+          .orElse(place(j, right, left, moverIsRight = false))
+          .getOrElse(j)
+    }
+
+  private val bcastRight = JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+
+  private def place(j: Join, host: LogicalPlan, mover: LogicalPlan,
+      moverIsRight: Boolean): Option[LogicalPlan] =
+    for {
+      (pred, rel) <- dimLeg(mover)
+      if hasUnestimablePattern(pred)
+      cond = j.condition.get
+      if spanningConjunctsAllEqui(j, cond)
+      key <- moverJoinKey(cond, mover, host)
+      if nearUniqueOn(rel, key)
+      rows <- measure(rel, pred)
+      bytes = rows * avgRowBytes(rel)
+      if bytes >= 0 && bytes <= conf.autoBroadcastJoinThreshold
+    } yield sinkHinted(host, mover, cond)
+      .map(rebuilt => Project(j.output, rebuilt))
+      .getOrElse { // already lowest: broadcast in place, keep sides as-is
+        if (moverIsRight) j.copy(hint = bcastRight)
+        else j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
+      }
+
+  /** Projects over a Filter over a single catalog relation — the dim-leg
+    * shape pushdown leaves behind. */
+  private def dimLeg(p: LogicalPlan): Option[(Expression, LogicalRelation)] =
+    p match {
+      case Project(_, c) => dimLeg(c)
+      case Filter(pred, c) if pred.deterministic => leafRel(c).map(pred -> _)
+      case _ => None
+    }
+
+  private def leafRel(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case Project(_, c) => leafRel(c)
+    case r: LogicalRelation if r.catalogTable.isDefined => Some(r)
+    case _ => None
+  }
+
+  /** At least one conjunct FilterEstimation cannot score: LIKE / regexp /
+    * the simplified contains/startswith/endswith forms / LIKE ALL-ANY
+    * stacks (NOT LIKE sits inside a Not and is found by the traversal). */
+  private def hasUnestimablePattern(pred: Expression): Boolean =
+    pred.exists {
+      case _: Like | _: RLike | _: StringPredicate | _: MultiLikeBase => true
+      case _ => false
+    }
+
+  /** Every conjunct spanning both sides must be an equality (a spanning
+    * non-equi residual is [[ResidualJoinPlacement]]'s case, not ours). */
+  private def spanningConjunctsAllEqui(j: Join, cond: Expression): Boolean = {
+    def spans(e: Expression): Boolean =
+      e.references.intersect(j.left.outputSet).nonEmpty &&
+        e.references.intersect(j.right.outputSet).nonEmpty
+    val spanning = splitConjunctivePredicates(cond).filter(spans)
+    spanning.nonEmpty && spanning.forall {
+      case EqualTo(_, _) | EqualNullSafe(_, _) => true
+      case _ => false
+    }
+  }
+
+  /** The mover-side attribute of a spanning equality (the dim's join
+    * key); None when no equality has a bare attribute on the mover. */
+  private def moverJoinKey(cond: Expression, mover: LogicalPlan,
+      host: LogicalPlan): Option[AttributeReference] =
+    splitConjunctivePredicates(cond).collectFirst {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if mover.outputSet.contains(a) && host.outputSet.contains(b) => a
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if mover.outputSet.contains(a) && host.outputSet.contains(b) => a
+    }
+
+  /** ndv ≥ 0.9 × rowCount on the join key → the key is (near-)unique and
+    * the sunk join cannot multiply the fact side. Requires ANALYZE'd
+    * column stats — absent stats means no rewrite, the safe default. */
+  private def nearUniqueOn(rel: LogicalRelation,
+      key: AttributeReference): Boolean = {
+    val st = rel.stats
+    (for {
+      rows <- st.rowCount
+      colStat <- st.attributeStats.find(_._1.exprId == key.exprId)
+        .orElse(st.attributeStats.find(_._1.name == key.name)).map(_._2)
+      ndv <- colStat.distinctCount
+    } yield rows > 0 && ndv * 10 >= rows * 9).getOrElse(false)
+  }
+
+  private def avgRowBytes(rel: LogicalRelation): Long = {
+    val st = rel.stats
+    st.rowCount.filter(_ > 0)
+      .map(rc => (st.sizeInBytes / rc).toLong.max(1L)).getOrElse(Long.MaxValue)
+  }
+
+  /** Run (or recall) the COUNT of the filtered dim. Any failure — the
+    * predicate not round-tripping through SQL text, a dropped table, a
+    * missing session — returns None and the plan is left alone. */
+  private def measure(rel: LogicalRelation, pred: Expression): Option[Long] =
+    try {
+      val spark = SparkSession.active
+      val tbl = rel.catalogTable.get.identifier.quotedString
+      val st = rel.stats
+      if (st.sizeInBytes > maxBytes(maxTableBytesKey, "32g")) return None
+      val predSql = pred.transform {
+        case a: AttributeReference => a.withQualifier(Nil)
+      }.sql
+      val sampled = st.sizeInBytes > maxBytes(sampleAboveBytesKey, "4g")
+      val key = s"$tbl|$predSql|${st.sizeInBytes}|${st.rowCount}|$sampled"
+      val perSession = cache.synchronized {
+        var m = cache.get(spark)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+          cache.put(spark, m)
+        }
+        m
+      }
+      // bound the per-session map: a long-lived session planning thousands
+      // of distinct pattern predicates (a fuzzer, an ad-hoc notebook) must
+      // not grow it unboundedly — dropping measurements only re-runs counts
+      if (perSession.size > 10000) perSession.clear()
+      Option(perSession.get(key)).orElse {
+        measuring.set(true)
+        try {
+          val from =
+            if (sampled) s"$tbl TABLESAMPLE (1 PERCENT)" else tbl
+          val n = spark.sql(s"SELECT count(*) FROM $from WHERE $predSql")
+            .head().getLong(0)
+          val est = if (sampled) n * 100 else n
+          logInfo(s"graft.MeasuredDimPlacement: $tbl WHERE $predSql → " +
+            s"$est rows${if (sampled) " (1% sample ×100)" else ""}")
+          perSession.put(key, est)
+          Some(est)
+        } finally measuring.set(false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def maxBytes(key: String, default: String): Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.getConfString(key, default))
+
+  /** sinkInto with the spliced join carrying a broadcast-the-mover hint
+    * (the mover lands on the right in [[JoinSinkSupport.placeAt]]). */
+  private def sinkHinted(host: LogicalPlan, mover: LogicalPlan,
+      cond: Expression): Option[LogicalPlan] =
+    sinkInto(host, mover, cond, bcastRight)
+}
+
 /** Shared machinery: splice `Join(S, mover, cond)` at the lowest
   * descendant S of a host subtree that still covers the condition's
   * host-side references, descending only through inner joins (hint-free),
@@ -125,36 +341,37 @@ private[functions] trait JoinSinkSupport extends PredicateHelper {
     * already sits at its lowest valid position — the no-op that makes the
     * fixed point converge). */
   protected def sinkInto(host: LogicalPlan, mover: LogicalPlan,
-      cond: Expression): Option[LogicalPlan] = {
+      cond: Expression, hint: JoinHint = JoinHint.NONE): Option[LogicalPlan] = {
     val needed = cond.references -- mover.outputSet
-    if (needed.subsetOf(host.outputSet)) descend(host, mover, cond, needed)
+    if (needed.subsetOf(host.outputSet)) descend(host, mover, cond, needed, hint)
     else None
   }
 
   private def descend(node: LogicalPlan, mover: LogicalPlan,
-      cond: Expression, needed: AttributeSet): Option[LogicalPlan] =
+      cond: Expression, needed: AttributeSet,
+      hint: JoinHint): Option[LogicalPlan] =
     node match {
       case jn @ Join(l, r, Inner, _, JoinHint.NONE) =>
         if (needed.subsetOf(l.outputSet))
-          Some(jn.copy(left = placeAt(l, mover, cond, needed)))
+          Some(jn.copy(left = placeAt(l, mover, cond, needed, hint)))
         else if (needed.subsetOf(r.outputSet))
-          Some(jn.copy(right = placeAt(r, mover, cond, needed)))
+          Some(jn.copy(right = placeAt(r, mover, cond, needed, hint)))
         else None
       case p @ Project(list, child) if needed.subsetOf(child.outputSet) =>
         // widen to carry the moved side's columns up to the original join's
         // position (they were flowing above it already, so net plan width
         // above the old top is unchanged)
-        descend(child, mover, cond, needed)
+        descend(child, mover, cond, needed, hint)
           .map(nc => p.copy(projectList = list ++ mover.output, child = nc))
       case f: Filter =>
-        descend(f.child, mover, cond, needed).map(nc => f.copy(child = nc))
+        descend(f.child, mover, cond, needed, hint).map(nc => f.copy(child = nc))
       case _ => None
     }
 
   /** Splice at the lowest covering point within `node` (which covers
     * `needed`): deeper if a child still covers, else join right here. */
   private def placeAt(node: LogicalPlan, mover: LogicalPlan,
-      cond: Expression, needed: AttributeSet): LogicalPlan =
-    descend(node, mover, cond, needed)
-      .getOrElse(Join(node, mover, Inner, Some(cond), JoinHint.NONE))
+      cond: Expression, needed: AttributeSet, hint: JoinHint): LogicalPlan =
+    descend(node, mover, cond, needed, hint)
+      .getOrElse(Join(node, mover, Inner, Some(cond), hint))
 }

@@ -29,7 +29,12 @@ import scala.util.Random
   */
 object Fuzz {
 
-  final case class Q(name: String, sql: String)
+  /** `oracle`, when set, is a DIFFERENT spelling of the same query for the
+    * DuckDB side (round 15): the EXCLUDE / ORDER BY ALL tier runs the
+    * reference-native surface in DuckDB against graft's documented
+    * desugaring in Spark — equality across random column sets is the
+    * desugaring's correctness proof. Identical-text tiers leave it None. */
+  final case class Q(name: String, sql: String, oracle: Option[String] = None)
 
   // ------------------------------------------------------------ table model
   private case class T(
@@ -763,6 +768,137 @@ object Fuzz {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------- round-15 tiers (VERDICT #5)
+  /** PIVOT as a FROM clause — the standard Snowflake/SQL-Server spelling
+    * both engines parse identically (g_pivot covers the DataFrame
+    * operator; this sweeps value-list size, measure, group expr and
+    * filters). Doubles are rounded in the OUTER select: neither engine
+    * accepts a non-aggregate wrapper inside the PIVOT agg, and rounding
+    * the pivoted cells keeps the compare summation-order-insensitive. */
+  private def shapePivot(r: Random, t: T): String = {
+    val (vCol, vals) = pick(r, t.strs)
+    val chosen = r.shuffle(vals).take(2 + r.nextInt(2))
+    val (d, _, _) = pick(r, t.doubles)
+    val (gExpr, gName) = groupCol(r, t)
+    val aliased = chosen.zipWithIndex.map { case (v, i) => s"'$v' AS v$i" }
+    val outer = chosen.indices.map(i => s"round(v$i, 2) AS v$i")
+    s"""SELECT $gName, ${outer.mkString(", ")}
+       |FROM (
+       |  SELECT $gExpr AS $gName, $vCol AS pv, $d AS m
+       |  FROM ${t.name}
+       |  WHERE ${wherePreds(r, t)}
+       |) PIVOT (sum(m) FOR pv IN (${aliased.mkString(", ")}))""".stripMargin
+  }
+
+  /** UNPIVOT as a FROM clause (melt): both engines exclude NULL cells by
+    * default, but the inner select rounds non-null measures so the
+    * default never engages — the sweep tests the melt, not null policy
+    * (u_unnest/u_unpivot cover the operator; this sweeps measure pairs,
+    * filters and the int→double cast leg). */
+  private def shapeUnpivot(r: Random, t: T): String = {
+    val key = t.uniqueKey.get
+    val (d, _, _) = pick(r, t.doubles)
+    val (i, _) = pick(r, t.ints)
+    val ms = r.shuffle(Seq(s"round($d, 2)", s"CAST($i AS DOUBLE)"))
+      .zipWithIndex.map { case (e, j) => s"$e AS m$j" }
+    s"""SELECT $key, met, val FROM (
+       |  SELECT $key, ${ms.mkString(", ")}
+       |  FROM ${t.name}
+       |  WHERE ${wherePreds(r, t)}
+       |) UNPIVOT (val FOR met IN (m0, m1))""".stripMargin
+  }
+
+  /** WITH RECURSIVE — identical text in both engines (Spark 4 executes
+    * recursive CTEs natively; cte_recursive is the single hand entry,
+    * this sweeps depth, step, the series-joined-to-data leg and the
+    * pure-arithmetic accumulation leg). Depths stay ≤100 (Spark's
+    * cteRecursionLevelLimit default); integer aggregates are CAST to
+    * BIGINT on both sides (DuckDB widens sum(int) to HUGEINT, which
+    * pandas reads as float — the cast keeps dtype kinds aligned). */
+  private def shapeRecCte(r: Random): String = {
+    val k = 4 + r.nextInt(24)
+    val step = 1 + r.nextInt(3)
+    r.nextInt(3) match {
+      case 0 =>
+        val t = pick(r, Seq(orders, customer, part))
+        val key = t.uniqueKey.get
+        s"""WITH RECURSIVE r(n) AS (
+           |  SELECT 0
+           |  UNION ALL
+           |  SELECT n + $step FROM r WHERE n + $step <= $k
+           |)
+           |SELECT r.n AS n, count(t.$key) AS cnt
+           |FROM r LEFT JOIN ${t.name} t ON t.$key % ${k + 1} = r.n
+           |GROUP BY r.n""".stripMargin
+      case 1 =>
+        s"""WITH RECURSIVE r(n, acc) AS (
+           |  SELECT 1, 1
+           |  UNION ALL
+           |  SELECT n + 1, acc + n + 1 FROM r WHERE n < $k
+           |)
+           |SELECT n, acc FROM r""".stripMargin
+      case _ =>
+        val cap = 1 << (2 + r.nextInt(8))
+        s"""WITH RECURSIVE r(n) AS (
+           |  SELECT 1 UNION ALL SELECT n * 2 FROM r WHERE n * 2 <= $cap
+           |)
+           |SELECT count(*) AS c, CAST(sum(n) AS BIGINT) AS s,
+           |       min(n) AS lo, max(n) AS hi FROM r""".stripMargin
+    }
+  }
+
+  /** SELECT * EXCLUDE/EXCEPT + ORDER BY ALL / GROUP BY ALL — the two
+    * round-14-found reference surfaces (select.slt:1212, order.slt:1383).
+    * DuckDB runs the NATIVE spelling; Spark runs graft's documented
+    * desugaring (explicit column expansion; ALL → the projected list in
+    * order with ASC NULLS LAST / DESC NULLS FIRST to match DuckDB's null
+    * placement). LIMIT makes ORDER BY ALL load-bearing (the row-sorting
+    * compare would otherwise mask it); the unique key leads the projected
+    * list, so the ALL ordering is total and the page deterministic. */
+  private def shapeExclude(r: Random, t: T): (String, String) = {
+    val key = t.uniqueKey.get
+    if (r.nextBoolean()) {
+      // wildcard-exclusion over a pinned subquery column set
+      val (d, _, _) = pick(r, t.doubles)
+      val (i, mx) = pick(r, t.ints)
+      val cols = Seq("a" -> key, "b" -> s"round($d, 2)",
+        "c" -> s"$i % ${2 + r.nextInt(5)}", "d" -> s"$i + ${r.nextInt(7)}")
+      val base = s"SELECT ${cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")}\n" +
+        s"  FROM ${t.name} WHERE ${intPred(r, i, mx)}"
+      val dropped = r.shuffle(Seq("b", "c", "d")).take(1 + r.nextInt(2)).sorted
+      val kept = cols.map(_._1).filterNot(dropped.contains)
+      // the reference parses both EXCLUDE and EXCEPT (select.slt:1212-1243)
+      // but the DuckDB oracle only parses EXCLUDE — the EXCEPT spelling's
+      // desugaring is pinned by the s_wildcard_exclude gate entry instead
+      // (r.nextBoolean() still consumed so shape content is spelling-free)
+      val spelling = { r.nextBoolean(); "EXCLUDE" }
+      val desc = r.nextBoolean()
+      val dir = if (desc) "DESC" else ""
+      val sparkDir = if (desc) "DESC NULLS FIRST" else "ASC NULLS LAST"
+      val lim = 3 + r.nextInt(9)
+      val oracle =
+        s"""SELECT * $spelling (${dropped.mkString(", ")}) FROM (
+           |$base) q ORDER BY ALL $dir LIMIT $lim""".stripMargin
+      val spark =
+        s"""SELECT ${kept.mkString(", ")} FROM (
+           |$base) q ORDER BY ${kept.map(c => s"$c $sparkDir").mkString(", ")}
+           |LIMIT $lim""".stripMargin
+      (spark, oracle)
+    } else {
+      // GROUP BY ALL + ORDER BY ALL over an aggregate (g_all's pairing)
+      val (gExpr, gName) = groupCol(r, t)
+      val (d, _, _) = pick(r, t.doubles)
+      val lim = 3 + r.nextInt(9)
+      val select = s"SELECT $gExpr AS $gName, count(*) AS n, " +
+        s"round(sum($d), 2) AS s\nFROM ${t.name} WHERE ${wherePreds(r, t)}"
+      val oracle = s"$select\nGROUP BY ALL ORDER BY ALL LIMIT $lim"
+      // GROUP BY ALL is Spark-native; ORDER BY ALL is not — desugar it
+      val spark = s"$select\nGROUP BY ALL ORDER BY $gName ASC NULLS LAST, " +
+        s"n ASC NULLS LAST, s ASC NULLS LAST LIMIT $lim"
+      (spark, oracle)
+    }
+  }
+
   // --------------------------------------------------------------- generate
   /** `n` deterministic queries for `seed`. Pure: no I/O, no global state. */
   def generate(seed: Long, n: Int): Seq[Q] = {
@@ -773,8 +909,10 @@ object Fuzz {
     val keyedStrs = tables.filter(t => t.uniqueKey.isDefined && t.strs.nonEmpty)
     val keyedDbls = tables.filter(t =>
       t.uniqueKey.isDefined && t.doubles.nonEmpty && t.ints.nonEmpty)
+    val keyedDblInt = Seq(orders, customer, part, supplier)
     (0 until n).map { i =>
-      val sql = r.nextInt(28) match {
+      var oracle: Option[String] = None
+      val sql = r.nextInt(32) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -803,10 +941,17 @@ object Fuzz {
         case 24 => shapeLateral(r)
         case 25 => shapeWinOverJoin(r)
         case 26 => shapeFilterAgg(r)
-        case _ => if (r.nextBoolean()) shapePage(r)
-                  else shapeStrFns(r, pick(r, withStrs))
+        case 27 => if (r.nextBoolean()) shapePage(r)
+                   else shapeStrFns(r, pick(r, withStrs))
+        case 28 => shapePivot(r, pick(r,
+          Seq(orders, customer, part, lineitem)))
+        case 29 => shapeUnpivot(r, pick(r, keyedDblInt))
+        case 30 => shapeRecCte(r)
+        case _ =>
+          val (s, o) = shapeExclude(r, pick(r, keyedDblInt))
+          oracle = Some(o); s
       }
-      Q(f"fz_$i%04d", sql)
+      Q(f"fz_$i%04d", sql, oracle)
     }
   }
 }

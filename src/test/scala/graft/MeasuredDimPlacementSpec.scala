@@ -1,0 +1,157 @@
+package graft
+
+import graft.functions.MeasuredDimPlacement
+import graft.operators.Job
+import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
+
+/** VERDICT r14 #1: the MeasuredDimPlacement optimizer rule closes the
+  * job_3a CBO miss (LIKE-blind DP ordering). Spark's FilterEstimation
+  * gives LIKE/contains no selectivity, so the DP orders the pattern-gated
+  * part dim LAST; the rule MEASURES the filtered dim (cached count) and,
+  * when the measured bytes clear the broadcast threshold, sinks the dim
+  * join to the lowest covering point of the fact side with a BROADCAST
+  * hint — the hand-ordered text's plan, derived from data. This spec pins
+  * (a) the plan change — under CBO the part⋈lineitem join sits at the
+  * BOTTOM (its subtree scans only part + one lineitem role, no orders)
+  * and carries the broadcast hint; (b) the gates — no pattern predicate /
+  * measured-above-threshold / kill switch each leave the plan alone; and
+  * (c) result identity rule-on vs rule-off (pure inner-join reassociation
+  * plus a strategy hint). The wall-clock story (1.4–1.6× → 1.00× at 100×,
+  * alternated min-of-3) lives in BASELINE.md round-15. */
+class MeasuredDimPlacementSpec extends SparkSpec {
+
+  private val cboTables = Seq("part", "orders", "lineitem")
+
+  private def leafNames(plan: LogicalPlan): Seq[String] =
+    plan.collect { case l: LeafNode => l.toString }
+
+  /** Joins whose condition carries a p_partkey equality (the part dim
+    * edge in job_3a's web). */
+  private def partJoins(plan: LogicalPlan): Seq[Join] =
+    plan.collect {
+      case j @ Join(_, _, _, Some(c), _)
+          if c.exists {
+            case EqualTo(a, b) =>
+              (a.references ++ b.references).exists(_.name == "p_partkey")
+            case _ => false
+          } => j
+    }
+
+  private def withCbo[A](body: => A): A = {
+    val db = "spark_catalog.default"
+    val before = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      MeasuredDimPlacement.flag).map(k => k -> spark.conf.getOption(k))
+    try {
+      cboTables.foreach(spark.catalog.dropTempView)
+      Graft.enableCbo(spark, sf, tables = cboTables)
+      body
+    } finally {
+      cboTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) =>
+          if (k.startsWith("spark.sql.cbo")) spark.conf.set(k, "false")
+          else spark.conf.unset(k)
+      }
+      Tables.registerViews(spark, sf)
+    }
+  }
+
+  test("under CBO the LIKE-gated part dim sinks to the bottom of the fact " +
+    "side with a broadcast hint (the job_3a geometry)") {
+    withCbo {
+      spark.conf.set(MeasuredDimPlacement.flag, "true")
+      val plan = spark.sql(Job.job3aSql).queryExecution.optimizedPlan
+      val pjs = partJoins(plan)
+      assert(pjs.nonEmpty, s"no join carries the p_partkey equality:\n$plan")
+      // the LOWEST part join must scan only part + one lineitem role —
+      // the fact is reduced before orders/l2 ever join
+      val lowest = pjs.last
+      val leaves = leafNames(lowest)
+      assert(!leaves.exists(_.contains("orders")),
+        s"part join still sits above the orders fanout:\n$plan")
+      assert(pjs.exists(j => j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+        j.hint.rightHint.exists(_.strategy.nonEmpty)),
+        s"no broadcast hint on the measured dim join:\n$plan")
+      // physical confirmation: a BroadcastHashJoin on the partkey edge
+      val phys = spark.sql(Job.job3aSql).queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin") &&
+        phys.contains("p_partkey"), s"no broadcast build on part:\n$phys")
+    }
+  }
+
+  test("kill switch off: the plan is untouched") {
+    withCbo {
+      spark.conf.set(MeasuredDimPlacement.flag, "true")
+      val on = spark.sql(Job.job3aSql).queryExecution.optimizedPlan
+      spark.conf.set(MeasuredDimPlacement.flag, "false")
+      val off = spark.sql(Job.job3aSql).queryExecution.optimizedPlan
+      assert(on.canonicalized != off.canonicalized,
+        "rule never fired — the on/off plans are identical, the spec is vacuous")
+      assert(partJoins(off).forall(_.hint.leftHint.isEmpty) &&
+        partJoins(off).forall(_.hint.rightHint.isEmpty),
+        s"flag off but a hint survived:\n$off")
+    }
+  }
+
+  test("measured size above the broadcast threshold: no rewrite (the " +
+    "measurement gates, not the pattern alone)") {
+    withCbo {
+      spark.conf.set(MeasuredDimPlacement.flag, "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val gated = spark.sql(Job.job3aSql).queryExecution.optimizedPlan
+      spark.conf.set(MeasuredDimPlacement.flag, "false")
+      val off = spark.sql(Job.job3aSql).queryExecution.optimizedPlan
+      assert(gated.canonicalized == off.canonicalized,
+        s"rule fired despite a 1-byte threshold:\n$gated")
+    }
+  }
+
+  test("no unestimable pattern on the dim: no rewrite (equality filters " +
+    "are FilterEstimation's job, not ours)") {
+    withCbo {
+      // same web, but the part gate is an estimable equality — the DP
+      // already sees its selectivity; the rule must stay out of the way
+      val sql = Job.job3aSql.replace("p.p_name LIKE '%red%'",
+        "p.p_type = 'PROMO'")
+      spark.conf.set(MeasuredDimPlacement.flag, "true")
+      val on = spark.sql(sql).queryExecution.optimizedPlan
+      spark.conf.set(MeasuredDimPlacement.flag, "false")
+      val off = spark.sql(sql).queryExecution.optimizedPlan
+      assert(on.canonicalized == off.canonicalized,
+        s"rule fired on an estimable predicate:\n$on")
+    }
+  }
+
+  test("rule on vs off: identical results (reassociation + a strategy " +
+    "hint change nothing but the plan)") {
+    withCbo {
+      spark.conf.set(MeasuredDimPlacement.flag, "false")
+      val off = spark.sql(Job.job3aSql).collect().toSeq
+      spark.conf.set(MeasuredDimPlacement.flag, "true")
+      val on = spark.sql(Job.job3aSql).collect().toSeq
+      assert(on == off, s"rule changed the result: $on vs $off")
+      assert(off.nonEmpty)
+    }
+  }
+
+  test("non-CBO sessions are untouched (gated on joinReorder like the " +
+    "residual rule)") {
+    val before = spark.conf.getOption("spark.sql.cbo.joinReorder.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      Graft.installResidualPlacement(spark)
+      val plan = spark.sql(Job.job3aSql).queryExecution.optimizedPlan
+      assert(partJoins(plan).forall(j =>
+        j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
+        s"rule fired without CBO:\n$plan")
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.joinReorder.enabled", v)
+      case None => spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    }
+  }
+}
