@@ -1288,12 +1288,286 @@ object FunctionLib {
         .as("est_click_only"))
   }
 
+  // -------------------------------------------------------------- f_datetime2
+  /** Calendar-arithmetic family — the reference's spark-compat datetime
+    * surface beyond f_datetime/f_interval (reference spark/datetime/
+    * {add_months,months_between,next_day,last_day,weekofyear,dayofweek,
+    * weekday,dayofyear,quarter,date_add,date_sub,make_dt_interval,
+    * make_ym_interval}.slt). Month addition exercises end-of-month clamping
+    * (both engines clamp); months_between's 31-day-denominator fraction and
+    * next_day's strictly-after contract are emulated in the oracle with the
+    * day-arithmetic spelled out, so the hash proves Spark's documented
+    * semantics rather than a shared implementation. DuckDB's dayofweek is
+    * 0=Sunday (Spark is 1=Sunday) and isodow is 1=Monday (Spark weekday is
+    * 0=Monday) — the oracle shifts explicitly. */
+  def fDatetime2(spark: SparkSession, dir: String): DataFrame = {
+    val od = col("o_orderdate").cast("date")
+    t("orders")(spark, dir).select(
+        col("o_orderkey"),
+        add_months(od, pmod(col("o_orderkey"), lit(13)).cast("int") - 6).as("am"),
+        round(months_between(lit("1996-06-15").cast("date"), od), 6).as("mb"),
+        next_day(od, "TUE").as("nd"),
+        last_day(od).as("ld"),
+        weekofyear(od).cast("int").as("woy"),
+        dayofweek(od).cast("int").as("dow"),
+        weekday(od).cast("int").as("wd"),
+        dayofyear(od).cast("int").as("doy"),
+        quarter(od).cast("int").as("qt"),
+        date_add(od, pmod(col("o_orderkey"), lit(40)).cast("int")).as("da"),
+        date_sub(od, 7).as("ds"),
+        expr("o_orderdate + make_dt_interval(3, 4, 5, 6)").as("dti"),
+        // oracle adds the flat 14 months: Spark applies a ym-interval as one
+        // month step (no intermediate Feb-29 → Feb-28 clamp the way chained
+        // +1y +2m would clamp)
+        expr("CAST(CAST(o_orderdate AS DATE) + make_ym_interval(1, 2) AS DATE)").as("ymi"))
+      .orderBy("o_orderkey")
+  }
+
+  val fDatetime2Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(od + to_months(CAST((((o_orderkey % 13) + 13) % 13) - 6 AS INTEGER)) AS DATE) AS am,
+      |  round(CAST((1996 - extract(year FROM od)) * 12 + (6 - extract(month FROM od)) AS DOUBLE)
+      |        + CASE WHEN extract(day FROM od) = 15 THEN 0.0
+      |               ELSE (15 - extract(day FROM od)) / 31.0 END, 6) AS mb,
+      |  od + CAST(CASE WHEN ((2 - dayofweek(od)) % 7 + 7) % 7 = 0 THEN 7
+      |                 ELSE ((2 - dayofweek(od)) % 7 + 7) % 7 END AS INTEGER) AS nd,
+      |  last_day(od) AS ld,
+      |  CAST(week(od) AS INTEGER) AS woy,
+      |  CAST(dayofweek(od) + 1 AS INTEGER) AS dow,
+      |  CAST(isodow(od) - 1 AS INTEGER) AS wd,
+      |  CAST(dayofyear(od) AS INTEGER) AS doy,
+      |  CAST(quarter(od) AS INTEGER) AS qt,
+      |  od + CAST((o_orderkey % 40 + 40) % 40 AS INTEGER) AS da,
+      |  od - 7 AS ds,
+      |  o_orderdate + to_days(3) + to_hours(4) + to_minutes(5) + to_seconds(6) AS dti,
+      |  CAST(od + to_months(14) AS DATE) AS ymi
+      |FROM (SELECT o_orderkey, o_orderdate, CAST(o_orderdate AS DATE) AS od
+      |      FROM orders) ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------- f_math2
+  /** Second math family — reference spark-compat {bround,hypot,expm1,log1p,
+    * sec,csc,e,conv,bin,width_bucket,rint,positive,negative}.slt. Banker's
+    * rounding (bround/rint, IEEE round-half-even) is pinned on EXACT halves
+    * constructed from integers (p_size + 0.5 is exactly representable), so
+    * the oracle can state the even neighbor in closed form instead of
+    * trusting DuckDB's (half-away) round; conv round-trips decimal↔hex↔
+    * binary against DuckDB's to_hex/bin; width_bucket's formula is integer
+    * math, stated explicitly. Transcendentals round to 6 dp (the f_math/
+    * f_trig discipline) to absorb last-ulp libm differences. */
+  def fMath2(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("p_size").cast("double") / 50.0
+    t("part")(spark, dir).select(
+        col("p_partkey"),
+        bround(col("p_size") + 0.5, 0).as("br0"),
+        bround(col("p_retailprice"), -1).as("brt"),
+        round(hypot(col("p_size").cast("double"), lit(7.0)), 6).as("hy"),
+        round(expm1(d), 6).as("em"),
+        round(log1p(d), 6).as("l1"),
+        expr("round(sec(p_size / 50.0), 6)").as("sc"),
+        expr("round(csc(p_size / 50.0), 6)").as("cs"),
+        expr("round(e(), 6)").as("ee"),
+        conv(col("p_partkey").cast("string"), 10, 16).as("cv16"),
+        conv(bin(col("p_size")), 2, 10).as("cv2"),
+        bin(col("p_size")).as("bn"),
+        expr("width_bucket(p_size, 1, 51, 5)").as("wb"),
+        rint(col("p_size") + 0.5).as("rt"),
+        expr("positive(p_size)").as("ps"),
+        expr("negative(p_size)").as("ng"))
+      .orderBy("p_partkey")
+  }
+
+  /** DuckDB: the tens-place half (price ends in 5.0 exactly — representable,
+    * prices carry one decimal) routes to the explicit even-tens CASE; all
+    * other prices agree with plain round(v,-1). */
+  val fMath2Sql: String =
+    """SELECT p_partkey,
+      |  CAST(CASE WHEN p_size % 2 = 0 THEN p_size ELSE p_size + 1 END AS DOUBLE) AS br0,
+      |  CASE WHEN CAST(p_retailprice * 10 AS BIGINT) % 100 = 50
+      |       THEN CASE WHEN CAST(floor(p_retailprice / 10) AS BIGINT) % 2 = 0
+      |                 THEN floor(p_retailprice / 10) * 10
+      |                 ELSE (floor(p_retailprice / 10) + 1) * 10 END
+      |       ELSE round(p_retailprice, -1) END AS brt,
+      |  round(sqrt(CAST(p_size AS DOUBLE) * p_size + 49.0), 6) AS hy,
+      |  round(exp(p_size / 50.0) - 1, 6) AS em,
+      |  round(ln(1 + p_size / 50.0), 6) AS l1,
+      |  round(1.0 / cos(p_size / 50.0), 6) AS sc,
+      |  round(1.0 / sin(p_size / 50.0), 6) AS cs,
+      |  round(exp(1.0), 6) AS ee,
+      |  to_hex(p_partkey) AS cv16,
+      |  CAST(p_size AS VARCHAR) AS cv2,
+      |  bin(p_size) AS bn,
+      |  CAST((p_size - 1) // 10 + 1 AS BIGINT) AS wb,
+      |  CAST(CASE WHEN p_size % 2 = 0 THEN p_size ELSE p_size + 1 END AS DOUBLE) AS rt,
+      |  p_size AS ps,
+      |  -p_size AS ng
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- f_string2
+  /** Second string family — reference spark-compat {soundex,luhn_check,elt,
+    * format_number,format_string,mask,char,instr,position,to_char}.slt.
+    * soundex is pinned as a KNOWN-ANSWER check (the f_hash discipline): the
+    * part nouns' codes are hand-derived from the published US-census
+    * algorithm (first letter + bfpv→1 cgjkqsxz→2 dt→3 l→4 mn→5 r→6, vowels
+    * hwy skipped, adjacent duplicates collapsed, zero-padded to 4), so the
+    * oracle CASE is independent of any engine. luhn_check uses the canonical
+    * published test vector 79927398713 and its off-by-one. mask's default
+    * alphabet (upper→X lower→x digit→n, punctuation kept) is emulated with
+    * three regexp passes over the same constructed string. */
+  def fString2(spark: SparkSession, dir: String): DataFrame =
+    t("part")(spark, dir).select(
+        col("p_partkey"),
+        soundex(element_at(split(col("p_name"), " "), 2)).as("sx"),
+        expr("luhn_check('79927398713')").as("lc1"),
+        expr("luhn_check('79927398714')").as("lc2"),
+        expr("elt(1 + p_partkey % 2, 'alpha', p_name)").as("el"),
+        format_number(col("p_partkey") * lit(1234567L), 0).as("fn0"),
+        format_number(col("p_retailprice"), 2).as("fn2"),
+        format_string("%s#%04d", col("p_name"), col("p_size")).as("fs"),
+        expr("mask(concat(upper(substring(p_name, 1, 1)), substring(p_name, 2), '-', CAST(p_size AS STRING)))").as("mk"),
+        expr("to_char(p_retailprice, '0000.00')").as("tc"),
+        expr("char(65 + p_size % 26)").as("ch"),
+        instr(col("p_name"), "o").cast("int").as("ins"),
+        expr("CAST(position('e' IN p_name) AS INT)").as("pos2"))
+      .orderBy("p_partkey")
+
+  val fString2Sql: String =
+    """SELECT p_partkey,
+      |  CASE split_part(p_name, ' ', 2)
+      |    WHEN 'anvil' THEN 'A514' WHEN 'bolt' THEN 'B430'
+      |    WHEN 'gear' THEN 'G600' WHEN 'gizmo' THEN 'G250'
+      |    WHEN 'plate' THEN 'P430' WHEN 'ring' THEN 'R520'
+      |    WHEN 'rod' THEN 'R300' WHEN 'widget' THEN 'W323' END AS sx,
+      |  true AS lc1,
+      |  false AS lc2,
+      |  CASE WHEN p_partkey % 2 = 0 THEN 'alpha' ELSE p_name END AS el,
+      |  format('{:,}', CAST(p_partkey * 1234567 AS BIGINT)) AS fn0,
+      |  printf('%.2f', p_retailprice) AS fn2,
+      |  printf('%s#%04d', p_name, CAST(p_size AS BIGINT)) AS fs,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    upper(substr(p_name, 1, 1)) || substr(p_name, 2) || '-' || CAST(p_size AS VARCHAR),
+      |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS mk,
+      |  printf('%07.2f', p_retailprice) AS tc,
+      |  chr(65 + p_size % 26) AS ch,
+      |  CAST(strpos(p_name, 'o') AS INTEGER) AS ins,
+      |  CAST(position('e' IN p_name) AS INTEGER) AS pos2
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------- f_try
+  /** TRY-variant arithmetic/conversion family — reference spark-compat
+    * {try_add,try_subtract,try_multiply,try_divide,try_to_number,
+    * try_to_timestamp,try_to_binary}.slt + try_element_at. Every error case
+    * (bigint overflow, divide-by-zero, unparseable number/timestamp/hex,
+    * out-of-bounds index) must yield NULL, never an error, independent of
+    * the ANSI flag; the oracle computes the overflow legs in HUGEINT and
+    * CASEs the out-of-range results to NULL, so the hash proves the NULL
+    * contract rather than sharing a wrapping bug. */
+  def fTry(spark: SparkSession, dir: String): DataFrame =
+    t("part")(spark, dir).select(
+        col("p_partkey"),
+        try_add(col("p_partkey"), lit(10L)).as("ta_ok"),
+        try_add(lit(Long.MaxValue), col("p_size").cast("long")).as("ta_of"),
+        try_subtract(lit(Long.MinValue), col("p_size").cast("long")).as("ts_of"),
+        try_multiply(lit(Long.MaxValue / 2), col("p_size").cast("long")).as("tm"),
+        try_divide(col("p_size").cast("double"), pmod(col("p_size"), lit(3)).cast("double")).as("td"),
+        expr("CAST(try_to_number('1,234.56', '9,999.99') AS DOUBLE)").as("tn_ok"),
+        expr("CAST(try_to_number('12ab', '9999') AS DOUBLE)").as("tn_bad"),
+        expr("try_to_timestamp('1996-02-29 12:30:00')").as("tt_ok"),
+        expr("try_to_timestamp('1995-13-01')").as("tt_bad"),
+        expr("try_element_at(array(p_size), 1)").as("te_ok"),
+        expr("try_element_at(array(p_size), 2)").as("te_bad"),
+        expr("hex(try_to_binary('4F6B', 'hex'))").as("tb_ok"),
+        expr("hex(try_to_binary('ZZ', 'hex'))").as("tb_bad"))
+      .orderBy("p_partkey")
+
+  val fTrySql: String =
+    """SELECT p_partkey,
+      |  p_partkey + 10 AS ta_ok,
+      |  CAST(NULL AS BIGINT) AS ta_of,
+      |  CAST(NULL AS BIGINT) AS ts_of,
+      |  CASE WHEN p_size <= 2
+      |       THEN CAST(CAST(4611686018427387903 AS HUGEINT) * p_size AS BIGINT)
+      |       ELSE NULL END AS tm,
+      |  CASE WHEN p_size % 3 = 0 THEN NULL
+      |       ELSE CAST(p_size AS DOUBLE) / (p_size % 3) END AS td,
+      |  1234.56 AS tn_ok,
+      |  CAST(NULL AS DOUBLE) AS tn_bad,
+      |  TIMESTAMP '1996-02-29 12:30:00' AS tt_ok,
+      |  CAST(NULL AS TIMESTAMP) AS tt_bad,
+      |  p_size AS te_ok,
+      |  CAST(NULL AS INTEGER) AS te_bad,
+      |  '4F6B' AS tb_ok,
+      |  CAST(NULL AS VARCHAR) AS tb_bad
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- f_nondet
+  /** Nondeterministic + session-introspection surfaces — reference
+    * spark-compat {uuid,rand,randn,monotonically_increasing_id,
+    * spark_partition_id,input_file_name,typeof,equal_null,assert_true,
+    * version,current_*}.slt. Raw values are nondeterministic or
+    * environment-bound, so every projected column is a DETERMINISTIC
+    * PROPERTY of the value (format regex, bound check, uniqueness via a
+    * keyed window) and the oracle states the expected property outcome as a
+    * constant — the same discipline the rows-only entries use, but here the
+    * properties are strong enough to be fully hash-oracled. typeof runs on
+    * literals (not columns) so the expected type strings are
+    * schema-independent. */
+  def fNondet(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t("nation")(spark, dir)
+      // input_file_name is only defined in the scan stage — evaluated after
+      // the mid-uniqueness window's exchange it returns '' — so the property
+      // is captured here, before any shuffle
+      .withColumn("ifn0", input_file_name().endsWith(".parquet"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("mid_uniq",
+        (count(lit(1)).over(Window.partitionBy(col("mid"))) === 1).as("mid_uniq"))
+      .select(
+        col("n_nationkey"),
+        expr("typeof(CAST(1 AS BIGINT))").as("ty_l"),
+        expr("typeof(CAST(1.5 AS DOUBLE))").as("ty_d"),
+        expr("typeof(DATE '1995-01-01')").as("ty_dt"),
+        expr("typeof(array(1, 2))").as("ty_a"),
+        expr("typeof(named_struct('a', 1))").as("ty_s"),
+        expr("typeof(map('k', 1))").as("ty_m"),
+        expr("equal_null(n_name, n_name)").as("en1"),
+        expr("equal_null(nullif(n_nationkey % 5, 0), nullif(n_nationkey % 5, 0))").as("en2"),
+        expr("equal_null(nullif(n_nationkey, n_nationkey), n_nationkey)").as("en3"),
+        expr("CAST(assert_true(n_nationkey >= 0) AS STRING)").as("at"),
+        expr("uuid() RLIKE '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'").as("uu"),
+        expr("length(uuid())").as("uu36"),
+        (col("mid") >= 0).as("mid_nonneg"),
+        col("mid_uniq"),
+        (spark_partition_id() >= 0 && spark_partition_id() < 2048).as("pid"),
+        col("ifn0").as("ifn"),
+        expr("length(version()) > 0").as("vr"),
+        expr("current_catalog()").as("cc"),
+        expr("length(user()) > 0").as("cu"),
+        expr("rand() >= 0.0 AND rand() < 1.0").as("rd"),
+        expr("NOT isnan(randn())").as("rn"))
+      .orderBy("n_nationkey")
+  }
+
+  val fNondetSql: String =
+    """SELECT n_nationkey,
+      |  'bigint' AS ty_l, 'double' AS ty_d, 'date' AS ty_dt,
+      |  'array<int>' AS ty_a, 'struct<a:int>' AS ty_s, 'map<string,int>' AS ty_m,
+      |  true AS en1, true AS en2, false AS en3,
+      |  CAST(NULL AS VARCHAR) AS at,
+      |  true AS uu, 36 AS uu36,
+      |  true AS mid_nonneg, true AS mid_uniq,
+      |  true AS pid, true AS ifn, true AS vr,
+      |  'spark_catalog' AS cc, true AS cu, true AS rd, true AS rn
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_hll_rollup" -> (aHllRollup _), "a_kll_rollup" -> (aKllRollup _),
     "a_theta_ops" -> (aThetaOps _),
     "f_string" -> (fString _), "f_unicode" -> (fUnicode _), "f_math" -> (fMath _),
     "f_trig" -> (fTrig _), "f_bitwise" -> (fBitwise _),
     "f_datetime" -> (fDatetime _), "f_interval" -> (fInterval _),
+    "f_datetime2" -> (fDatetime2 _), "f_math2" -> (fMath2 _),
+    "f_string2" -> (fString2 _), "f_try" -> (fTry _),
+    "f_nondet" -> (fNondet _),
     "f_tz" -> (fTz _),
     "f_decimal" -> (fDecimal _), "f_cast" -> (fCast _),
     "f_regex" -> (fRegex _), "f_crypto" -> (fCrypto _),
@@ -1315,6 +1589,9 @@ object FunctionLib {
     "f_string" -> fStringSql, "f_unicode" -> fUnicodeSql, "f_math" -> fMathSql,
     "f_trig" -> fTrigSql, "f_bitwise" -> fBitwiseSql,
     "f_datetime" -> fDatetimeSql, "f_interval" -> fIntervalSql,
+    "f_datetime2" -> fDatetime2Sql, "f_math2" -> fMath2Sql,
+    "f_string2" -> fString2Sql, "f_try" -> fTrySql,
+    "f_nondet" -> fNondetSql,
     "f_decimal" -> fDecimalSql, "f_cast" -> fCastSql,
     "f_regex" -> fRegexSql, "f_crypto" -> fCryptoSql,
     "f_hash" -> fHashSql,

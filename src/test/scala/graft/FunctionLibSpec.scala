@@ -213,4 +213,89 @@ class FunctionLibSpec extends SparkSpec {
     assert(r.getAs[Int]("asum") == a.sum)
     assert(r.getAs[String]("dbl").split(",").map(_.toInt).toSeq == a.map(_ * 2).toSeq)
   }
+
+  test("f_datetime2: calendar edge semantics on hand-picked dates — " +
+    "end-of-month clamp, leap-day ym addition without intermediate clamp, " +
+    "next_day strictly-after, months_between's 31-day fraction") {
+    import spark.implicits._
+    val r = Seq("x").toDF("x").select(
+      expr("add_months(DATE '1995-01-31', 1)").as("clamp"),
+      expr("CAST(DATE '1996-02-29' + make_ym_interval(1, 2) AS DATE)").as("leap"),
+      expr("next_day(DATE '1995-03-14', 'TUE')").as("ndnext"), // a Tuesday
+      expr("next_day(DATE '1995-03-13', 'TUE')").as("ndsame"),
+      expr("months_between(DATE '1996-06-15', DATE '1996-05-14')").as("mbfrac"),
+      expr("months_between(DATE '1996-06-15', DATE '1996-05-15')").as("mbint"),
+      expr("weekday(DATE '2021-06-07')").as("wdmon")) // a Monday
+      .collect().head
+    assert(r.getAs[java.sql.Date]("clamp").toString == "1995-02-28")
+    // one 14-month step, NOT (+1y → 1997-02-28 clamp → +2m → Apr 28)
+    assert(r.getAs[java.sql.Date]("leap").toString == "1997-04-29")
+    assert(r.getAs[java.sql.Date]("ndnext").toString == "1995-03-21") // strictly after
+    assert(r.getAs[java.sql.Date]("ndsame").toString == "1995-03-14")
+    assert(math.abs(r.getAs[Double]("mbfrac") - (1.0 + 1.0 / 31.0)) < 1e-8)
+    assert(r.getAs[Double]("mbint") == 1.0)
+    assert(r.getAs[Int]("wdmon") == 0)
+  }
+
+  test("f_math2: banker's rounding lands on the even neighbor for exact " +
+    "halves; conv round-trips decimal->hex->decimal and binary") {
+    import spark.implicits._
+    val r = Seq("x").toDF("x").select(
+      expr("bround(2.5, 0)").as("b25"), expr("bround(3.5, 0)").as("b35"),
+      expr("rint(CAST(2.5 AS DOUBLE))").as("r25"),
+      expr("rint(CAST(3.5 AS DOUBLE))").as("r35"),
+      expr("conv('255', 10, 16)").as("hex"),
+      expr("conv('FF', 16, 10)").as("dec"),
+      expr("conv(bin(42), 2, 10)").as("rt"),
+      expr("width_bucket(50, 1, 51, 5)").as("wtop"),
+      expr("width_bucket(1, 1, 51, 5)").as("wbot")).collect().head
+    assert(r.getAs[java.math.BigDecimal]("b25").doubleValue == 2.0)
+    assert(r.getAs[java.math.BigDecimal]("b35").doubleValue == 4.0)
+    assert(r.getAs[Double]("r25") == 2.0 && r.getAs[Double]("r35") == 4.0)
+    assert(r.getAs[String]("hex") == "FF" && r.getAs[String]("dec") == "255")
+    assert(r.getAs[String]("rt") == "42")
+    assert(r.getAs[Long]("wtop") == 5L && r.getAs[Long]("wbot") == 1L)
+  }
+
+  test("f_string2: soundex known answers match the published US-census " +
+    "algorithm; luhn_check canonical vector and its off-by-one") {
+    import spark.implicits._
+    // hand-derived: first letter + bfpv=1 cgjkqsxz=2 dt=3 l=4 mn=5 r=6,
+    // vowels/h/w/y skipped, adjacent duplicate codes collapsed, 0-padded
+    val expected = Map("anvil" -> "A514", "bolt" -> "B430", "gear" -> "G600",
+      "gizmo" -> "G250", "plate" -> "P430", "ring" -> "R520",
+      "rod" -> "R300", "widget" -> "W323", "robert" -> "R163",
+      "tymczak" -> "T522") // the two census reference examples
+    val got = expected.keys.toSeq.toDF("w")
+      .select(col("w"), soundex(col("w")).as("sx")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    expected.foreach { case (w, sx) => assert(got(w) == sx, s"soundex($w)") }
+    val l = Seq("x").toDF("x").select(
+      expr("luhn_check('79927398713')").as("ok"),
+      expr("luhn_check('79927398714')").as("bad")).collect().head
+    assert(l.getAs[Boolean]("ok") && !l.getAs[Boolean]("bad"))
+  }
+
+  test("f_try: the NULL-on-error contract is ANSI-invariant — every try_* " +
+    "leg returns the same rows with spark.sql.ansi.enabled flipped") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val off = FunctionLib.fTry(spark, sf).collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val on = FunctionLib.fTry(spark, sf).collect().map(_.toString).sorted
+      assert(off.sameElements(on), "try_* results must not depend on ANSI mode")
+      // and the error legs really are NULL, not wrapped values
+      val r = FunctionLib.fTry(spark, sf).limit(1).collect().head
+      assert(r.isNullAt(r.fieldIndex("ta_of")) && r.isNullAt(r.fieldIndex("ts_of")))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("f_nondet: uuids are distinct per row (the per-row format boolean " +
+    "can't see cross-row duplication)") {
+    import spark.implicits._
+    val uuids = spark.range(1000).select(expr("uuid()").as("u"))
+      .collect().map(_.getString(0))
+    assert(uuids.distinct.length == uuids.length)
+  }
 }
