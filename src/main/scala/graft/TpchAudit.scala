@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** TPC-H counterpart of [[JobAudit]] (VERDICT r14 #3/#4): the CBO headline
@@ -34,6 +37,41 @@ import org.apache.spark.sql.SparkSession
   */
 object TpchAudit {
 
+  /** Accumulates task-level metrics between resets so a decade wall can be
+    * ATTRIBUTED, not guessed at: a super-linear step between decades reads
+    * either as spill (memory/disk spill bytes go nonzero), as I/O (input
+    * bytes grow faster than CPU time), or as genuine extra work (CPU time
+    * tracks the wall). Listener delivery is async; the walls loop snapshots
+    * after `settle()`'s ≥1 s pause, which bounds the undercount to the
+    * final in-flight events of a finished query (noise at these walls). */
+  private final class MetricsAgg extends SparkListener {
+    val bytesRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val runTimeMs = new AtomicLong
+    val cpuTimeNs = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        bytesRead.addAndGet(m.inputMetrics.bytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        runTimeMs.addAndGet(m.executorRunTime)
+        cpuTimeNs.addAndGet(m.executorCpuTime)
+      }
+    }
+    def reset(): Unit = Seq(bytesRead, shuffleWrite, memSpill, diskSpill,
+      runTimeMs, cpuTimeNs).foreach(_.set(0L))
+    def report: String = {
+      def gb(b: Long): String = f"${b / 1e9}%.1fGB"
+      f"read=${gb(bytesRead.get)} shufW=${gb(shuffleWrite.get)} " +
+        f"spillMem=${gb(memSpill.get)} spillDisk=${gb(diskSpill.get)} " +
+        f"cpu=${cpuTimeNs.get / 1e9}%.0fs run=${runTimeMs.get / 1e3}%.0fs"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -46,6 +84,15 @@ object TpchAudit {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_TPCH_CONF="k=v;k=v": arbitrary session confs (JobAudit's
+    // SPARK_GRAFT_JOB_CONF twin) — how a decade-wall hypothesis (e.g. "the
+    // 1000× super-linear step is the broadcast knee") is attributed by
+    // experiment without recompiling
+    sys.env.get("SPARK_GRAFT_TPCH_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_TPCH_MODE", "stats")
     val reps = sys.env.get("SPARK_GRAFT_TPCH_REPS").map(_.toInt).getOrElse(2)
@@ -80,16 +127,20 @@ object TpchAudit {
 
     mode match {
       case "walls" =>
+        val agg = new MetricsAgg
+        spark.sparkContext.addSparkListener(agg)
         val rows = names.map { name =>
           val sql = operators.Tpch.oracle(name)
           var best = Double.MaxValue
+          var bestMetrics = ""
           (1 to reps).foreach { _ =>
+            agg.reset()
             val (w, r, _) = run(sql, cbo = false)
             if (r.isEmpty) println(s"[tpchaudit] WARN $name returned zero rows at $dir")
-            best = math.min(best, w)
-            settle()
+            settle() // also lets the async listener bus drain before snapshot
+            if (w < best) { best = w; bestMetrics = agg.report }
           }
-          println(f"[tpchaudit] $name%-4s ${best}%8.2fs (min of $reps)")
+          println(f"[tpchaudit] $name%-4s ${best}%8.2fs (min of $reps)  $bestMetrics")
           f""""$name":$best%.2f"""
         }
         println(s"""[tpchaudit-json] {${rows.mkString(",")}}""")
