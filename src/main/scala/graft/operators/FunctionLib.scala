@@ -1427,7 +1427,11 @@ object FunctionLib {
         expr("to_char(p_retailprice, '0000.00')").as("tc"),
         expr("char(65 + p_size % 26)").as("ch"),
         instr(col("p_name"), "o").cast("int").as("ins"),
-        expr("CAST(position('e' IN p_name) AS INT)").as("pos2"))
+        expr("CAST(position('e' IN p_name) AS INT)").as("pos2"),
+        // sentences() emits array<array<string>>; the driver compare
+        // rejects array columns, so the structure is pinned through
+        // canonical JSON
+        expr("to_json(sentences('Hello world. Nice day.'))").as("sen"))
       .orderBy("p_partkey")
 
   val fString2Sql: String =
@@ -1449,7 +1453,8 @@ object FunctionLib {
       |  printf('%07.2f', p_retailprice) AS tc,
       |  chr(65 + p_size % 26) AS ch,
       |  CAST(strpos(p_name, 'o') AS INTEGER) AS ins,
-      |  CAST(position('e' IN p_name) AS INTEGER) AS pos2
+      |  CAST(position('e' IN p_name) AS INTEGER) AS pos2,
+      |  '[["Hello","world"],["Nice","day"]]' AS sen
       |FROM part ORDER BY p_partkey""".stripMargin
 
   // ------------------------------------------------------------------- f_try
@@ -1518,6 +1523,8 @@ object FunctionLib {
       // the mid-uniqueness window's exchange it returns '' — so the property
       // is captured here, before any shuffle
       .withColumn("ifn0", input_file_name().endsWith(".parquet"))
+      .withColumn("ibl0", expr("input_file_block_length()") > 0)
+      .withColumn("ibs0", expr("input_file_block_start()") >= 0)
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("mid_uniq",
         (count(lit(1)).over(Window.partitionBy(col("mid"))) === 1).as("mid_uniq"))
@@ -1540,6 +1547,10 @@ object FunctionLib {
         (spark_partition_id() >= 0 && spark_partition_id() < 2048).as("pid"),
         col("ifn0").as("ifn"),
         expr("length(version()) > 0").as("vr"),
+        expr("reflect('java.lang.Math', 'max', n_nationkey, 10)").as("rf"),
+        expr("java_method('java.lang.Math', 'min', n_nationkey, 10)").as("jm"),
+        col("ibl0").as("ibl"),
+        col("ibs0").as("ibs"),
         expr("current_catalog()").as("cc"),
         expr("length(user()) > 0").as("cu"),
         expr("rand() >= 0.0 AND rand() < 1.0").as("rd"),
@@ -1556,6 +1567,9 @@ object FunctionLib {
       |  true AS uu, 36 AS uu36,
       |  true AS mid_nonneg, true AS mid_uniq,
       |  true AS pid, true AS ifn, true AS vr,
+      |  CAST(greatest(n_nationkey, 10) AS STRING) AS rf,
+      |  CAST(least(n_nationkey, 10) AS STRING) AS jm,
+      |  true AS ibl, true AS ibs,
       |  'spark_catalog' AS cc, true AS cu, true AS rd, true AS rn
       |FROM nation ORDER BY n_nationkey""".stripMargin
 

@@ -464,6 +464,37 @@ object Relational {
       |NATURAL JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** j_using — JOIN ... USING (reference joins.slt:504-516, 1806, 2582:
+    * DataFusion merges the USING columns into ONE output column). Distinct
+    * from NATURAL JOIN (j_natural infers the key set; USING names it) and
+    * the semantics trap lives on the OUTER legs: the merged key must be the
+    * COALESCE of the two sides, so a right-only key still materializes in
+    * the full-join output — planted here by restricting the two sides to
+    * overlapping-but-different key ranges (left 5..24, right 0..9). The
+    * multi-column leg pins USING (a, b) resolution. Same text both
+    * engines; joins are aggregate-then-join so both sides are tiny
+    * broadcastable frames regardless of fact scale. */
+  val jUsingSql: String =
+    """WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust
+      |           FROM customer WHERE c_nationkey >= 5 GROUP BY 1),
+      |     s AS (SELECT s_nationkey AS k, count(*) AS n_supp
+      |           FROM supplier WHERE s_nationkey < 10 GROUP BY 1),
+      |     o2 AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+      |             count(*) AS n_all FROM orders GROUP BY 1, 2),
+      |     o3 AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+      |             count(*) AS n_even FROM orders
+      |           WHERE o_orderkey % 2 = 0 GROUP BY 1, 2)
+      |SELECT 'full' AS leg, CAST(k AS STRING) AS k1, '' AS k2,
+      |       n_cust AS a, n_supp AS b
+      |FROM c FULL JOIN s USING (k)
+      |UNION ALL
+      |SELECT 'left', CAST(k AS STRING), '', n_cust, n_supp
+      |FROM c LEFT JOIN s USING (k)
+      |UNION ALL
+      |SELECT 'multi', st, pr, n_all, n_even
+      |FROM o2 JOIN o3 USING (st, pr)
+      |ORDER BY leg, k1, k2""".stripMargin
+
   /** srt_nulls — explicit NULLS FIRST / NULLS LAST ordering (reference
     * window_frame/sort handle null_ordering; sort.slt). This is a real
     * dialect trap: Spark's default is NULLS FIRST for ASC, DuckDB's is
@@ -1751,7 +1782,8 @@ object Relational {
     "w_rank" -> (wRank _), "w_lag_lead" -> (wLagLead _), "w_frames" -> (wFrames _),
     "w_range" -> viaSql(wRangeSql), "w_named" -> viaSql(wNamedSql),
     "w_run_distinct" -> (wRunDistinct _),
-    "j_natural" -> viaSql(jNaturalSql), "srt_nulls" -> viaSql(srtNullsSql),
+    "j_natural" -> viaSql(jNaturalSql), "j_using" -> viaSql(jUsingSql),
+    "srt_nulls" -> viaSql(srtNullsSql),
     "w_qualify" -> (wQualify _),
     "w_ignore_nulls" -> (wIgnoreNulls _), "j_lateral" -> viaSql(jLateralSql),
     "e_session_fn" -> (eSessionFn _), "w_groups" -> (wGroups _),
@@ -1796,7 +1828,8 @@ object Relational {
     "w_rank" -> wRankSql, "w_lag_lead" -> wLagLeadSql, "w_frames" -> wFramesSql,
     "w_range" -> wRangeSql, "w_named" -> wNamedSql,
     "w_run_distinct" -> wRunDistinctSql,
-    "j_natural" -> jNaturalSql, "srt_nulls" -> srtNullsSql,
+    "j_natural" -> jNaturalSql, "j_using" -> jUsingSql,
+    "srt_nulls" -> srtNullsSql,
     "w_qualify" -> wQualifySql,
     "w_ignore_nulls" -> wIgnoreNullsSql, "j_lateral" -> jLateralSql,
     "e_session_fn" -> eSessionFnSql, "w_groups" -> wGroupsSql,

@@ -662,4 +662,32 @@ class RelationalSpec extends SparkSpec {
     assert(entry.toSeq == entry.sortBy(r =>
       (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
   }
+
+  test("j_using: the merged USING key coalesces across a FULL join — " +
+    "right-only keys materialize with a non-null key and a null left " +
+    "payload (reference joins.slt USING column merge)") {
+    val rows = Relational.queries("j_using")(spark, sf).collect()
+    val full = rows.filter(_.getString(0) == "full")
+    // no NULL merged key anywhere on the full leg
+    assert(full.forall(!_.isNullAt(1)))
+    // expected key sets derived from the data (tiny scale factors may not
+    // populate every nationkey), so the pins hold at any sf
+    val lkeys = Tables.t(spark, sf, "customer")
+      .filter(col("c_nationkey") >= 5).select("c_nationkey")
+      .distinct().collect().map(_.getInt(0)).toSet
+    val rkeys = Tables.t(spark, sf, "supplier")
+      .filter(col("s_nationkey") < 10).select("s_nationkey")
+      .distinct().collect().map(_.getInt(0)).toSet
+    val keys = full.map(_.getString(1).toInt).toSet
+    // the merged key is the COALESCE: full output == union of both sides,
+    // left-only keys carry a null right payload and vice versa
+    assert(keys == (lkeys ++ rkeys))
+    assert(full.filter(r => !lkeys.contains(r.getString(1).toInt)).forall(_.isNullAt(3)))
+    assert(full.filter(r => !rkeys.contains(r.getString(1).toInt)).forall(_.isNullAt(4)))
+    // the construction must be non-degenerate: both exclusive sides exist
+    assert((lkeys -- rkeys).nonEmpty && (rkeys -- lkeys).nonEmpty)
+    // left leg: exactly the left keys, right-only keys absent
+    val left = rows.filter(_.getString(0) == "left").map(_.getString(1).toInt)
+    assert(left.toSet == lkeys)
+  }
 }
