@@ -27,7 +27,10 @@ import org.apache.spark.sql.SparkSession
   *    not, so the absolute JOB bar would false-positive here).
   *  - `walls`: CBO off, min-of-N walls per query, one JSON line — the
   *    decade table input. Catalog tables (not temp views) either way, so
-  *    the two modes measure the same scan path.
+  *    the two modes measure the same scan path. A task-metrics listener
+  *    attributes each wall (shuffle/spill bytes, CPU vs run time).
+  *  - `bucket`: walls over orderkey-bucketed copies of both facts — the
+  *    co-location experiment backing the BASELINE r15 class-1 attribution.
   *
   * Env: SPARK_GRAFT_TPCH_REPS (default 2), SPARK_GRAFT_TPCH_FILTER
   * (comma-separated query subset), SPARK_GRAFT_TPCH_PLANS=1 (dump both
@@ -125,25 +128,58 @@ object TpchAudit {
     }
     def settle(): Unit = { System.gc(); Thread.sleep(1000); System.gc() }
 
+    def runWalls(agg: MetricsAgg, sqlOf: String => String): Unit = {
+      val rows = names.map { name =>
+        val sql = sqlOf(name)
+        var best = Double.MaxValue
+        var bestMetrics = ""
+        (1 to reps).foreach { _ =>
+          agg.reset()
+          val (w, r, _) = run(sql, cbo = false)
+          if (r.isEmpty) println(s"[tpchaudit] WARN $name returned zero rows at $dir")
+          settle() // also lets the async listener bus drain before snapshot
+          if (w < best) { best = w; bestMetrics = agg.report }
+        }
+        println(f"[tpchaudit] $name%-4s ${best}%8.2fs (min of $reps)  $bestMetrics")
+        f""""$name":$best%.2f"""
+      }
+      println(s"""[tpchaudit-json] {${rows.mkString(",")}}""")
+    }
+
     mode match {
       case "walls" =>
         val agg = new MetricsAgg
         spark.sparkContext.addSparkListener(agg)
-        val rows = names.map { name =>
-          val sql = operators.Tpch.oracle(name)
-          var best = Double.MaxValue
-          var bestMetrics = ""
-          (1 to reps).foreach { _ =>
-            agg.reset()
-            val (w, r, _) = run(sql, cbo = false)
-            if (r.isEmpty) println(s"[tpchaudit] WARN $name returned zero rows at $dir")
-            settle() // also lets the async listener bus drain before snapshot
-            if (w < best) { best = w; bestMetrics = agg.report }
-          }
-          println(f"[tpchaudit] $name%-4s ${best}%8.2fs (min of $reps)  $bestMetrics")
-          f""""$name":$best%.2f"""
-        }
-        println(s"""[tpchaudit-json] {${rows.mkString(",")}}""")
+        runWalls(agg, operators.Tpch.oracle(_))
+
+      case "bucket" =>
+        // EXPERIMENT MODE (BASELINE r15 "1000× walls" class 1): prove by
+        // measurement that pre-bucketing both facts on the orderkey removes
+        // the fact⋈fact exchange that dominates q9's decade step — the
+        // storage-co-location answer a 100 TB deployment would actually
+        // ship. One-time bucketed write (itself timed — that's the price a
+        // deployment pays once per ingest, not per query), then the
+        // FILTER'd queries run with the fact names re-pointed at the
+        // bucketed tables. Bucket count via SPARK_GRAFT_TPCH_BUCKETS
+        // (default 64 ≈ 1000×'s shuffle width / 4; must match on both
+        // sides for the co-located join).
+        val buckets = sys.env.getOrElse("SPARK_GRAFT_TPCH_BUCKETS", "64").toInt
+        operators.Relational.dropManaged(spark, "graft_lineitem_b")
+        operators.Relational.dropManaged(spark, "graft_orders_fb")
+        val tW = System.nanoTime()
+        spark.table("lineitem").write.format("parquet")
+          .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_lineitem_b")
+        spark.table("orders").write.format("parquet")
+          .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_orders_fb")
+        println(f"[tpchaudit] bucketed fact write ${(System.nanoTime() - tW) / 1e9}%.1fs " +
+          s"($buckets buckets)")
+        val agg = new MetricsAgg
+        spark.sparkContext.addSparkListener(agg)
+        runWalls(agg, name => operators.Tpch.oracle(name)
+          .replaceAll("\\blineitem\\b", "graft_lineitem_b")
+          .replaceAll("\\borders\\b", "graft_orders_fb"))
 
       case _ => // stats: hand (CBO off) vs CBO on, alternated
         var worst = 0.0

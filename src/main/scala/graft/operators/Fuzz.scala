@@ -855,6 +855,52 @@ object Fuzz {
     * placement). LIMIT makes ORDER BY ALL load-bearing (the row-sorting
     * compare would otherwise mask it); the unique key leads the projected
     * list, so the ALL ordering is total and the page deterministic. */
+  /** Divergent-spelling calendar tier (round 15, follows the f_datetime2
+    * gate entry): add_months / months_between / next_day / last_day /
+    * weekofyear / dayofweek swept over random month offsets (±24 — crosses
+    * year and end-of-month clamp boundaries), random weekday targets and
+    * random months_between anchors. The DuckDB side spells each via the
+    * emulations the f_datetime2 oracle proved: single-step to_months
+    * addition (a chained +years+months clamps differently on leap days),
+    * the 31-day fraction with a never-last-day anchor (day 15 — keeps the
+    * both-last-days rule out of reach, so the fraction CASE is total), the
+    * strictly-after next_day CASE over DuckDB's 0=Sunday dayofweek, week()
+    * for ISO weeks, and the +1 Sunday shift. */
+  private def shapeCalendar(r: Random): (String, String) = {
+    val k = r.nextInt(49) - 24
+    val (dname, dnum) = pick(r, Seq(("SUN", 0), ("MON", 1), ("TUE", 2),
+      ("WED", 3), ("THU", 4), ("FRI", 5), ("SAT", 6)))
+    val am = 1 + r.nextInt(12)
+    val anchor = f"1996-$am%02d-15"
+    val lim = 40 + r.nextInt(160)
+    val spark =
+      s"""SELECT o_orderkey,
+         |  add_months(CAST(o_orderdate AS DATE), $k) AS am,
+         |  round(months_between(DATE '$anchor',
+         |        CAST(o_orderdate AS DATE)), 6) AS mb,
+         |  next_day(CAST(o_orderdate AS DATE), '$dname') AS nd,
+         |  last_day(CAST(o_orderdate AS DATE)) AS ld,
+         |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS woy,
+         |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow
+         |FROM orders ORDER BY o_orderkey LIMIT $lim""".stripMargin
+    val duck =
+      s"""SELECT o_orderkey,
+         |  CAST(od + to_months($k) AS DATE) AS am,
+         |  round(CAST((1996 - extract(year FROM od)) * 12
+         |             + ($am - extract(month FROM od)) AS DOUBLE)
+         |        + CASE WHEN extract(day FROM od) = 15 THEN 0.0
+         |               ELSE (15 - extract(day FROM od)) / 31.0 END, 6) AS mb,
+         |  od + CAST(CASE WHEN (($dnum - dayofweek(od)) % 7 + 7) % 7 = 0 THEN 7
+         |                 ELSE (($dnum - dayofweek(od)) % 7 + 7) % 7
+         |            END AS INTEGER) AS nd,
+         |  last_day(od) AS ld,
+         |  CAST(week(od) AS INTEGER) AS woy,
+         |  CAST(dayofweek(od) + 1 AS INTEGER) AS dow
+         |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+         |ORDER BY o_orderkey LIMIT $lim""".stripMargin
+    (spark, duck)
+  }
+
   private def shapeExclude(r: Random, t: T): (String, String) = {
     val key = t.uniqueKey.get
     if (r.nextBoolean()) {
@@ -912,7 +958,7 @@ object Fuzz {
     val keyedDblInt = Seq(orders, customer, part, supplier)
     (0 until n).map { i =>
       var oracle: Option[String] = None
-      val sql = r.nextInt(32) match {
+      val sql = r.nextInt(33) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -947,6 +993,9 @@ object Fuzz {
           Seq(orders, customer, part, lineitem)))
         case 29 => shapeUnpivot(r, pick(r, keyedDblInt))
         case 30 => shapeRecCte(r)
+        case 31 =>
+          val (s, o) = shapeCalendar(r)
+          oracle = Some(o); s
         case _ =>
           val (s, o) = shapeExclude(r, pick(r, keyedDblInt))
           oracle = Some(o); s
