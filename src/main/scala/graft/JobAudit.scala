@@ -71,9 +71,15 @@ object JobAudit {
       spark.stop(); return
     }
     var flipped = 0
+    // per-family task metrics (TpchAudit's attribution discipline): the
+    // snapshot lands after the post-family GC settle, so the async
+    // listener bus has drained
+    val agg = new AuditMetrics
+    spark.sparkContext.addSparkListener(agg)
     val rows = operators.Job.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      agg.reset()
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
       df.write.format("noop").mode("overwrite").save()
@@ -103,7 +109,6 @@ object JobAudit {
       val verdict = if (problems.isEmpty) "ok" else {
         flipped += 1; s"FLIPPED: ${problems.mkString("; ")}"
       }
-      println(f"[jobaudit] $name%-10s $wall%8.2fs  $verdict")
       if (dumpPlans) println(s"[jobaudit-plan] $name:\n$p")
       // release this family's shuffle files (see conf note). Two passes
       // with a settle: the first GC enqueues the weak references, the
@@ -111,6 +116,7 @@ object JobAudit {
       // 20 GB family's files are still on disk when the next family's
       // shuffle starts, and back-to-back heavy families sum past the box.
       System.gc(); Thread.sleep(2000); System.gc(); Thread.sleep(2000)
+      println(f"[jobaudit] $name%-10s $wall%8.2fs  $verdict  ${agg.report}")
       f""""$name":$wall%.2f"""
     }
     println(s"""[jobaudit-json] {${rows.mkString(",")}}""")

@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** TPC-H counterpart of [[JobAudit]] (VERDICT r14 #3/#4): the CBO headline
@@ -39,41 +36,6 @@ import org.apache.spark.sql.SparkSession
   * the spill rule in SURVEY §1).
   */
 object TpchAudit {
-
-  /** Accumulates task-level metrics between resets so a decade wall can be
-    * ATTRIBUTED, not guessed at: a super-linear step between decades reads
-    * either as spill (memory/disk spill bytes go nonzero), as I/O (input
-    * bytes grow faster than CPU time), or as genuine extra work (CPU time
-    * tracks the wall). Listener delivery is async; the walls loop snapshots
-    * after `settle()`'s ≥1 s pause, which bounds the undercount to the
-    * final in-flight events of a finished query (noise at these walls). */
-  private final class MetricsAgg extends SparkListener {
-    val bytesRead = new AtomicLong
-    val shuffleWrite = new AtomicLong
-    val memSpill = new AtomicLong
-    val diskSpill = new AtomicLong
-    val runTimeMs = new AtomicLong
-    val cpuTimeNs = new AtomicLong
-    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) {
-        bytesRead.addAndGet(m.inputMetrics.bytesRead)
-        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        memSpill.addAndGet(m.memoryBytesSpilled)
-        diskSpill.addAndGet(m.diskBytesSpilled)
-        runTimeMs.addAndGet(m.executorRunTime)
-        cpuTimeNs.addAndGet(m.executorCpuTime)
-      }
-    }
-    def reset(): Unit = Seq(bytesRead, shuffleWrite, memSpill, diskSpill,
-      runTimeMs, cpuTimeNs).foreach(_.set(0L))
-    def report: String = {
-      def gb(b: Long): String = f"${b / 1e9}%.1fGB"
-      f"read=${gb(bytesRead.get)} shufW=${gb(shuffleWrite.get)} " +
-        f"spillMem=${gb(memSpill.get)} spillDisk=${gb(diskSpill.get)} " +
-        f"cpu=${cpuTimeNs.get / 1e9}%.0fs run=${runTimeMs.get / 1e3}%.0fs"
-    }
-  }
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -128,7 +90,7 @@ object TpchAudit {
     }
     def settle(): Unit = { System.gc(); Thread.sleep(1000); System.gc() }
 
-    def runWalls(agg: MetricsAgg, sqlOf: String => String): Unit = {
+    def runWalls(agg: AuditMetrics, sqlOf: String => String): Unit = {
       val rows = names.map { name =>
         val sql = sqlOf(name)
         var best = Double.MaxValue
@@ -148,7 +110,7 @@ object TpchAudit {
 
     mode match {
       case "walls" =>
-        val agg = new MetricsAgg
+        val agg = new AuditMetrics
         spark.sparkContext.addSparkListener(agg)
         runWalls(agg, operators.Tpch.oracle(_))
 
@@ -175,7 +137,7 @@ object TpchAudit {
           .saveAsTable("graft_orders_fb")
         println(f"[tpchaudit] bucketed fact write ${(System.nanoTime() - tW) / 1e9}%.1fs " +
           s"($buckets buckets)")
-        val agg = new MetricsAgg
+        val agg = new AuditMetrics
         spark.sparkContext.addSparkListener(agg)
         runWalls(agg, name => operators.Tpch.oracle(name)
           .replaceAll("\\blineitem\\b", "graft_lineitem_b")

@@ -1300,6 +1300,32 @@ object Relational {
     """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** ddl_external — external-location table registration (reference
+    * create_external_table.slt: `CREATE EXTERNAL TABLE ... STORED AS
+    * PARQUET LOCATION` is DataFusion's PRIMARY table path; Spark spells it
+    * `CREATE TABLE ... USING parquet LOCATION`). Registration writes no
+    * data — the schema comes from the parquet footers and the catalog
+    * entry is UNMANAGED, so DROP removes only metadata and the files
+    * survive (RelationalSpec pins tableType=EXTERNAL and post-DROP file
+    * survival). At 100 TB this is the zero-copy on-boarding path: a
+    * catalog table over data in place, eligible for ANALYZE/CBO, without
+    * an ingest rewrite. */
+  def ddlExternal(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_supplier_ext")
+    spark.sql(
+      s"CREATE TABLE graft_supplier_ext USING PARQUET LOCATION '$dir/supplier.parquet'")
+    spark.sql(
+      """SELECT s_nationkey, count(*) AS n_supp,
+        |       round(sum(s_acctbal), 2) AS total_bal
+        |FROM graft_supplier_ext
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  }
+
+  val ddlExternalSql: String =
+    """SELECT s_nationkey, count(*) AS n_supp,
+      |       round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** Clear a stale managed-table location left by a previous JVM (the
     * in-memory catalog forgets tables across sessions but their files
     * remain, and CTAS refuses to overwrite an existing location). */
@@ -1802,6 +1828,7 @@ object Relational {
     "cte_recursive" -> viaSql(cteRecursiveSql),
     "explain_plan" -> (explainPlan _), "explain_analyze" -> (explainAnalyze _),
     "ddl_table" -> (ddlTable _), "ddl_bucketed" -> (ddlBucketed _),
+    "ddl_external" -> (ddlExternal _),
     "ddl_view" -> (ddlView _), "ddl_insert" -> (ddlInsert _),
     "ddl_function" -> (ddlFunction _),
     "ddl_info_schema" -> (ddlInfoSchema _),
@@ -1846,7 +1873,7 @@ object Relational {
     "e_session" -> eSessionSql,
     "values_inline" -> valuesInlineSql, "cte_basic" -> cteBasicSql,
     "cte_recursive" -> cteRecursiveSql, "ddl_table" -> ddlTableSql,
-    "ddl_bucketed" -> ddlBucketedSql,
+    "ddl_bucketed" -> ddlBucketedSql, "ddl_external" -> ddlExternalSql,
     "ddl_view" -> ddlViewSql, "ddl_insert" -> ddlInsertSql,
     "ddl_function" -> ddlFunctionSql,
     "set_config" -> setConfigSql, "ident_norm" -> identNormSql,

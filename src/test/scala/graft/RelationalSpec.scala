@@ -690,4 +690,24 @@ class RelationalSpec extends SparkSpec {
     val left = rows.filter(_.getString(0) == "left").map(_.getString(1).toInt)
     assert(left.toSet == lkeys)
   }
+
+  test("ddl_external: the location-table is UNMANAGED — catalog reports " +
+    "EXTERNAL, registration writes nothing, and DROP leaves the files " +
+    "(reference create_external_table.slt)") {
+    // driver testdata ships single-file tables; scale dirs ship directories
+    def fileCount(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles().length else if (p.exists()) 1 else 0
+    val target = new java.io.File(s"$sf/supplier.parquet")
+    val before = fileCount(target)
+    assert(before > 0)
+    Relational.ddlExternal(spark, sf).collect()
+    val tbl = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_supplier_ext"))
+    assert(tbl.tableType.name == "EXTERNAL")
+    spark.sql("DROP TABLE graft_supplier_ext")
+    val after = fileCount(target)
+    assert(after == before, "DROP of an external table must not touch data files")
+    // and the catalog entry really is gone
+    assert(!spark.catalog.tableExists("graft_supplier_ext"))
+  }
 }
