@@ -12,6 +12,23 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * async; callers snapshot after their GC-settle pause (≥1 s), which
   * bounds the undercount to the final in-flight events of a finished
   * query — noise at audit-scale walls. */
+/** Shared env parsing for the audit mains. */
+private[graft] object AuditEnv {
+  /** Parse "k=v;k=v" conf-injection env vars (SPARK_GRAFT_JOB_CONF /
+    * SPARK_GRAFT_TPCH_CONF). Empty segments (a stray `;;` or trailing
+    * `;`) are skipped; a segment without '=' fails with a message naming
+    * the variable and the bad segment instead of a bare MatchError after
+    * the expensive ANALYZE has already run (review r15). */
+  def applyConfs(spark: org.apache.spark.sql.SparkSession,
+      envVar: String): Unit =
+    sys.env.get(envVar).foreach(_.split(";").map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"$envVar: segment '$kv' is not k=v")
+        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      })
+}
+
 private[graft] final class AuditMetrics extends SparkListener {
   val bytesRead = new AtomicLong
   val shuffleWrite = new AtomicLong

@@ -197,10 +197,7 @@ object JobAudit {
     // SPARK_GRAFT_JOB_CONF="k=v;k=v": arbitrary session confs for the CBO
     // leg — how a single rule (e.g. spark.graft.cbo.measuredDimPlacement)
     // is attributed in an A/B without recompiling
-    sys.env.get("SPARK_GRAFT_JOB_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    AuditEnv.applyConfs(spark, "SPARK_GRAFT_JOB_CONF")
     // SPARK_GRAFT_JOB_STATS_ALL=1 widens the sweep to EVERY family: the 27
     // families without a preserved worst-case FROM run the SHIPPED text on
     // both legs, measuring that enabling CBO session-wide REGRESSES nothing

@@ -54,10 +54,7 @@ object TpchAudit {
     // SPARK_GRAFT_JOB_CONF twin) — how a decade-wall hypothesis (e.g. "the
     // 1000× super-linear step is the broadcast knee") is attributed by
     // experiment without recompiling
-    sys.env.get("SPARK_GRAFT_TPCH_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    AuditEnv.applyConfs(spark, "SPARK_GRAFT_TPCH_CONF")
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_TPCH_MODE", "stats")
     val reps = sys.env.get("SPARK_GRAFT_TPCH_REPS").map(_.toInt).getOrElse(2)

@@ -152,12 +152,18 @@ object ResidualJoinPlacement extends Rule[LogicalPlan]
 object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
 
   val flag = "spark.graft.cbo.measuredDimPlacement"
-  /** Tables larger than this are never measured (a fact-table count at
-    * plan time would cost more than it saves). Dim-sized by default. */
+  /** Tables larger than this (32g default) are never measured — the bound
+    * that excludes FACTS from measurement entirely; it is deliberately far
+    * above dim size because the sampling bound below, not this one, is
+    * what keeps plan time flat. */
   val maxTableBytesKey = "spark.graft.cbo.measure.maxTableBytes"
-  /** Above this size the measurement uses TABLESAMPLE (1 PERCENT) ×100 —
-    * a selectivity estimate, not an exact count, which is all the
-    * broadcast decision needs. */
+  /** Above this size (256m default) the measurement uses TABLESAMPLE
+    * (1 PERCENT) ×100 — a selectivity estimate, not an exact count, which
+    * is all the broadcast decision needs. The default is small on purpose:
+    * first sight of a novel pattern predicate runs SYNCHRONOUSLY inside
+    * the optimizer, so an un-sampled count must stay dim-cheap — review
+    * r15 flagged the old 4g default as a plan-time stall on a cold ~4 GB
+    * table (the 1% sample reads ~none of it instead). */
   val sampleAboveBytesKey = "spark.graft.cbo.measure.sampleAboveBytes"
 
   /** Guards against a measurement query re-entering the rule (its plan is
@@ -254,14 +260,18 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
 
   /** ndv ≥ 0.9 × rowCount on the join key → the key is (near-)unique and
     * the sunk join cannot multiply the fact side. Requires ANALYZE'd
-    * column stats — absent stats means no rewrite, the safe default. */
-  private def nearUniqueOn(rel: LogicalRelation,
+    * column stats — absent stats means no rewrite, the safe default.
+    * Lookup is by exprId ONLY: a pass-through projection keeps the base
+    * column's exprId so the hit is exact, while an ALIASED/derived key
+    * carries a fresh exprId — a name fallback there would let
+    * `SELECT p_size AS p_partkey` borrow the real p_partkey's uniqueness
+    * and sink a fanning join (review r15), so a miss means no rewrite. */
+  private[graft] def nearUniqueOn(rel: LogicalRelation,
       key: AttributeReference): Boolean = {
     val st = rel.stats
     (for {
       rows <- st.rowCount
-      colStat <- st.attributeStats.find(_._1.exprId == key.exprId)
-        .orElse(st.attributeStats.find(_._1.name == key.name)).map(_._2)
+      colStat <- st.attributeStats.find(_._1.exprId == key.exprId).map(_._2)
       ndv <- colStat.distinctCount
     } yield rows > 0 && ndv * 10 >= rows * 9).getOrElse(false)
   }
@@ -284,7 +294,7 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
       val predSql = pred.transform {
         case a: AttributeReference => a.withQualifier(Nil)
       }.sql
-      val sampled = st.sizeInBytes > maxBytes(sampleAboveBytesKey, "4g")
+      val sampled = st.sizeInBytes > maxBytes(sampleAboveBytesKey, "256m")
       val key = s"$tbl|$predSql|${st.sizeInBytes}|${st.rowCount}|$sampled"
       val perSession = cache.synchronized {
         var m = cache.get(spark)

@@ -919,7 +919,11 @@ object Fuzz {
       // (r.nextBoolean() still consumed so shape content is spelling-free)
       val spelling = { r.nextBoolean(); "EXCLUDE" }
       val desc = r.nextBoolean()
-      val dir = if (desc) "DESC" else ""
+      // DuckDB's default null order is direction-independent (NULLS LAST
+      // even under DESC), while the desugar follows the reference's DESC
+      // NULLS FIRST — spell the placement on the DuckDB side so the pair
+      // stays value-aligned the day a swept column is nullable
+      val dir = if (desc) "DESC NULLS FIRST" else ""
       val sparkDir = if (desc) "DESC NULLS FIRST" else "ASC NULLS LAST"
       val lim = 3 + r.nextInt(9)
       val oracle =

@@ -1767,10 +1767,15 @@ object Relational {
     * sqllogictest/test_files/order.slt:1383-1415, DuckDB-dialect): sort by
     * every projected column left-to-right. Spark SQL has no ALL sort key,
     * so the user surface is this desugaring over the frame's declared
-    * column list. Null placement follows the reference engine's defaults
-    * (ASC NULLS LAST / DESC NULLS FIRST — DataFusion and DuckDB agree),
-    * NOT Spark's ASC NULLS FIRST default, so the same data sorts
-    * identically in both engines. Plans as one global sort — at scale a
+    * column list. Null placement follows the REFERENCE engine's defaults
+    * (ASC NULLS LAST / DESC NULLS FIRST — order.slt:704,1297 show
+    * DataFusion's DESC default is NULLS FIRST), NOT Spark's ASC NULLS
+    * FIRST default. DIALECT SPLIT (review r15): DuckDB's null order is
+    * direction-INDEPENDENT (always NULLS LAST by default), so a DuckDB
+    * oracle for the DESC variant must spell `NULLS FIRST` explicitly
+    * (`ORDER BY ALL DESC NULLS FIRST` — DuckDB accepts the modifier on
+    * ALL; the fuzz tier does exactly this). On ASC the three engines'
+    * placements coincide. Plans as one global sort — at scale a
     * range-partitioned TakeOrdered/Sort, same shape as any ORDER BY. */
   def orderByAll(df: DataFrame, descending: Boolean = false): DataFrame =
     df.orderBy(df.columns.map(c =>

@@ -225,6 +225,14 @@ class FunctionLibSpec extends SparkSpec {
       expr("next_day(DATE '1995-03-13', 'TUE')").as("ndsame"),
       expr("months_between(DATE '1996-06-15', DATE '1996-05-14')").as("mbfrac"),
       expr("months_between(DATE '1996-06-15', DATE '1996-05-15')").as("mbint"),
+      // the BOTH-LAST-DAYS rule (untouched by the oracle/fuzz sweeps,
+      // which pin the anchor to day 15 precisely to keep it out of reach):
+      // Feb-29 and Jan-31 are both month-ends -> exactly 1.0, no fraction
+      expr("months_between(DATE '1996-02-29', DATE '1996-01-31')").as("mblast"),
+      // ...but only when BOTH are last days: Apr-30 vs Mar-31 = 1.0, while
+      // Apr-30 vs Mar-30 (day match) is also 1.0 and Apr-29 vs Mar-31
+      // falls back to the 31-day fraction
+      expr("months_between(DATE '1996-04-29', DATE '1996-03-31')").as("mbmix"),
       expr("weekday(DATE '2021-06-07')").as("wdmon")) // a Monday
       .collect().head
     assert(r.getAs[java.sql.Date]("clamp").toString == "1995-02-28")
@@ -234,6 +242,8 @@ class FunctionLibSpec extends SparkSpec {
     assert(r.getAs[java.sql.Date]("ndsame").toString == "1995-03-14")
     assert(math.abs(r.getAs[Double]("mbfrac") - (1.0 + 1.0 / 31.0)) < 1e-8)
     assert(r.getAs[Double]("mbint") == 1.0)
+    assert(r.getAs[Double]("mblast") == 1.0)
+    assert(math.abs(r.getAs[Double]("mbmix") - (1.0 + (29.0 - 31.0) / 31.0)) < 1e-6)
     assert(r.getAs[Int]("wdmon") == 0)
   }
 

@@ -127,6 +127,31 @@ class MeasuredDimPlacementSpec extends SparkSpec {
     }
   }
 
+  test("near-unique gate matches column stats by exprId only — an ALIASED " +
+    "key (fresh exprId, borrowed name) must not inherit the real column's " +
+    "uniqueness (review r15). Unit-level because the alias paths that " +
+    "reach the rule in SQL also carry a cast, which bails earlier") {
+    withCbo {
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      import org.apache.spark.sql.types.LongType
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val rel = spark.table("part").queryExecution.optimizedPlan
+        .collectFirst { case r: LogicalRelation => r }.get
+      val real = rel.output.collectFirst {
+        case a: AttributeReference if a.name == "p_partkey" => a
+      }.get
+      // the genuine unique key, looked up by its own exprId: passes
+      assert(MeasuredDimPlacement.nearUniqueOn(rel, real),
+        "ANALYZE'd p_partkey should read as near-unique")
+      // same NAME, fresh exprId — exactly what `p_size AS p_partkey`
+      // produces; a name-based fallback would return true here
+      val impostor = AttributeReference("p_partkey", LongType)()
+      assert(!MeasuredDimPlacement.nearUniqueOn(rel, impostor),
+        "an aliased key must not borrow uniqueness by name")
+    }
+  }
+
   test("rule on vs off: identical results (reassociation + a strategy " +
     "hint change nothing but the plan)") {
     withCbo {

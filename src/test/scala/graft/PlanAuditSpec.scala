@@ -1215,15 +1215,25 @@ class PlanAuditSpec extends SparkSpec {
     // windows (the r14 bench tail carried Similarity.centroidsOn's WARN
     // through every IVF-family entry; its ≤cells-row model seed is now
     // summaryKey'd like the Pipeline bucket summaries)
+    // an entry that cannot even CONSTRUCT is collected and failed loudly —
+    // a swallowed Throwable here would silently exclude the entry from the
+    // audit, letting the WARN this test forbids ship inside it (review
+    // r15; probed: zero entries throw at sf0.001 today, so any name below
+    // is a regression, not an environment quirk)
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val windows =
           try unpartitioned(fn(spark, sf))
-          catch { case _: Throwable => Nil } // side-effecting entries that
-          // need scratch dirs fail fast here; their plans are audited by
-          // their own suites
+          catch { case e: Throwable =>
+            failures += s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}"
+            Nil
+          }
         windows.map(w => s"$name: $w")
     }
+    assert(failures.isEmpty,
+      s"entries excluded from the window audit by construction failure:\n" +
+        failures.mkString("\n"))
     assert(offenders.isEmpty,
       s"unpartitioned windows in registry plans:\n${offenders.mkString("\n")}")
   }
