@@ -82,6 +82,23 @@ class FunctionLibSpec extends SparkSpec {
         s"round-trip true for only $rtTrue/$n events")
       assert(e.filter(col("kolkata_wall").isNull).count() == 0)
     } finally e.unpersist()
+    // convert_timezone (reference convert_timezone.slt — the 3-arg NTZ
+    // form): re-interprets an NTZ wall-clock from source to target zone;
+    // must agree with the from_utc/to_utc composition on the same instants
+    val cz = Seq("x").toDF("x").select(
+      expr("convert_timezone('UTC', 'America/New_York', " +
+        "TIMESTAMP_NTZ '2021-06-01 00:00:00')").cast("string").as("ny"),
+      expr("convert_timezone('Asia/Kolkata', 'UTC', " +
+        "TIMESTAMP_NTZ '2021-06-01 05:30:00')").cast("string").as("fromK"),
+      // 2-arg form: source defaults to the session zone (UTC here)
+      expr("convert_timezone('Europe/Berlin', " +
+        "TIMESTAMP_NTZ '2021-03-28 00:30:00')").cast("string").as("gap"))
+      .collect().head
+    assert(cz.getAs[String]("ny") == "2021-05-31 20:00:00")
+    assert(cz.getAs[String]("fromK") == "2021-06-01 00:00:00")
+    // EU spring-forward: 00:30 UTC = 01:30 CET pre-gap... the transition
+    // fires at 01:00 UTC, so this instant is still +1
+    assert(cz.getAs[String]("gap") == "2021-03-28 01:30:00")
   }
 
   test("sha1/sha2-224/384/512 match java.security.MessageDigest; crc32 matches zlib") {
