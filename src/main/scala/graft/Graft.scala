@@ -204,7 +204,8 @@ object Graft extends org.apache.spark.internal.Logging {
     * `spark.sql.cbo.joinReorder.enabled`, so installing them here is inert
     * for non-CBO sessions sharing the JVM. */
   def installResidualPlacement(spark: SparkSession): Unit =
-    Seq(functions.MeasuredDimPlacement, functions.ResidualJoinPlacement)
+    Seq(functions.MeasuredDimPlacement, functions.ResidualJoinPlacement,
+      functions.FactMergeGuard)
       .foreach { rule =>
         if (!spark.experimental.extraOptimizations.contains(rule))
           spark.experimental.extraOptimizations =

@@ -116,25 +116,44 @@ object ScaleGen {
       .repartitionByRange(cpus.toInt * 4, $"o_orderkey")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
 
-    val nLines = 4L * nOrders
+    // Lines-per-order is LONG-TAILED, calibrated to the driver testdata
+    // (round 16, VERDICT r15 #3): the old fixed 4-lines × qty ≤ 50 shape
+    // capped every order's quantity sum at 200, so TPC-H q18's `sum > 300`
+    // gate matched ZERO orders at every multiplier and the decade walls
+    // timed a join with an empty build side. Base uniform 1–7 (mean 4)
+    // plus a 0.8% tail of +5–10 extra lines reproduces the driver data's
+    // profile (measured at sf0.1: mean 4.08, max 17, 0.32% of orders
+    // clear the q18 gate; this recipe simulates to 0.36% / mean 4.06 /
+    // max 17). flatMap keeps generation distributed; per-line hash
+    // streams key off okey*32+line (lines ≤ 18 < 32) so values stay
+    // deterministic per (order, line) independent of the global row
+    // numbering the fixed-4 layout used.
     val rflags = Array("R", "A", "N")
-    spark.range(nLines).mapPartitions(_.map { id =>
-      val okey = id / 4
-      (okey, (mix(id + 67) & 0x7FFFFFFF) % (20000L * mult),
-        (mix(id + 71) & 0x7FFFFFFF) % (1000L * mult),
-        (id % 4).toInt + 1,
-        1.0 + ((mix(id + 73) & 0x7FFFFFFF) % 50).toDouble,
-        math.rint((900.0 + uniform(id * 13 + 5) * 104100.0) * 100.0) / 100.0,
-        math.rint(uniform(id * 17 + 6) * 10.0) / 100.0,
-        math.rint(uniform(id * 19 + 7) * 8.0) / 100.0,
-        rflags((mix(id + 79) & 0x7FFFFFFF).toInt % 3),
-        if ((mix(id + 83) & 1L) == 0L) "O" else "F",
-        new java.sql.Timestamp(o0 + (uniform(id * 23 + 8) * oSpanMs).toLong))
+    spark.range(nOrders).mapPartitions(_.flatMap { okey =>
+      val base = 1 + ((mix(okey + 131) & 0x7FFFFFFF) % 7).toInt
+      val nl =
+        if ((mix(okey + 137) & 0x7FFFFFFF) % 1000 < 8)
+          base + 5 + ((mix(okey + 139) & 0x7FFFFFFF) % 6).toInt
+        else base
+      (0 until nl).iterator.map { i =>
+        val id = okey * 32 + i
+        (okey, (mix(id + 67) & 0x7FFFFFFF) % (20000L * mult),
+          (mix(id + 71) & 0x7FFFFFFF) % (1000L * mult),
+          i + 1,
+          1.0 + ((mix(id + 73) & 0x7FFFFFFF) % 50).toDouble,
+          math.rint((900.0 + uniform(id * 13 + 5) * 104100.0) * 100.0) / 100.0,
+          math.rint(uniform(id * 17 + 6) * 10.0) / 100.0,
+          math.rint(uniform(id * 19 + 7) * 8.0) / 100.0,
+          rflags((mix(id + 79) & 0x7FFFFFFF).toInt % 3),
+          if ((mix(id + 83) & 1L) == 0L) "O" else "F",
+          new java.sql.Timestamp(o0 + (uniform(id * 23 + 8) * oSpanMs).toLong))
+      }
     }).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
       .repartitionByRange(cpus.toInt * 4, $"l_orderkey")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+    val nLines = spark.read.parquet(s"$outDir/lineitem.parquet").count()
 
     // DIM tables (round 12 — VERDICT r11 #2): customer/supplier/part/
     // nation/region with the testdata's value domains (names, brands,

@@ -125,27 +125,41 @@ object TpchAudit {
 
       case "bucket" =>
         // EXPERIMENT MODE (BASELINE r15 "1000× walls" class 1): prove by
-        // measurement that pre-bucketing both facts on the orderkey removes
-        // the fact⋈fact exchange that dominates q9's decade step — the
+        // measurement that pre-bucketing co-located facts removes the
+        // fact⋈fact exchange that dominates the decade steps — the
         // storage-co-location answer a 100 TB deployment would actually
         // ship. One-time bucketed write (itself timed — that's the price a
         // deployment pays once per ingest, not per query), then the
         // FILTER'd queries run with the fact names re-pointed at the
         // bucketed tables. Bucket count via SPARK_GRAFT_TPCH_BUCKETS
         // (default 64 ≈ 1000×'s shuffle width / 4; must match on both
-        // sides for the co-located join).
+        // sides for the co-located join). SPARK_GRAFT_TPCH_BUCKET_KEY
+        // picks WHICH key storage co-locates (VERDICT r15 #4 — a table
+        // bucketed on one key keeps its other exchanges on any cluster):
+        //  - `orderkey` (default): lineitem + orders on the orderkey —
+        //    the q12-class experiment (BASELINE r15);
+        //  - `partkey`: lineitem + part on the partkey — q9's DOMINANT
+        //    exchange (19.2 GB at 1000×), accepting the orderkey
+        //    exchange back.
         val buckets = sys.env.getOrElse("SPARK_GRAFT_TPCH_BUCKETS", "64").toInt
-        operators.Relational.dropManaged(spark, "graft_lineitem_b")
-        operators.Relational.dropManaged(spark, "graft_orders_fb")
+        val bKey = sys.env.getOrElse("SPARK_GRAFT_TPCH_BUCKET_KEY", "orderkey")
+        val (sideA, keyA, sideB, keyB) = bKey match {
+          case "orderkey" => ("lineitem", "l_orderkey", "orders", "o_orderkey")
+          case "partkey" => ("lineitem", "l_partkey", "part", "p_partkey")
+          case other => sys.error(s"unknown SPARK_GRAFT_TPCH_BUCKET_KEY: " +
+            s"$other (orderkey|partkey)")
+        }
+        operators.Relational.dropManaged(spark, s"graft_${sideA}_b")
+        operators.Relational.dropManaged(spark, s"graft_${sideB}_fb")
         val tW = System.nanoTime()
-        spark.table("lineitem").write.format("parquet")
-          .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable("graft_lineitem_b")
-        spark.table("orders").write.format("parquet")
-          .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable("graft_orders_fb")
+        spark.table(sideA).write.format("parquet")
+          .bucketBy(buckets, keyA).sortBy(keyA)
+          .saveAsTable(s"graft_${sideA}_b")
+        spark.table(sideB).write.format("parquet")
+          .bucketBy(buckets, keyB).sortBy(keyB)
+          .saveAsTable(s"graft_${sideB}_fb")
         println(f"[tpchaudit] bucketed fact write ${(System.nanoTime() - tW) / 1e9}%.1fs " +
-          s"($buckets buckets)")
+          s"($buckets buckets on $bKey)")
         // re-point the fact NAMES via temp views (a temp view outranks the
         // same-named catalog table at resolution), not by regex-editing the
         // SQL text — a word-boundary replaceAll would silently rewrite any
@@ -153,16 +167,16 @@ object TpchAudit {
         // alias into a wrong query (ADVICE r15). The view is a bare
         // SELECT *, so the bucketed scan's output partitioning flows
         // through and the co-located join still elides its exchange.
-        spark.sql("CREATE OR REPLACE TEMP VIEW lineitem AS " +
-          "SELECT * FROM graft_lineitem_b")
-        spark.sql("CREATE OR REPLACE TEMP VIEW orders AS " +
-          "SELECT * FROM graft_orders_fb")
+        spark.sql(s"CREATE OR REPLACE TEMP VIEW $sideA AS " +
+          s"SELECT * FROM graft_${sideA}_b")
+        spark.sql(s"CREATE OR REPLACE TEMP VIEW $sideB AS " +
+          s"SELECT * FROM graft_${sideB}_fb")
         val agg = new AuditMetrics
         spark.sparkContext.addSparkListener(agg)
         try runWalls(agg, operators.Tpch.oracle(_))
         finally {
-          spark.catalog.dropTempView("lineitem")
-          spark.catalog.dropTempView("orders")
+          spark.catalog.dropTempView(sideA)
+          spark.catalog.dropTempView(sideB)
         }
 
       case _ => // stats: hand (CBO off) vs CBO on, alternated

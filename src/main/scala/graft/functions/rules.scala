@@ -165,6 +165,18 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
     * r15 flagged the old 4g default as a plan-time stall on a cold ~4 GB
     * table (the 1% sample reads ~none of it instead). */
   val sampleAboveBytesKey = "spark.graft.cbo.measure.sampleAboveBytes"
+  /** Round-16 (VERDICT r15 #2): the rule also re-checks ESTIMABLE dim legs
+    * whose post-filter ESTIMATE lands within this factor ABOVE the
+    * broadcast threshold (default 4×). The class-2 decade finding (q19/q16
+    * at 1000×): a disjunctive-but-estimable predicate's estimate lands
+    * just over the knee, the static planner exchanges a multi-GB fact,
+    * and AQE flips the join back to broadcast at runtime — proof the TRUE
+    * build fit all along, but the exchange is already materialized. A
+    * measured count at plan time is the static-side version of AQE's
+    * runtime evidence. Estimates far above the threshold are not
+    * re-checked: measurement only pays for itself where the estimate is
+    * within error of the decision boundary. */
+  val kneeFactorKey = "spark.graft.cbo.measure.kneeFactor"
 
   /** Guards against a measurement query re-entering the rule (its plan is
     * joinless so it cannot match, but the guard makes that a non-issue). */
@@ -192,23 +204,47 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
   private val bcastRight = JoinHint(None, Some(HintInfo(Some(BROADCAST))))
 
   private def place(j: Join, host: LogicalPlan, mover: LogicalPlan,
-      moverIsRight: Boolean): Option[LogicalPlan] =
+      moverIsRight: Boolean): Option[LogicalPlan] = {
+    val cond = j.condition.get
+    def hintInPlace: LogicalPlan =
+      if (moverIsRight) j.copy(hint = bcastRight)
+      else j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
     for {
       (pred, rel) <- dimLeg(mover)
-      if hasUnestimablePattern(pred)
-      cond = j.condition.get
-      if spanningConjunctsAllEqui(j, cond)
+      if hasUnestimablePattern(pred) || nearKnee(mover)
       key <- moverJoinKey(cond, mover, host)
       if nearUniqueOn(rel, key)
       rows <- measure(rel, pred)
-      bytes = rows * avgRowBytes(rel)
+      bytes = rows * rowBytes(mover, rel)
       if bytes >= 0 && bytes <= conf.autoBroadcastJoinThreshold
-    } yield sinkHinted(host, mover, cond)
-      .map(rebuilt => Project(j.output, rebuilt))
-      .getOrElse { // already lowest: broadcast in place, keep sides as-is
-        if (moverIsRight) j.copy(hint = bcastRight)
-        else j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
-      }
+    } yield {
+      if (spanningConjunctsAllEqui(j, cond))
+        sinkHinted(host, mover, cond)
+          .map(rebuilt => Project(j.output, rebuilt))
+          .getOrElse(hintInPlace) // already lowest: broadcast in place
+      else
+        // spanning NON-equi residuals alongside the equality (q19's
+        // brand×size×quantity disjunction): PLACEMENT is
+        // ResidualJoinPlacement's lane — here only the join STRATEGY is
+        // hinted in place; BroadcastHashJoin keeps the residual as its
+        // join filter, so semantics are untouched
+        hintInPlace
+    }
+  }
+
+  /** Post-filter estimate within (threshold, kneeFactor × threshold] —
+    * close enough to the broadcast decision boundary that estimation
+    * error plausibly flipped it; worth one measured count. */
+  private def nearKnee(mover: LogicalPlan): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    t > 0 && {
+      val factor =
+        try conf.getConfString(kneeFactorKey, "4").toDouble
+        catch { case scala.util.control.NonFatal(_) => 4.0 }
+      val est = mover.stats.sizeInBytes
+      est > t && est <= BigInt((t * factor).toLong)
+    }
+  }
 
   /** Projects over a Filter over a single catalog relation — the dim-leg
     * shape pushdown leaves behind. */
@@ -282,6 +318,18 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
       .map(rc => (st.sizeInBytes / rc).toLong.max(1L)).getOrElse(Long.MaxValue)
   }
 
+  /** Per-row bytes of the leg's PROJECTED output (what the broadcast
+    * build actually carries), not the full table width — the full-width
+    * form rejected q19-style hints whose pruned build fits with room to
+    * spare (round 16). Falls back to full width when column stats are
+    * unusable — conservative: over-estimating only suppresses a hint. */
+  private def rowBytes(mover: LogicalPlan, rel: LogicalRelation): Long =
+    try {
+      org.apache.spark.sql.catalyst.plans.logical.statsEstimation
+        .EstimationUtils.getSizePerRow(mover.output, rel.stats.attributeStats)
+        .toLong
+    } catch { case scala.util.control.NonFatal(_) => avgRowBytes(rel) }
+
   /** Run (or recall) the COUNT of the filtered dim. Any failure — the
     * predicate not round-tripping through SQL text, a dropped table, a
     * missing session — returns None and the plan is left alone.
@@ -347,6 +395,153 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
   private def sinkHinted(host: LogicalPlan, mover: LogicalPlan,
       cond: Expression): Option[LogicalPlan] =
     sinkInto(host, mover, cond, bcastRight)
+}
+
+/** Post-join-reorder LINEARIZATION of bushy bare-fact merges — the
+  * round-15 job_19a finding (BASELINE.md r15/r16): Spark's cost-based DP,
+  * costing a multi-role fact web from multi-key ndv products, can join two
+  * BARE fact roles directly (job_19a: the unfiltered single-column l1
+  * lineitem role sort-merged against the weakly-filtered l2 role — 60M ⋈
+  * 13M on the orderkey at 100×) BEFORE that bushy product ever meets the
+  * reduced orders⋈customer spine, paying a full bare-fact exchange the
+  * hand-ordered left-deep tree never pays. (The reference's planner costs
+  * filtered cardinalities into its reorder and picks the left-deep thread
+  * here — /root/reference/datafusion/optimizer/src/join_reorder lineage;
+  * Spark's JoinEstimation under-costs the bushy merge.)
+  *
+  * The rewrite is pure inner-join reassociation (the ResidualJoinPlacement
+  * correctness argument: globally-unique exprIds, every conjunct keeps its
+  * references in scope, multiset result unchanged at any data): for
+  * `spine ⋈ (B ⋈ C)` where B and C are both BARE roles of the SAME
+  * catalog fact table (Project/Filter chains over one relation, each
+  * above the fact floor), re-thread as `(spine ⋈ keep) ⋈ mover` with
+  * mover = the larger role — each role now meets the spine before meeting
+  * its sibling, the hand text's shape. Fires only when every multi-side
+  * conjunct is a bare attribute equality (a pure equi web — a spanning
+  * non-equi residual is ResidualJoinPlacement's case) and both
+  * re-threaded joins keep a hashable spanning equality. The bare-leg
+  * requirement is also the termination proof: after one application the
+  * inner join's spine side contains a Join, so neither new node can
+  * match again.
+  *
+  * Registered by [[graft.Graft.installResidualPlacement]] in the
+  * post-reorder slot, gated on the join-reorder conf + its own kill
+  * switch like its siblings. */
+object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
+
+  val flag = "spark.graft.cbo.factMergeGuard"
+  /** Tables above this size count as facts whose bushy self-merge is
+    * worth linearizing. The default (16g) is a measured knee, not a
+    * guess (BASELINE.md r16): at a 6.3 GB fact (100×) the linear thread
+    * measured 1.12× of the bushy plan (the product exchange is still
+    * cheap; the extra SMJ sort steps dominate), at a 63 GB fact (1000×)
+    * it measured 0.85× (the 10×-bigger product exchange dominates, and
+    * the family flips from 1.05× to 0.94× of hand-ordered). 16g sits
+    * between the two measured decades — re-bisect per deployment like
+    * the 32 MB broadcast knee. */
+  val factFloorKey = "spark.graft.cbo.factFloorBytes"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled(flag)) plan
+    else plan.transformDown {
+      case j @ Join(l, r, Inner, Some(cond), JoinHint.NONE)
+          if cond.deterministic =>
+        linearize(j, l, r, cond).orElse(linearize(j, r, l, cond)).getOrElse(j)
+    }
+
+  /** Project/Filter chain over a single relation — a bare fact ROLE, not a
+    * joined subtree. */
+  private def bareLeg(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case Project(_, ch) => bareLeg(ch)
+    case Filter(c, ch) if c.deterministic => bareLeg(ch)
+    case r: LogicalRelation => Some(r)
+    case _ => None
+  }
+
+  private def isBareEquality(e: Expression): Boolean = e match {
+    case EqualTo(_: AttributeReference, _: AttributeReference) => true
+    case EqualNullSafe(_: AttributeReference, _: AttributeReference) => true
+    case _ => false
+  }
+
+  private def linearize(j: Join, spine: LogicalPlan, bushy: LogicalPlan,
+      cond: Expression): Option[LogicalPlan] = bushy match {
+    case Join(b, c, Inner, Some(bc), JoinHint.NONE) if bc.deterministic =>
+      val floor = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        conf.getConfString(factFloorKey, "16g"))
+      val conjs = splitConjunctivePredicates(cond) ++
+        splitConjunctivePredicates(bc)
+      val groups = Seq(spine.outputSet, b.outputSet, c.outputSet)
+      def multiSide(e: Expression): Boolean =
+        groups.count(g => e.references.intersect(g).nonEmpty) > 1
+      // the floor tests the UNDERLYING TABLE, not the filtered leg
+      // estimate: a weakly-filtered role of a multi-GB fact is still a
+      // fact role (job_19a's l2 leg estimates 222 MB at 100× — under any
+      // sensible floor — while its table is 6.3 GB)
+      val sameFactTable = (for {
+        relB <- bareLeg(b); relC <- bareLeg(c)
+        idB <- relB.catalogTable.map(_.identifier)
+        idC <- relC.catalogTable.map(_.identifier)
+      } yield idB == idC &&
+        relB.stats.sizeInBytes > floor).getOrElse(false)
+      if (!sameFactTable ||
+        !conjs.forall(e => !multiSide(e) || isBareEquality(e))) return None
+
+      /** Re-thread with `keep` joined to the spine and the other leg on
+        * top; None when either re-threaded join would lose its hashable
+        * spanning equality (never trade a bushy merge for a nested
+        * loop). Returns the candidate tree plus the DP's OWN estimate of
+        * the new inner intermediate. */
+      def candidate(keep: LogicalPlan, mover: LogicalPlan)
+          : Option[(LogicalPlan, BigInt)] = {
+        val (innerConds, topConds) = conjs.partition(
+          _.references.subsetOf(spine.outputSet ++ keep.outputSet))
+        for {
+          _ <- Some(())
+          if innerConds.exists(e => isBareEquality(e) &&
+            e.references.intersect(spine.outputSet).nonEmpty &&
+            e.references.intersect(keep.outputSet).nonEmpty)
+          if topConds.exists(e => isBareEquality(e) &&
+            e.references.intersect(mover.outputSet).nonEmpty &&
+            (e.references -- mover.outputSet).nonEmpty)
+          innerCond <- innerConds.reduceOption(
+            org.apache.spark.sql.catalyst.expressions.And(_, _))
+          topCond <- topConds.reduceOption(
+            org.apache.spark.sql.catalyst.expressions.And(_, _))
+        } yield {
+          val inner = Join(spine, keep, Inner, Some(innerCond), JoinHint.NONE)
+          (Project(j.output,
+            Join(inner, mover, Inner, Some(topCond), JoinHint.NONE)),
+            inner.stats.sizeInBytes)
+        }
+      }
+      // NOT gated on estimates: an estimate-margin gate here is provably
+      // circular (the round-14 ResidualCoreSink lesson, re-measured round
+      // 16 — JoinEstimation prices the bushy self-merge at 1.4 GB and the
+      // spine thread at 2.9 GB on job_19a, i.e. the same under-costing
+      // that produced the bushy tree also vetoes its repair). The
+      // justification is STRUCTURAL: the two roles are exchanged on the
+      // hub key once each in EITHER shape, but the bushy form then
+      // re-exchanges BOTH multi-GB intermediates on the merged multi-key
+      // combination before meeting the spine (job_19a's physical plan:
+      // `Exchange hashpartitioning(l_orderkey, l_orderkey, o_orderkey,
+      // o_orderkey)` on both sides), while the linear thread reuses the
+      // spine's single-key partitioning end-to-end — strictly fewer
+      // exchanged bytes at any cardinality. Mover = the larger role, so
+      // the unreduced one attaches last (the hand-text discipline).
+      val cands = Seq(
+        if (b.stats.sizeInBytes >= c.stats.sizeInBytes) candidate(c, b)
+        else candidate(b, c),
+        if (b.stats.sizeInBytes >= c.stats.sizeInBytes) candidate(b, c)
+        else candidate(c, b)).flatten
+      cands.headOption.map { case (tree, innerEst) =>
+        logInfo(s"graft.FactMergeGuard: linearized a bushy same-fact " +
+          s"role merge (bushy est ${bushy.stats.sizeInBytes}B, inner est " +
+          s"${innerEst}B; legs ${b.stats.sizeInBytes}B/${c.stats.sizeInBytes}B)")
+        tree
+      }
+    case _ => None
+  }
 }
 
 /** Shared machinery: splice `Join(S, mover, cond)` at the lowest

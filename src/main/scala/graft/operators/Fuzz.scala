@@ -949,6 +949,37 @@ object Fuzz {
     }
   }
 
+  /** Pattern-gated dim joins (round 16, VERDICT r15 #8): a LIKE / NOT
+    * LIKE-gated dim joined to the fact — the geometry the
+    * measured-placement optimizer lane rewrites (MeasuredDimPlacement's
+    * sink/hint, and FilterEstimation's no-selectivity blind spot) — plus,
+    * half the time, a SECOND role of the same fact on the hub key (the
+    * FactMergeGuard linearization geometry). The texts are fully
+    * ANSI-portable, so the tier runs in BOTH legs: the DuckDB
+    * differential proves any rewritten plan still returns the portable
+    * answer, and FuzzSpec's CBO-differential leg (which picks up every
+    * join-bearing shape) proves rule-ON ≡ rule-OFF row identity over
+    * ANALYZE'd catalog tables. */
+  private def shapePatternDimJoin(r: Random): String = {
+    // patterns built from substrings of the shared part vocabulary so a
+    // healthy fraction of rows match (p_type: ECONOMY/PROMO/STANDARD…,
+    // p_name: "adj noun" off the adjective/noun lists)
+    val (dimCol, pat) = pick(r, Seq(
+      ("p.p_type", "'%OM%'"), ("p.p_type", "'PRO%'"), ("p.p_type", "'%ARD'"),
+      ("p.p_name", "'%o%'"), ("p.p_name", "'%ge%'"), ("p.p_name", "'%red%'")))
+    val neg = if (r.nextBoolean()) "NOT " else ""
+    val second = r.nextBoolean()
+    val l2Join =
+      if (second) "\nJOIN lineitem l2 ON l.l_orderkey = l2.l_orderkey" else ""
+    val l2Pred =
+      if (second) s" AND l2.l_quantity > ${1 + r.nextInt(40)}.0" else ""
+    val factPred = s" AND l.l_extendedprice < ${40000 + r.nextInt(60000)}.0"
+    s"""SELECT round(sum(l.l_extendedprice), 2) AS rev, count(*) AS cnt
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey$l2Join
+       |WHERE $neg$dimCol LIKE $pat$factPred$l2Pred""".stripMargin
+  }
+
   // --------------------------------------------------------------- generate
   /** `n` deterministic queries for `seed`. Pure: no I/O, no global state. */
   def generate(seed: Long, n: Int): Seq[Q] = {
@@ -962,7 +993,7 @@ object Fuzz {
     val keyedDblInt = Seq(orders, customer, part, supplier)
     (0 until n).map { i =>
       var oracle: Option[String] = None
-      val sql = r.nextInt(33) match {
+      val sql = r.nextInt(34) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -1000,6 +1031,7 @@ object Fuzz {
         case 31 =>
           val (s, o) = shapeCalendar(r)
           oracle = Some(o); s
+        case 32 => shapePatternDimJoin(r)
         case _ =>
           val (s, o) = shapeExclude(r, pick(r, keyedDblInt))
           oracle = Some(o); s

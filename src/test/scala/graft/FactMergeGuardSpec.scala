@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.FactMergeGuard
+import graft.operators.Job
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** VERDICT r15 #1 (job_19a): under CBO the DP can merge two BARE roles of
+  * the same fact table directly (l1 ⋈ l2 on the orderkey) before that
+  * bushy product meets the reduced orders⋈customer spine — paying a
+  * multi-key re-exchange of both intermediates the hand-ordered left-deep
+  * tree never pays. [[FactMergeGuard]] linearizes the merge. This spec
+  * pins (a) the plan shape — with the guard on, no inner join's two
+  * children are both bare legs over the same fact table; (b) the gates —
+  * kill switch and fact floor each leave the plan alone; (c) result
+  * identity on vs off (pure inner-join reassociation). The wall-clock
+  * story (measured at 100× and 1000×, including the honest 100×
+  * counter-read) lives in BASELINE.md round-16. */
+class FactMergeGuardSpec extends SparkSpec {
+
+  private def withCbo[A](body: => A): A = {
+    val db = "spark_catalog.default"
+    val before = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      FactMergeGuard.flag, FactMergeGuard.factFloorKey)
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      Graft.defaultCboTables.foreach(spark.catalog.dropTempView)
+      Graft.enableCbo(spark, sf)
+      // spec-scale lineitem is ~tens of KB — drop the fact floor so the
+      // decade geometry is reproducible here
+      spark.conf.set(FactMergeGuard.factFloorKey, "1k")
+      body
+    } finally {
+      Graft.defaultCboTables.foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) =>
+          if (k.startsWith("spark.sql.cbo")) spark.conf.set(k, "false")
+          else spark.conf.unset(k)
+      }
+      Tables.registerViews(spark, sf)
+    }
+  }
+
+  private def bareLegTable(p: LogicalPlan): Option[String] = p match {
+    case Project(_, c) => bareLegTable(c)
+    case Filter(_, c) => bareLegTable(c)
+    case r: LogicalRelation =>
+      r.catalogTable.map(_.identifier.table)
+    case _ => None
+  }
+
+  /** Inner joins whose BOTH children are bare legs over the same fact
+    * table — the defect shape the guard removes. */
+  private def bushySelfMerges(plan: LogicalPlan): Seq[Join] =
+    plan.collect {
+      case j: Join
+          if (for {
+            tb <- bareLegTable(j.left); tc <- bareLegTable(j.right)
+          } yield tb == tc && tb == "lineitem").getOrElse(false) => j
+    }
+
+  private def cboPlan(sql: String): LogicalPlan =
+    spark.sql(sql).queryExecution.optimizedPlan
+
+  private val origSql =
+    Job.withFromOrder(Job.oracle("job_19a"), Job.originalFrom("job_19a"))
+
+  test("guard on: no bushy same-fact role merge survives in job_19a's " +
+    "reordered tree (every lineitem role threads through the spine)") {
+    withCbo {
+      spark.conf.set(FactMergeGuard.flag, "true")
+      val plan = cboPlan(origSql)
+      assert(bushySelfMerges(plan).isEmpty,
+        s"bushy lineitem⋈lineitem merge survived:\n$plan")
+    }
+  }
+
+  test("kill switch off: the bushy merge is the DP's own tree and must " +
+    "reappear (proves the guard, not something else, removes it)") {
+    withCbo {
+      spark.conf.set(FactMergeGuard.flag, "false")
+      val plan = cboPlan(origSql)
+      assert(bushySelfMerges(plan).nonEmpty,
+        s"expected the DP's bushy merge with the guard off — the spec's " +
+          s"geometry no longer exercises the rule:\n$plan")
+    }
+  }
+
+  test("fact floor: legs under the floor are never touched") {
+    withCbo {
+      spark.conf.set(FactMergeGuard.flag, "true")
+      spark.conf.set(FactMergeGuard.factFloorKey, "32g")
+      val plan = cboPlan(origSql)
+      assert(bushySelfMerges(plan).nonEmpty,
+        s"guard fired on a leg under the fact floor:\n$plan")
+    }
+  }
+
+  test("guard on vs off: identical results (pure inner-join " +
+    "reassociation)") {
+    withCbo {
+      spark.conf.set(FactMergeGuard.flag, "false")
+      val off = spark.sql(origSql).collect().toSeq
+      spark.conf.set(FactMergeGuard.flag, "true")
+      val on = spark.sql(origSql).collect().toSeq
+      assert(on == off, s"guard changed the result: $on vs $off")
+      assert(off.nonEmpty)
+    }
+  }
+}

@@ -182,6 +182,53 @@ class MeasuredDimPlacementSpec extends SparkSpec {
     }
   }
 
+  test("near-knee lane (VERDICT r15 #2): an ESTIMABLE dim leg whose " +
+    "estimate lands just over the broadcast threshold is re-checked by " +
+    "measurement, and the true-size-fits case gets the broadcast hint " +
+    "the static estimate denied (the q19/q16 class-2 decade shape)") {
+    withCbo {
+      // length(p_name) > 9 is NOT a pattern predicate (no LIKE/contains),
+      // and FilterEstimation scores it 1.0 — the estimate carries only the
+      // estimable p_size half while the TRUE selectivity is ~0.41 of it
+      // (the part vocab's length distribution). Threshold = estimate/2
+      // puts the estimate at 2× the knee (inside the 4× re-check window)
+      // and the truth at ~0.81× the knee: only a measured count can see
+      // the build fits.
+      val sql = "SELECT count(*) AS n FROM lineitem JOIN part " +
+        "ON l_partkey = p_partkey WHERE p_size <= 25 AND length(p_name) > 9"
+      spark.conf.set(MeasuredDimPlacement.flag, "false")
+      val off = spark.sql(sql).queryExecution.optimizedPlan
+      // the knee window tests the JOIN CHILD's (column-pruned) estimate —
+      // that is what join selection compares against the threshold
+      val legEst = partJoins(off).flatMap(j => Seq(j.left, j.right))
+        .filter(_.output.exists(_.name == "p_partkey"))
+        .map(_.stats.sizeInBytes).min
+      assert(legEst > 0, "no part-side join child found")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (legEst / 2).toString)
+      spark.conf.set(MeasuredDimPlacement.flag, "true")
+      val on = spark.sql(sql).queryExecution.optimizedPlan
+      val hinted = partJoins(on).exists(j =>
+        j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+          j.hint.rightHint.exists(_.strategy.nonEmpty))
+      assert(hinted, s"near-knee measurement did not hint the dim join:\n$on")
+      // control: with the re-check window collapsed (factor 1 → the
+      // estimate is never 'near' the knee) the rule must stay out
+      spark.conf.set(MeasuredDimPlacement.kneeFactorKey, "1")
+      try {
+        val narrow = spark.sql(sql).queryExecution.optimizedPlan
+        assert(partJoins(narrow).forall(j =>
+          j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
+          s"hint applied outside the knee window:\n$narrow")
+      } finally spark.conf.unset(MeasuredDimPlacement.kneeFactorKey)
+      // result identity on vs off
+      spark.conf.set(MeasuredDimPlacement.flag, "false")
+      val offRows = spark.sql(sql).collect().toSeq
+      spark.conf.set(MeasuredDimPlacement.flag, "true")
+      assert(spark.sql(sql).collect().toSeq == offRows)
+    }
+  }
+
   test("rule on vs off: identical results (reassociation + a strategy " +
     "hint change nothing but the plan)") {
     withCbo {
