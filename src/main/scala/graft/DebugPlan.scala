@@ -26,6 +26,13 @@ object DebugPlan {
     Graft.enableCbo(spark, dir)
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // GRAFT_RULES=off: disable the three post-reorder rules to isolate
+    // the DP's own tree from the rules' rewrites
+    if (sys.env.get("GRAFT_RULES").contains("off")) {
+      spark.conf.set(functions.MeasuredDimPlacement.flag, "false")
+      spark.conf.set(functions.ResidualJoinPlacement.flag, "false")
+      spark.conf.set(functions.FactMergeGuard.flag, "false")
+    }
     val handSql = operators.Job.oracle(fam)
     val sql = operators.Job.originalFrom.get(fam)
       .map(f => operators.Job.withFromOrder(handSql, f)).getOrElse(handSql)

@@ -440,6 +440,12 @@ object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
     * between the two measured decades — re-bisect per deployment like
     * the 32 MB broadcast knee. */
   val factFloorKey = "spark.graft.cbo.factFloorBytes"
+  /** Floor for the INFLATION variant's bare fact role (256m default) —
+    * only separates facts from dims; the variant's real gates are the
+    * estimate-based inflation + improvement pair below, which are
+    * scale-free (exchanging a 7× inflated intermediate loses at any
+    * data size). */
+  val roleFloorKey = "spark.graft.cbo.factRoleFloorBytes"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled(flag)) plan
@@ -458,6 +464,19 @@ object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
     case _ => None
   }
 
+  /** See through PURE-PRUNING Projects (all-attribute lists) above the
+    * bushy join — column pruning leaves one between every join pair.
+    * Aliasing Projects are NOT stripped: the conjuncts above reference
+    * the aliased outputs, which would not exist below. The rewrite's
+    * top `Project(j.output, …)` restores the original projection, so
+    * dropping the pruning layer only lets a few extra key columns flow
+    * one join higher. */
+  private def stripPruning(p: LogicalPlan): LogicalPlan = p match {
+    case Project(list, ch) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      stripPruning(ch)
+    case x => x
+  }
+
   private def isBareEquality(e: Expression): Boolean = e match {
     case EqualTo(_: AttributeReference, _: AttributeReference) => true
     case EqualNullSafe(_: AttributeReference, _: AttributeReference) => true
@@ -465,8 +484,8 @@ object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
   }
 
   private def linearize(j: Join, spine: LogicalPlan, bushy: LogicalPlan,
-      cond: Expression): Option[LogicalPlan] = bushy match {
-    case Join(b, c, Inner, Some(bc), JoinHint.NONE) if bc.deterministic =>
+      cond: Expression): Option[LogicalPlan] = stripPruning(bushy) match {
+    case bj @ Join(b, c, Inner, Some(bc), JoinHint.NONE) if bc.deterministic =>
       val floor = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         conf.getConfString(factFloorKey, "16g"))
       val conjs = splitConjunctivePredicates(cond) ++
@@ -474,6 +493,7 @@ object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
       val groups = Seq(spine.outputSet, b.outputSet, c.outputSet)
       def multiSide(e: Expression): Boolean =
         groups.count(g => e.references.intersect(g).nonEmpty) > 1
+      if (!conjs.forall(e => !multiSide(e) || isBareEquality(e))) return None
       // the floor tests the UNDERLYING TABLE, not the filtered leg
       // estimate: a weakly-filtered role of a multi-GB fact is still a
       // fact role (job_19a's l2 leg estimates 222 MB at 100× — under any
@@ -484,8 +504,7 @@ object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
         idC <- relC.catalogTable.map(_.identifier)
       } yield idB == idC &&
         relB.stats.sizeInBytes > floor).getOrElse(false)
-      if (!sameFactTable ||
-        !conjs.forall(e => !multiSide(e) || isBareEquality(e))) return None
+      if (!sameFactTable) return inflationVariant(j, spine, bj, b, c, conjs)
 
       /** Re-thread with `keep` joined to the spine and the other leg on
         * top; None when either re-threaded join would lose its hashable
@@ -541,6 +560,89 @@ object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
         tree
       }
     case _ => None
+  }
+
+  /** INFLATION variant — the second face of the same cost-model class,
+    * found by the round-16 100× sweep on the recalibrated data
+    * (BASELINE r16): the DP attaches a bare fact ROLE to a dim SUBTREE
+    * on a non-hub key (job_19a: l3 ⋈ the supplier⋈nation⋈l4 chain on
+    * the suppkey), INFLATING the role's bytes ~7× with dim columns
+    * BEFORE its hub-key reduction — the top join then exchanges the
+    * inflated product. Spark's reorder cost is ROW-weighted
+    * (`joinReorder.card.weight` = 0.7), so a join that shrinks rows but
+    * multiplies bytes looks good to the DP; the exchange pays bytes.
+    * The gates use only LEAF-ADJACENT estimates (the role leg, the
+    * small subtree, and their single join — the estimates
+    * JoinEstimation gets roughly right), never a constructed deep
+    * intermediate: an "is the re-thread smaller" gate was tried and is
+    * circular AGAIN (measured while building this: JoinEstimation
+    * prices spine⋈l3 at 643M rows — 10× both inputs — through the
+    * duplicated transitive-closure keys, so the repair always looks
+    * worse than the defect). The shipped gates:
+    *  - the subtree is SMALLER than the role (est < role bytes) yet its
+    *    join with the role INFLATES (product est ≥ 2× role bytes) — a
+    *    genuinely REDUCING small side (the job_3a star shape) shrinks
+    *    the product instead, so it never fires here; an inflating small
+    *    side is decoration (wide dim columns fanned onto the role),
+    *    safe to postpone until after the spine reduction;
+    *  - the role keeps a hashable spanning equality to the spine
+    *    (inner) and the subtree to the role's columns (top), so no
+    *    nested loop can appear.
+    * Termination: re-matching the rewritten tree swaps spine and
+    * subtree roles, and the subtree-smaller-than-role gate reverses —
+    * the spine (> role, else it could not have absorbed it) can never
+    * qualify as the small side. */
+  private def inflationVariant(j: Join, spine: LogicalPlan, bushy: Join,
+      b: LogicalPlan, c: LogicalPlan,
+      conjs: Seq[Expression]): Option[LogicalPlan] = {
+    val roleFloor = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(conf.getConfString(roleFloorKey, "256m"))
+    def attempt(bare: LogicalPlan, other: LogicalPlan): Option[LogicalPlan] =
+      for {
+        rel <- bareLeg(bare)
+        if bareLeg(other).isEmpty // a plain fact⋈fact hub join is not ours
+        // the spine must be a JOINED subtree — with a bare role as the
+        // "spine" the rewrite degenerates into manufacturing a new bushy
+        // role merge out of the tree it just fixed (observed: the first
+        // firing's fixed tree re-matched with l3 as spine and pulled l1
+        // back out into an l1⋈l3 product)
+        if bareLeg(spine).isEmpty
+        if rel.catalogTable.isDefined
+        if rel.stats.sizeInBytes > roleFloor
+        // decoration signature: small side + inflating product
+        if other.stats.sizeInBytes < bare.stats.sizeInBytes
+        if bushy.stats.sizeInBytes >= bare.stats.sizeInBytes * 2
+        // the spine must OUTWEIGH the role — this is the monotone measure
+        // that makes the FixedPoint terminate (found the hard way: round
+        // 16's first sweep re-run blew the optimizer stack on job_24a —
+        // without it, `spine > role` on one side and `other < role` on
+        // the other let two symmetric configs recreate each other
+        // forever, each wrap adding a Project until transformDown
+        // overflowed). A reverse fire would need the old small side to
+        // outweigh the role it was smaller than — contradiction.
+        if spine.stats.sizeInBytes > bare.stats.sizeInBytes
+        (innerConds, topConds) = conjs.partition(
+          _.references.subsetOf(spine.outputSet ++ bare.outputSet))
+        if innerConds.exists(e => isBareEquality(e) &&
+          e.references.intersect(spine.outputSet).nonEmpty &&
+          e.references.intersect(bare.outputSet).nonEmpty)
+        if topConds.exists(e => isBareEquality(e) &&
+          e.references.intersect(other.outputSet).nonEmpty &&
+          (e.references -- other.outputSet).nonEmpty)
+        innerCond <- innerConds.reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And(_, _))
+        topCond <- topConds.reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And(_, _))
+      } yield {
+        logInfo(s"graft.FactMergeGuard: re-threaded an inflated fact role " +
+          s"(role ${bare.stats.sizeInBytes}B, small side " +
+          s"${other.stats.sizeInBytes}B, product " +
+          s"${bushy.stats.sizeInBytes}B — postponed behind the spine)")
+        Project(j.output,
+          Join(Join(spine, bare, Inner, Some(innerCond), JoinHint.NONE),
+            other, Inner, Some(topCond), JoinHint.NONE))
+      }
+    attempt(c, b).orElse(attempt(b, c))
   }
 }
 

@@ -101,6 +101,21 @@ class FactMergeGuardSpec extends SparkSpec {
     }
   }
 
+  test("inflation variant: with both floors at spec scale, rule on vs " +
+    "off returns identical results (whatever re-threading fires is pure " +
+    "reassociation; the 100× plan/wall story lives in BASELINE r16)") {
+    withCbo {
+      spark.conf.set(FactMergeGuard.roleFloorKey, "1k")
+      try {
+        spark.conf.set(FactMergeGuard.flag, "false")
+        val off = spark.sql(origSql).collect().toSeq
+        spark.conf.set(FactMergeGuard.flag, "true")
+        val on = spark.sql(origSql).collect().toSeq
+        assert(on == off, s"inflation variant changed the result: $on vs $off")
+      } finally spark.conf.unset(FactMergeGuard.roleFloorKey)
+    }
+  }
+
   test("guard on vs off: identical results (pure inner-join " +
     "reassociation)") {
     withCbo {
