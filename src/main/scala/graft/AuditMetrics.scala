@@ -27,6 +27,46 @@ private[graft] object AuditEnv {
         require(i > 0, s"$envVar: segment '$kv' is not k=v")
         spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
       })
+
+  /** Host-state snapshot as a JSON object — shared by [[Bench]] and the
+    * audit mains so every measurement artifact declares its own
+    * environment (VERDICT r15 #6, extended to the audits in round 17 per
+    * VERDICT r16 #3: the r16 driver bench read 9% high with a "clean"
+    * load1 — load15 4.55 vs the clean-run ~1.7 was the tell, so the
+    * documented contamination rule now keys on load15/PSI, and the audit
+    * mains sample at START and END — a sweep that begins clean and ends
+    * loaded was raced mid-run).
+    *
+    * Interpretation rule (SURVEY §6 / BASELINE.md): treat the artifact as
+    * a CONTAMINATED UPPER BOUND when any of
+    *   java_procs > 0  (another JVM shared the box at sample time), or
+    *   cpu_pressure_avg60 > 5  (anything was CPU-stalled >5% of the last
+    *     minute — this JVM alone on a 32-core box reads ~0), or
+    *   load15 > 3.5  (≈2× the measured clean-run reference of ~1.7;
+    *     load1 is too twitchy to catch sustained ~9% contamination).
+    */
+  def hostJson(cores: String): String = {
+    def readFile(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")) catch { case _: Throwable => None }
+    val load = readFile("/proc/loadavg").map(_.split("\\s+").take(3))
+      .getOrElse(Array("-1", "-1", "-1"))
+    val self = ProcessHandle.current().pid()
+    val javaProcs =
+      try ProcessHandle.allProcesses().filter(p =>
+          p.pid() != self && p.info().command()
+            .map[Boolean](_.contains("java")).orElse(false))
+        .count()
+      catch { case _: Throwable => -1L }
+    val psi = readFile("/proc/pressure/cpu")
+      .flatMap(_.linesIterator.find(_.startsWith("some")))
+      .flatMap(_.split("\\s+").collectFirst {
+        case kv if kv.startsWith("avg60=") => kv.stripPrefix("avg60=") })
+      .getOrElse("-1")
+    s"""{"load1":${load(0)},"load5":${load(1)},"load15":${load(2)},""" +
+      s""""java_procs":$javaProcs,"cpu_pressure_avg60":$psi,""" +
+      s""""cores":"$cores"}"""
+  }
 }
 
 private[graft] final class AuditMetrics extends SparkListener {

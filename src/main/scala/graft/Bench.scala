@@ -302,30 +302,11 @@ object Bench {
     // java_procs counts OTHER JVMs sharing the box (this one excluded);
     // cpu_pressure is PSI some-avg60 (% of the last minute anything was
     // stalled on CPU, cgroup-wide) when the kernel exposes it.
-    // BASELINE.md interpretation: load1 ≳ 1.5× the bench core count or
-    // java_procs > 0 ⇒ treat the total as a contaminated upper bound.
-    val hostEnv: String = {
-      def readFile(p: String): Option[String] =
-        try Some(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p)), "UTF-8")) catch { case _: Throwable => None }
-      val load = readFile("/proc/loadavg").map(_.split("\\s+").take(3))
-        .getOrElse(Array("-1", "-1", "-1"))
-      val self = ProcessHandle.current().pid()
-      val javaProcs =
-        try ProcessHandle.allProcesses().filter(p =>
-            p.pid() != self && p.info().command()
-              .map[Boolean](_.contains("java")).orElse(false))
-          .count()
-        catch { case _: Throwable => -1L }
-      val psi = readFile("/proc/pressure/cpu")
-        .flatMap(_.linesIterator.find(_.startsWith("some")))
-        .flatMap(_.split("\\s+").collectFirst {
-          case kv if kv.startsWith("avg60=") => kv.stripPrefix("avg60=") })
-        .getOrElse("-1")
-      s"""{"load1":${load(0)},"load5":${load(1)},"load15":${load(2)},""" +
-        s""""java_procs":$javaProcs,"cpu_pressure_avg60":$psi,""" +
-        s""""cores":"$cpus"}"""
-    }
+    // BASELINE.md interpretation (tightened round 17, VERDICT r16 #3):
+    // java_procs > 0, cpu_pressure_avg60 > 5, or load15 > 3.5 ⇒ treat the
+    // total as a contaminated upper bound — load1 alone missed the r16
+    // driver run's ~9% contamination (load1 "clean", load15 4.55).
+    val hostEnv: String = AuditEnv.hostJson(cpus)
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJson,"queries":$qs,"spread":$spreads,"runs":$reps,"protocol":"median","spread_def":"$spreadDef","host":$hostEnv,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] noise when run via `sbt runMain`, so
     // the canonical copy goes to a file the driver can read verbatim.

@@ -204,7 +204,16 @@ object Graft extends org.apache.spark.internal.Logging {
     * `spark.sql.cbo.joinReorder.enabled`, so installing them here is inert
     * for non-CBO sessions sharing the JVM. */
   def installResidualPlacement(spark: SparkSession): Unit =
-    Seq(functions.MeasuredDimPlacement, functions.ResidualJoinPlacement,
+    // ResidualJoinPlacement FIRST (round-17, ADVICE r16): both rules match
+    // hint-free inner joins carrying equi+non-equi conditions, but
+    // MeasuredDimPlacement's non-equi branch resolves by HINTING the join
+    // in place — and a hinted join is permanently outside RJP's match and
+    // sinkInto's descent. With MDP first, such a join could never be
+    // residual-sunk to its lowest covering position. With RJP first, the
+    // sink happens hint-free in the same FixedPoint iteration, then MDP
+    // sees the sunk join (still hint-free) and adds the strategy hint at
+    // its final position.
+    Seq(functions.ResidualJoinPlacement, functions.MeasuredDimPlacement,
       functions.FactMergeGuard)
       .foreach { rule =>
         if (!spark.experimental.extraOptimizations.contains(rule))

@@ -71,6 +71,10 @@ object JobAudit {
       spark.stop(); return
     }
     var flipped = 0
+    // host state at START and END (VERDICT r16 #3): the r16 34-family
+    // sweep's first ~11 families raced the end-of-round test suite and
+    // nobody could tell from the artifact — now it says so itself
+    val hostStart = AuditEnv.hostJson(cpus)
     // per-family task metrics (TpchAudit's attribution discipline): the
     // snapshot lands after the post-family GC settle, so the async
     // listener bus has drained
@@ -119,7 +123,8 @@ object JobAudit {
       println(f"[jobaudit] $name%-10s $wall%8.2fs  $verdict  ${agg.report}")
       f""""$name":$wall%.2f"""
     }
-    println(s"""[jobaudit-json] {${rows.mkString(",")}}""")
+    println(s"""[jobaudit-json] {${rows.mkString(",")},""" +
+      s""""host":{"start":$hostStart,"end":${AuditEnv.hostJson(cpus)}}}""")
     println(s"[jobaudit] == ${rows.size - flipped} ok, $flipped flipped")
     spark.stop()
     if (flipped > 0) sys.exit(1)
@@ -207,6 +212,8 @@ object JobAudit {
       if (sys.env.get("SPARK_GRAFT_JOB_STATS_ALL").contains("1"))
         Job.oracle.keys.toSeq.sorted
       else Job.originalFrom.keys.toSeq.sorted
+    val hostStart = AuditEnv.hostJson(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     var worst = 0.0
     val rows = fams
       .filter(n => only.forall(_.contains(n)))
@@ -274,7 +281,9 @@ object JobAudit {
           s" (min of $reps, alternated)")
         f""""$name":{"hand":$wallHand%.2f,"cbo":$wallCbo%.2f,"plan":$planCbo%.2f}"""
       }
-    println(s"""[jobstats-json] {${rows.mkString(",")}}""")
+    println(s"""[jobstats-json] {${rows.mkString(",")},"host":""" +
+      s"""{"start":$hostStart,"end":${AuditEnv.hostJson(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))}}}""")
     println(f"[jobstats] == ${rows.size} families, worst cbo/hand ratio $worst%.2fx")
   }
 }

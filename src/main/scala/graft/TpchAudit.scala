@@ -99,6 +99,10 @@ object TpchAudit {
     }
     def settle(): Unit = { System.gc(); Thread.sleep(1000); System.gc() }
 
+    // host state at START and END (VERDICT r16 #3): a sweep that begins
+    // clean and ends loaded was raced mid-run; the artifact says so itself
+    val hostStart = AuditEnv.hostJson(cpus)
+
     def runWalls(agg: AuditMetrics, sqlOf: String => String): Unit = {
       val rows = names.map { name =>
         val sql = sqlOf(name)
@@ -114,7 +118,8 @@ object TpchAudit {
         println(f"[tpchaudit] $name%-4s ${best}%8.2fs (min of $reps)  $bestMetrics")
         f""""$name":$best%.2f"""
       }
-      println(s"""[tpchaudit-json] {${rows.mkString(",")}}""")
+      println(s"""[tpchaudit-json] {${rows.mkString(",")},""" +
+        s""""host":{"start":$hostStart,"end":${AuditEnv.hostJson(cpus)}}}""")
     }
 
     mode match {
@@ -211,7 +216,8 @@ object TpchAudit {
             f"ratio=$ratio%5.2fx (min of $reps, alternated)")
           f""""$name":{"hand":$wallHand%.2f,"cbo":$wallCbo%.2f}"""
         }
-        println(s"""[tpchaudit-json] {${rows.mkString(",")}}""")
+        println(s"""[tpchaudit-json] {${rows.mkString(",")},""" +
+          s""""host":{"start":$hostStart,"end":${AuditEnv.hostJson(cpus)}}}""")
         println(f"[tpchaudit] == ${rows.size} queries, worst cbo/hand ratio $worst%.2fx")
     }
     spark.stop()

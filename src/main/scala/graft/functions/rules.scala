@@ -225,9 +225,12 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
       else
         // spanning NON-equi residuals alongside the equality (q19's
         // brand×size×quantity disjunction): PLACEMENT is
-        // ResidualJoinPlacement's lane — here only the join STRATEGY is
-        // hinted in place; BroadcastHashJoin keeps the residual as its
-        // join filter, so semantics are untouched
+        // ResidualJoinPlacement's lane, which is why RJP is registered
+        // BEFORE this rule (Graft.installResidualPlacement) — by the time
+        // this branch runs, RJP has already sunk the join as low as it
+        // covers (or declined), so only the join STRATEGY is hinted in
+        // place; BroadcastHashJoin keeps the residual as its join filter,
+        // so semantics are untouched
         hintInPlace
     }
   }
@@ -419,10 +422,13 @@ object MeasuredDimPlacement extends Rule[LogicalPlan] with JoinSinkSupport {
   * its sibling, the hand text's shape. Fires only when every multi-side
   * conjunct is a bare attribute equality (a pure equi web — a spanning
   * non-equi residual is ResidualJoinPlacement's case) and both
-  * re-threaded joins keep a hashable spanning equality. The bare-leg
-  * requirement is also the termination proof: after one application the
-  * inner join's spine side contains a Join, so neither new node can
-  * match again.
+  * re-threaded joins keep a hashable spanning equality, and only when the
+  * spine is itself a JOINED subtree — the joined-spine gate is the
+  * termination proof: after one application the inner join's spine side
+  * contains a Join, so neither new node can match again. (Without the
+  * gate, a pure 3-role self-join — fact a ⋈ fact b ⋈ fact c above the
+  * floor — re-matches its own output with the roles rotated and rewrites
+  * forever; ADVICE r16, pinned by FactMergeGuardSpec's 3-role test.)
   *
   * Registered by [[graft.Graft.installResidualPlacement]] in the
   * post-reorder slot, gated on the join-reorder conf + its own kill
@@ -505,6 +511,20 @@ object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
       } yield idB == idC &&
         relB.stats.sizeInBytes > floor).getOrElse(false)
       if (!sameFactTable) return inflationVariant(j, spine, bj, b, c, conjs)
+      // the spine must be a JOINED subtree (round-17, ADVICE r16): with a
+      // bare role of the SAME fact as the "spine" (a pure 3-role
+      // self-join, fact a ⋈ (fact b ⋈ fact c)), the rewritten tree
+      // Join(Join(spine, keep), mover) re-matches with the roles rotated
+      // — spine' = mover, bushy' = Join(spine, keep), both legs bare
+      // same-fact — and transformDown re-applies the rule to its own
+      // output in the SAME pass, unbounded (each fire adds a pruning
+      // Project that stripPruning sees through) until the optimizer
+      // stack overflows. The termination argument below ("the inner
+      // join's spine side contains a Join") only holds when the original
+      // spine was a join — this gate makes it hold always. Nothing is
+      // lost: with no reduced spine to thread through, both shapes
+      // exchange the same bare roles on the same keys anyway.
+      if (bareLeg(spine).nonEmpty) return None
 
       /** Re-thread with `keep` joined to the spine and the other leg on
         * top; None when either re-threaded join would lose its hashable

@@ -958,8 +958,10 @@ object Fuzz {
     * ANSI-portable, so the tier runs in BOTH legs: the DuckDB
     * differential proves any rewritten plan still returns the portable
     * answer, and FuzzSpec's CBO-differential leg (which picks up every
-    * join-bearing shape) proves rule-ON ≡ rule-OFF row identity over
-    * ANALYZE'd catalog tables. */
+    * join-bearing shape, and lowers FactMergeGuard's fact/role floors to
+    * spec scale so the guard's rewrite actually fires at fuzz data size —
+    * ADVICE r16) proves rule-ON ≡ rule-OFF row identity over ANALYZE'd
+    * catalog tables. */
   private def shapePatternDimJoin(r: Random): String = {
     // patterns built from substrings of the shared part vocabulary so a
     // healthy fraction of rows match (p_type: ECONOMY/PROMO/STANDARD…,

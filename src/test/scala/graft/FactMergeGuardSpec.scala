@@ -116,6 +116,38 @@ class FactMergeGuardSpec extends SparkSpec {
     }
   }
 
+  test("3-role self-join (ADVICE r16): a pure fact⋈fact⋈fact hub join " +
+    "has a BARE spine, so the linearization must decline — without the " +
+    "joined-spine gate the rule re-matched its own output with the roles " +
+    "rotated and rewrote until the optimizer stack overflowed at plan " +
+    "time; planning must terminate and results be rule-on ≡ rule-off") {
+    withCbo {
+      // all three roles bare legs of the same fact, above the 1k spec
+      // floor; every spanning conjunct a bare attribute equality — the
+      // exact geometry that previously never hit a termination argument
+      val sql =
+        """SELECT count(*) AS n,
+          |       round(sum(a.l_quantity + b.l_quantity + c.l_quantity), 2) AS s
+          |FROM lineitem a
+          |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          |JOIN lineitem c ON b.l_orderkey = c.l_orderkey
+          |WHERE a.l_linenumber = 1 AND b.l_quantity > 10.0""".stripMargin
+      spark.conf.set(FactMergeGuard.flag, "false")
+      val off = spark.sql(sql).collect().toSeq
+      spark.conf.set(FactMergeGuard.flag, "true")
+      // pre-fix this line died with StackOverflowError inside the optimizer
+      val plan = cboPlan(sql)
+      // a bare spine has nothing to thread through: the tree is the DP's
+      // own (some bushy self-merge necessarily survives in a pure 3-role
+      // hub join — there is no spine to linearize against)
+      assert(bushySelfMerges(plan).nonEmpty,
+        s"expected the DP's own tree for a pure self-join web:\n$plan")
+      val on = spark.sql(sql).collect().toSeq
+      assert(on == off, s"3-role self-join changed the result: $on vs $off")
+      assert(off.nonEmpty)
+    }
+  }
+
   test("guard on vs off: identical results (pure inner-join " +
     "reassociation)") {
     withCbo {
