@@ -39,11 +39,16 @@ private[graft] object AuditEnv {
     *
     * Interpretation rule (SURVEY §6 / BASELINE.md): treat the artifact as
     * a CONTAMINATED UPPER BOUND when any of
-    *   java_procs > 0  (another JVM shared the box at sample time), or
+    *   java_procs > 0  (a non-ancestor JVM shared the box at sample
+    *     time — the sbt launcher parent is excluded below), or
     *   cpu_pressure_avg60 > 5  (anything was CPU-stalled >5% of the last
     *     minute — this JVM alone on a 32-core box reads ~0), or
-    *   load15 > 3.5  (≈2× the measured clean-run reference of ~1.7;
-    *     load1 is too twitchy to catch sustained ~9% contamination).
+    *   for the BENCH, end load15 > 3.5  (≈2× its clean reference of
+    *     ~1.7; load1 is too twitchy to catch sustained ~9%
+    *     contamination). The audit mains' own sustained 32-thread
+    *     queries push END load15 past 20 legitimately, and their START
+    *     load15 can carry a PREVIOUS run's decay on a measurement day —
+    *     for audits the start check is load1 + PSI + java_procs.
     */
   def hostJson(cores: String): String = {
     def readFile(p: String): Option[String] =
@@ -51,10 +56,19 @@ private[graft] object AuditEnv {
         java.nio.file.Paths.get(p)), "UTF-8")) catch { case _: Throwable => None }
     val load = readFile("/proc/loadavg").map(_.split("\\s+").take(3))
       .getOrElse(Array("-1", "-1", "-1"))
-    val self = ProcessHandle.current().pid()
+    // exclude this JVM AND its ancestor chain: a forked `sbt runMain`
+    // always has the sbt launcher JVM as its parent, which is waiting,
+    // not competing — counting it made every legitimate run read
+    // java_procs=1 (BENCH_r16) and trained readers to ignore the field
+    val excluded = {
+      var pids = Set(ProcessHandle.current().pid())
+      var p = ProcessHandle.current().parent()
+      while (p.isPresent) { pids += p.get.pid(); p = p.get.parent() }
+      pids
+    }
     val javaProcs =
       try ProcessHandle.allProcesses().filter(p =>
-          p.pid() != self && p.info().command()
+          !excluded.contains(p.pid()) && p.info().command()
             .map[Boolean](_.contains("java")).orElse(false))
         .count()
       catch { case _: Throwable => -1L }

@@ -61,6 +61,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CBO=1 (round 17, VERDICT r16 #5 — the CBO-by-default
+    // decision's performance leg): the whole bench with cbo+joinReorder on
+    // and the graft rules installed over the normal stat-less reads — the
+    // cold-start case. The decision needs this ≈ the default bench (no
+    // regression when stats are absent); the stats-PRESENT performance
+    // case is TpchAudit/JobAudit's lane, since bench entries read parquet
+    // paths directly and never see catalog stats.
+    if (sys.env.get("SPARK_GRAFT_CBO").contains("1")) {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      Graft.installResidualPlacement(spark)
+      System.err.println("[bench] CBO cold-start leg: cbo+joinReorder on, " +
+        "graft rules installed, NO catalog stats")
+    }
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -99,6 +113,24 @@ object Bench {
     // family) are timed cold — measuring cache hits would flatter them;
     // System.gc() so one query's garbage is not another's pause.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(5)
+    // SPARK_GRAFT_BENCH_METRICS=1: per-rep task metrics (the audit mains'
+    // AuditMetrics discipline) for ATTRIBUTING a bench row's cost — round
+    // 17 (VERDICT r16 #7): the d_minhash_inc_serve drift (r14 1.64 →
+    // r16 1.90 s) needed read/shuffle/spill/CPU per rep to be explained,
+    // not guessed at. Off by default: the post-run listener-drain pause
+    // would stretch the driver's bench wall for no benefit.
+    val metricsOn = sys.env.get("SPARK_GRAFT_BENCH_METRICS").contains("1")
+    val benchAgg = new AuditMetrics
+    if (metricsOn) spark.sparkContext.addSparkListener(benchAgg)
+    def withMetrics(name: String)(f: => Double): Double =
+      if (!metricsOn) f
+      else {
+        benchAgg.reset()
+        val w = f
+        Thread.sleep(1000) // async listener bus drain (AuditMetrics note)
+        println(f"[bench-metrics] $name%-24s wall=$w%7.3fs ${benchAgg.report}")
+        w
+      }
     def medianSpread(runs: Seq[Double]): (Double, Double) =
       if (runs.exists(_ < 0) || runs.isEmpty) (-1.0, -1.0)
       else {
@@ -119,7 +151,7 @@ object Bench {
       def cold(): Double = {
         spark.catalog.clearCache(); System.gc(); runOnce(n, sfDir)
       }
-      n -> medianSpread(Seq.fill(reps)(cold()))
+      n -> medianSpread(Seq.fill(reps)(withMetrics(n)(cold())))
     }
 
     // ---- build vs serve split for the trained-index ANN tiers ----
@@ -261,7 +293,7 @@ object Bench {
           spark.catalog.clearCache(); System.gc()
           timed { val r = mk(sfDir); cached = r._1; setup = r._2; serves = r._3 }
         }
-        val bRuns = Seq.fill(reps)(buildCold())
+        val bRuns = Seq.fill(reps)(withMetrics(s"${tier}_build")(buildCold()))
         // a failed build must fail its serve rows too: timing the fallback
         // no-op (all builds failed) or a stale earlier index (only the last
         // failed) would report a great serve number for a broken tier
@@ -274,7 +306,8 @@ object Bench {
             setup()
             // serve runs against the warm index — no clearCache between them
             serves.map { case (sn, f) =>
-              val sRuns = Seq.fill(reps)(timed(f()))
+              val sRuns =
+                Seq.fill(reps)(withMetrics(s"${tier}_$sn")(timed(f())))
               s"${tier}_$sn" -> medianSpread(sRuns)
             }
           }

@@ -213,8 +213,12 @@ object Graft extends org.apache.spark.internal.Logging {
     // sink happens hint-free in the same FixedPoint iteration, then MDP
     // sees the sunk join (still hint-free) and adds the strategy hint at
     // its final position.
+    // …and HashProbePreference LAST: it only adds a strategy hint, and the
+    // placement rules match hint-free joins, so hints must land after
+    // every re-thread has settled (a hint added first would permanently
+    // disqualify the join from RJP/MDP/FMG rewrites).
     Seq(functions.ResidualJoinPlacement, functions.MeasuredDimPlacement,
-      functions.FactMergeGuard)
+      functions.FactMergeGuard, functions.HashProbePreference)
       .foreach { rule =>
         if (!spark.experimental.extraOptimizations.contains(rule))
           spark.experimental.extraOptimizations =

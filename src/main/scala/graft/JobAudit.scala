@@ -184,6 +184,10 @@ object JobAudit {
     import operators.Job
     if (sys.env.get("SPARK_GRAFT_JOB_HIST").contains("1"))
       spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    // host state at the TRUE start — before the ANALYZE burst, which is
+    // this process's own load and would false-flag the contamination rule
+    val hostStart = AuditEnv.hostJson(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val tA = System.nanoTime()
     Graft.enableCbo(spark, dir) // the user-facing path — audited here
     println(f"[jobstats] analyze total ${(System.nanoTime() - tA) / 1e9}%.2fs")
@@ -212,8 +216,6 @@ object JobAudit {
       if (sys.env.get("SPARK_GRAFT_JOB_STATS_ALL").contains("1"))
         Job.oracle.keys.toSeq.sorted
       else Job.originalFrom.keys.toSeq.sorted
-    val hostStart = AuditEnv.hostJson(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     var worst = 0.0
     val rows = fams
       .filter(n => only.forall(_.contains(n)))

@@ -62,6 +62,10 @@ object TpchAudit {
       .map(_.split(",").map(_.trim).toSet)
     val dumpPlans = sys.env.get("SPARK_GRAFT_TPCH_PLANS").contains("1")
 
+    // host state at the TRUE start — before the ANALYZE burst, which is
+    // this process's own load and would false-flag the contamination rule
+    val hostStart = AuditEnv.hostJson(cpus)
+
     // catalog tables + stats for BOTH modes: walls measured on the same
     // resolution path the stats mode plans against
     val tA = System.nanoTime()
@@ -79,16 +83,20 @@ object TpchAudit {
       setCbo(cbo)
       val df = spark.sql(sql)
       val t0 = System.nanoTime()
-      // double/decimal columns rounded to 6 dp (the harness discipline)
-      // before the identity assert: CBO changes physical plans and thus
-      // floating-point summation order, so exact Row.toString comparison
-      // would abort the audit on last-ulp drift in q1-style double
-      // aggregates as a false "CBO changed the RESULT" (ADVICE r15)
+      // double/float columns compared at 6 SIGNIFICANT digits (%.6e —
+      // a RELATIVE discipline), decimals at 6 dp (exact arithmetic needs
+      // no slack): CBO changes physical plans and thus floating-point
+      // summation order, so exact Row.toString comparison would abort the
+      // audit on reorder drift as a false "CBO changed the RESULT"
+      // (ADVICE r15). Absolute 6-dp rounding was the first fix and still
+      // tripped at the 1000× decade (round 17): q9's ~1e9-magnitude sums
+      // over 600M rows carry ~1e-13 RELATIVE reorder drift, which is
+      // ~1e-4 ABSOLUTE — any real semantic change (a lost/duplicated
+      // row) moves a sum by ≫1e-6 relative, so significant-digit
+      // comparison keeps the assert's teeth while absorbing reordering.
       val rows = df.collect().map(_.toSeq.map {
-        case d: Double =>
-          BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
-        case f: Float =>
-          BigDecimal(f.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+        case d: Double => f"$d%.6e"
+        case f: Float => f"${f.toDouble}%.6e"
         case b: java.math.BigDecimal => b.setScale(6, java.math.RoundingMode.HALF_UP).toString
         case x => String.valueOf(x)
       }.mkString("[", ",", "]")).sorted.toSeq
@@ -98,10 +106,6 @@ object TpchAudit {
       (wall, rows, plan)
     }
     def settle(): Unit = { System.gc(); Thread.sleep(1000); System.gc() }
-
-    // host state at START and END (VERDICT r16 #3): a sweep that begins
-    // clean and ends loaded was raced mid-run; the artifact says so itself
-    val hostStart = AuditEnv.hostJson(cpus)
 
     def runWalls(agg: AuditMetrics, sqlOf: String => String): Unit = {
       val rows = names.map { name =>

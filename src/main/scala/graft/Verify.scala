@@ -23,6 +23,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CBO=1 (round 17, VERDICT r16 #5 — the CBO-by-default
+    // decision's correctness leg): run the ENTIRE gate with cost-based
+    // optimization + join reorder + the graft optimizer rules active over
+    // the normal stat-less temp views — the cold-start session a user who
+    // flips CBO on without ANALYZE gets. Every oracled result must stay
+    // hash-identical; rule gates that need stats must bail, not break.
+    if (sys.env.get("SPARK_GRAFT_CBO").contains("1")) {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      Graft.installResidualPlacement(spark)
+      System.err.println("[verify] CBO cold-start leg: cbo+joinReorder on, " +
+        "graft rules installed, NO catalog stats")
+    }
     new java.io.File(outDir).mkdirs()
     // A failed query must be LOUD in the artifact, not silently absent:
     // round 8 lost 57 suites to a shared analysis error and the driver's

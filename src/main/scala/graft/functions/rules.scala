@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Expression, LessThan, LessThanOrEqual, Like, Literal, MultiLikeBase, PredicateHelper, RLike, StringPredicate}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SHUFFLE_HASH}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.IntegerType
@@ -663,6 +663,108 @@ object FactMergeGuard extends Rule[LogicalPlan] with JoinSinkSupport {
             other, Inner, Some(topCond), JoinHint.NONE))
       }
     attempt(c, b).orElse(attempt(b, c))
+  }
+}
+
+/** Post-reorder join-ALGORITHM preference for fact⋈fact hub joins — the
+  * round-17 q9/q18 finding (BASELINE.md r17): at the deployment decade,
+  * sort-merge pays fact-scale SORT passes on both sides of every big
+  * equi join, and for the q9/q18 shape — a SMALL build side probed by a
+  * fact or fact-product 4–10× its row count — shuffled-hash reads 0.50×
+  * (q9 103.8 → 52.1 s) and 0.36× (q18 95.5 → 34.4 s), same shuffled
+  * bytes, CPU halved (the sorts were the cost). The blanket conf
+  * (`spark.sql.join.preferSortMergeJoin=false`) is REJECTED: it also
+  * flips q12-shaped joins — build = the UNFILTERED 150M-row side, probe
+  * = a small filtered slice — into a measured 1.62× regression, because
+  * the build cost amortizes over too few probe rows.
+  *
+  * So the rule is STATS-GATED on exactly that asymmetry: for an inner
+  * equi join (hint-free, both sides above the broadcast window) where
+  * catalog stats say (probe rows) ≥ probeRatio × (build rows) AND the
+  * build side's per-partition slice fits task memory with margin, add a
+  * SHUFFLE_HASH hint on the build side. The hint only picks a physical
+  * strategy — results are untouched at any data. Spill guard: SHJ
+  * forfeits sort-spill graceful degradation, so the per-task build bound
+  * (`buildPerTaskMaxBytes`, default 128m against a multi-GB task heap —
+  * the A/B's zero-spill 250 MB builds had 2 GB/task) is a hard gate, and
+  * the broadcast-window clearance (build est > 8× the static threshold)
+  * keeps the hint from ever FORCING a shuffle where the planner or AQE
+  * would have broadcast.
+  *
+  * Runs LAST in the extraOptimizations sequence: the placement rules
+  * (RJP/MDP/FMG) only match hint-free joins, so strategy hints must land
+  * after every re-thread has settled. Registered by
+  * [[graft.Graft.installResidualPlacement]], gated on the join-reorder
+  * conf + its own kill switch like its siblings. */
+object HashProbePreference extends Rule[LogicalPlan] with JoinSinkSupport {
+
+  val flag = "spark.graft.cbo.hashProbePreference"
+  /** Probe-to-build row-count ratio floor (default 4 — q9's weakest
+    * winning join builds 150M orders rows against a ≥600M-row probe;
+    * q12's losing join builds 150M against ~25M and must be excluded;
+    * the knee is somewhere in (1, 4] and 4 is the measured-safe side). */
+  val probeRatioKey = "spark.graft.cbo.shj.probeRatio"
+  /** Per-task hash-build byte bound (default 128m): build est ÷ shuffle
+    * width must fit task memory with margin, because a SHJ build that
+    * doesn't fit fails the task where SMJ would have spilled the sort. */
+  val buildMaxKey = "spark.graft.cbo.shj.buildPerTaskMaxBytes"
+
+  private val shjLeft = JoinHint(Some(HintInfo(Some(SHUFFLE_HASH))), None)
+  private val shjRight = JoinHint(None, Some(HintInfo(Some(SHUFFLE_HASH))))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled(flag)) plan
+    else plan.transformDown {
+      case j @ Join(l, r, Inner, Some(cond), JoinHint.NONE)
+          if cond.deterministic =>
+        hinted(j, l, r, cond).getOrElse(j)
+    }
+
+  private def hinted(j: Join, l: LogicalPlan, r: LogicalPlan,
+      cond: Expression): Option[Join] = {
+    val spanningEqui = splitConjunctivePredicates(cond).exists { e =>
+      (e match {
+        case EqualTo(_: AttributeReference, _: AttributeReference) => true
+        case EqualNullSafe(_: AttributeReference, _: AttributeReference) => true
+        case _ => false
+      }) && e.references.intersect(l.outputSet).nonEmpty &&
+        e.references.intersect(r.outputSet).nonEmpty
+    }
+    if (!spanningEqui) return None
+    val ratio =
+      try conf.getConfString(probeRatioKey, "4").toDouble
+      catch { case scala.util.control.NonFatal(_) => 4.0 }
+    val buildMax = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.getConfString(buildMaxKey, "128m"))
+    val width = math.max(1, conf.numShufflePartitions)
+    val t = conf.autoBroadcastJoinThreshold
+    def attempt(build: LogicalPlan, probe: LogicalPlan,
+        hint: JoinHint): Option[Join] =
+      for {
+        rowsB <- build.stats.rowCount
+        rowsP <- probe.stats.rowCount
+        if rowsB > 0
+        // the measured asymmetry: the build must amortize over ≥ratio×
+        // more probe rows (q9/q18 pass at 4–10×, q12 reads ~0.17 and
+        // is correctly excluded)
+        if BigDecimal(rowsP) >= BigDecimal(rowsB) * ratio
+        // clear of the broadcast window — never force a shuffle where a
+        // broadcast was available (t <= 0 means broadcast is disabled,
+        // so there is nothing to shadow)
+        if t <= 0 || build.stats.sizeInBytes > BigInt(t) * 8
+        // the spill guard: per-task build slice must fit with margin
+        if build.stats.sizeInBytes / width <= buildMax
+      } yield {
+        logInfo(s"graft.HashProbePreference: SHUFFLE_HASH hint (build " +
+          s"$rowsB rows / ${build.stats.sizeInBytes}B over width $width, " +
+          s"probe $rowsP rows)")
+        j.copy(hint = hint)
+      }
+    // prefer the smaller-rows side as the build
+    val lFirst = (for { lr <- l.stats.rowCount; rr <- r.stats.rowCount }
+      yield lr <= rr).getOrElse(true)
+    if (lFirst) attempt(l, r, shjLeft).orElse(attempt(r, l, shjRight))
+    else attempt(r, l, shjRight).orElse(attempt(l, r, shjLeft))
   }
 }
 

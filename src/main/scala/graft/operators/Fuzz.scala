@@ -982,6 +982,79 @@ object Fuzz {
        |WHERE $neg$dimCol LIKE $pat$factPred$l2Pred""".stripMargin
   }
 
+  /** Window functions with EXPLICIT frames over OUTER-join results (round
+    * 17, VERDICT r16 #6): the 33 prior tiers exercise outer joins and
+    * framed windows separately; composing them puts join-produced NULLs
+    * INSIDE the frames — the classic cross-engine trap is a RANGE frame
+    * whose ORDER BY key is NULL on unmatched rows (ANSI: the nulls form
+    * one peer group that is its own frame, and no non-null row's offset
+    * frame contains them). Three variants:
+    *  - ROWS frame over a LEFT join, aggregating the null-bearing right
+    *    column (null rows contribute nothing to sum, everything to
+    *    count(*)) — order fully determined by the left unique key;
+    *  - RANGE frame ORDERED BY the null-bearing right column with an
+    *    explicit NULLS FIRST/LAST — only order-insensitive aggregates
+    *    (sum/count/min/max), so tie order inside a peer group is moot;
+    *  - ROWS running aggregates over a FULL join of two filtered
+    *    projections (NULLs possible on BOTH sides; the coalesced key is
+    *    unique, so the order is total).
+    * Identical text both engines — any divergence is a real bug or a
+    * pinned dialect split, not formatting. */
+  private def shapeWinOverOuter(r: Random): String = {
+    val (lt, lc, rt, rc) = pick(r, joins.filter(_._1.uniqueKey.isDefined))
+    val key = lt.uniqueKey.get
+    // the right side is pre-filtered in a derived table (a WHERE outside
+    // would re-inner the join), so unmatched left rows carry NULL b.*
+    val (rv, isDbl) = {
+      val opts = rt.doubles.map(d => (d._1, true)) ++
+        rt.ints.map(i => (i._1, false))
+      pick(r, opts)
+    }
+    val derived =
+      s"""(SELECT $rc AS rk, $rv AS rv FROM ${rt.name}
+         |           WHERE ${wherePreds(r, rt)}) b ON a.$lc = b.rk""".stripMargin
+    r.nextInt(3) match {
+      case 0 =>
+        val (n0, m0) = (1 + r.nextInt(4), 1 + r.nextInt(4))
+        val sumExpr =
+          if (isDbl) "round(sum(b.rv) OVER w1, 2)" else "sum(b.rv) OVER w1"
+        s"""SELECT a.$key AS k, $sumExpr AS fr_sum,
+           |       count(b.rk) OVER (ORDER BY a.$key
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr_m,
+           |       count(*) OVER w1 AS fr_n
+           |FROM ${lt.name} a
+           |LEFT JOIN $derived
+           |WHERE ${wherePreds(r, lt, "a")}
+           |WINDOW w1 AS (ORDER BY a.$key
+           |  ROWS BETWEEN $n0 PRECEDING AND $m0 FOLLOWING)""".stripMargin
+      case 1 =>
+        val w = 1 + r.nextInt(8)
+        val nulls = if (r.nextBoolean()) "NULLS FIRST" else "NULLS LAST"
+        val mx = if (isDbl) "round(max(b.rv) OVER w2, 2)" else "max(b.rv) OVER w2"
+        s"""SELECT a.$key AS k, count(*) OVER w2 AS fr_n, $mx AS fr_mx
+           |FROM ${lt.name} a
+           |LEFT JOIN $derived
+           |WHERE ${wherePreds(r, lt, "a")}
+           |WINDOW w2 AS (ORDER BY b.rv ASC $nulls
+           |  RANGE BETWEEN $w PRECEDING AND $w FOLLOWING)""".stripMargin
+      case _ =>
+        // FULL join of two filtered projections of one keyed table
+        val t = pick(r, Seq(orders, customer, part, supplier))
+        val k2 = t.uniqueKey.get
+        val (d, _, _) = pick(r, t.doubles)
+        val (a0, b0) = (1 + r.nextInt(3), 1 + r.nextInt(3))
+        s"""SELECT coalesce(x.k, y.k) AS k,
+           |       count(x.k) OVER (ORDER BY coalesce(x.k, y.k)
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx,
+           |       round(sum(y.vb) OVER (ORDER BY coalesce(x.k, y.k)
+           |         ROWS BETWEEN $a0 PRECEDING AND $b0 FOLLOWING), 2) AS wy
+           |FROM (SELECT $k2 AS k, $d AS va FROM ${t.name}
+           |      WHERE ${wherePreds(r, t)}) x
+           |FULL JOIN (SELECT $k2 AS k, $d AS vb FROM ${t.name}
+           |           WHERE ${wherePreds(r, t)}) y ON x.k = y.k""".stripMargin
+    }
+  }
+
   // --------------------------------------------------------------- generate
   /** `n` deterministic queries for `seed`. Pure: no I/O, no global state. */
   def generate(seed: Long, n: Int): Seq[Q] = {
@@ -995,7 +1068,7 @@ object Fuzz {
     val keyedDblInt = Seq(orders, customer, part, supplier)
     (0 until n).map { i =>
       var oracle: Option[String] = None
-      val sql = r.nextInt(34) match {
+      val sql = r.nextInt(35) match {
         case 0 => shapeAgg(r, pick(r, withDbls))
         case 1 => shapeDistinct(r, pick(r, withStrs))
         case 2 => shapeJoinAgg(r)
@@ -1034,6 +1107,7 @@ object Fuzz {
           val (s, o) = shapeCalendar(r)
           oracle = Some(o); s
         case 32 => shapePatternDimJoin(r)
+        case 33 => shapeWinOverOuter(r)
         case _ =>
           val (s, o) = shapeExclude(r, pick(r, keyedDblInt))
           oracle = Some(o); s

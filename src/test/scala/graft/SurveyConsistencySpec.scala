@@ -85,6 +85,51 @@ class SurveyConsistencySpec extends AnyFunSuite {
         s"${SparkEntry.queries.size - SparkEntry.oracleSql.size}")
   }
 
+  test("§8 outcome claims that BASELINE 'has/carries/records' something " +
+    "resolve to recorded BASELINE content (VERDICT r16 #1/#4 — round 16 " +
+    "shipped two sentences citing tables that were never committed: the " +
+    "q9 SHJ suite-subset table and the re-pinned q18 decade walls)") {
+    val survey = Files.readString(Paths.get("SURVEY.md"))
+    val baseline = Files.readString(Paths.get("BASELINE.md"))
+    // outcome sections stack newest-first; enforce the newest TWO (the
+    // round being written plus the round just judged — older sections
+    // predate the convention and their numbers live in superseded tables)
+    val sections = "(?s)## §8[a-z]+ Round-\\d+ outcome.*?(?=## §8|\\z)".r
+      .findAllIn(survey).toSeq.take(2)
+    assert(sections.nonEmpty, "no §8 outcome sections parsed")
+    // numbered items: "1. **...**" up to the next numbered item
+    val items = sections.flatMap(
+      "(?sm)^\\d+\\. .*?(?=^\\d+\\. |\\z)".r.findAllIn(_))
+    val claims = items.filter(
+      "BASELINE r\\d+ (has|carries|records|keeps|pins)".r
+        .findFirstIn(_).isDefined)
+    def recorded(num: String): Boolean =
+      ("(?<![\\d.])" + java.util.regex.Pattern.quote(num) + "(?![\\d.])").r
+        .findFirstIn(baseline).isDefined
+    claims.foreach { item =>
+      // every wall-clock number the claim cites ("29.5 s", "~40 s") must
+      // appear in BASELINE — un-recorded numbers are exactly what
+      // BASELINE exists to prevent
+      val walls = "(\\d+(?:\\.\\d+)?)(?=\\s?s\\b)".r
+        .findAllMatchIn(item).map(_.group(1)).toSeq.distinct
+      val missing = walls.filterNot(recorded)
+      assert(missing.isEmpty,
+        s"§8 claims BASELINE records walls ${missing.mkString(", ")}s but " +
+          s"BASELINE.md has no such number — commit the table or retract " +
+          s"the sentence. Item:\n${item.take(400)}")
+      // ...and every backticked conf fragment (`k=v`) must appear too
+      val confs = "`([^`]*=[^`]*)`".r.findAllMatchIn(item)
+        .map(_.group(1)).toSeq.distinct
+      val missingConfs = confs.filterNot(baseline.contains)
+      assert(missingConfs.isEmpty,
+        s"§8 claims BASELINE records an experiment on " +
+          s"${missingConfs.mkString(", ")} but BASELINE.md never mentions " +
+          s"it. Item:\n${item.take(400)}")
+    }
+    assert(claims.nonEmpty || sections.forall(
+      !_.contains("BASELINE r")), "claim parser found nothing — format drift?")
+  }
+
   test("every oracle key has a query; oracle SQL is non-empty") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty,
