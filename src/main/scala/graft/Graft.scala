@@ -25,6 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    default is wrong in both directions (too many for laptops, too few
   *    for 1000-executor clusters; size ≈ 2-3× total cores there).
   *  - UTC session timezone: deterministic timestamp semantics everywhere.
+  *  - CBO + join reorder ON by default (round 17): inert-but-armed
+  *    without statistics (reorder needs row counts; the graft rules'
+  *    stats gates bail — measured safe on the full oracle gate and the
+  *    sf0.1 bench), and the moment a table is ANALYZE'd ([[enableCbo]])
+  *    the session plans join webs from statistics instead of FROM order.
   */
 object Graft extends org.apache.spark.internal.Logging {
 
@@ -34,6 +39,18 @@ object Graft extends org.apache.spark.internal.Logging {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // CBO on by DEFAULT (round 17, VERDICT r16 #5 — decision recorded in
+    // SURVEY §5 with the measurement in BASELINE r17): with catalog stats
+    // the lane reads 0.84–0.94× of hand-ordered across the JOB/TPC-H
+    // sweeps and captures the r17 join-algorithm wins (q9 0.51×, q12
+    // 0.52×, q18 0.47×); WITHOUT stats (the cold-start case) the r17
+    // legs measured it safe — the full 260-oracle gate passes and the
+    // sf0.1 bench is wall-neutral, because join reorder needs row counts
+    // to act and the graft rules' stats gates bail. Statistics remain
+    // opt-in via [[enableCbo]]/ANALYZE — this default just means an
+    // ANALYZE'd table is USED the moment it exists.
+    .config("spark.sql.cbo.enabled", "true")
+    .config("spark.sql.cbo.joinReorder.enabled", "true")
 
   /** A ready local session: extensions + functions registered, shuffle
     * width sized to the machine.
@@ -53,6 +70,13 @@ object Graft extends org.apache.spark.internal.Logging {
     s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.shuffle.partitions", cores.toString)
+    // the CBO-by-default pair of configure()'s confs (see there), re-applied
+    // for the getOrCreate-found-existing-session case, plus the
+    // post-reorder rules — extraOptimizations is session-scoped, so only a
+    // session (not a builder) can install them
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    installResidualPlacement(s)
     functions.GraftFunctions.register(s)
     s
   }

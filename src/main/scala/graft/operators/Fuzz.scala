@@ -1016,8 +1016,14 @@ object Fuzz {
     r.nextInt(3) match {
       case 0 =>
         val (n0, m0) = (1 + r.nextInt(4), 1 + r.nextInt(4))
+        // DIALECT: DuckDB promotes ANY integer sum to HUGEINT (pandas
+        // float64) while Spark stays int64 — found by fresh region
+        // 424242017, 5/1000, all this spelling. An explicit DOUBLE cast
+        // makes both engines sum doubles (exact here: key-sized ints over
+        // ≤9-row frames); the double case just rounds.
         val sumExpr =
-          if (isDbl) "round(sum(b.rv) OVER w1, 2)" else "sum(b.rv) OVER w1"
+          if (isDbl) "round(sum(b.rv) OVER w1, 2)"
+          else "sum(CAST(b.rv AS DOUBLE)) OVER w1"
         s"""SELECT a.$key AS k, $sumExpr AS fr_sum,
            |       count(b.rk) OVER (ORDER BY a.$key
            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr_m,
