@@ -90,6 +90,15 @@ private[graft] final class AuditMetrics extends SparkListener {
   val diskSpill = new AtomicLong
   val runTimeMs = new AtomicLong
   val cpuTimeNs = new AtomicLong
+  // the run−cpu gap DECOMPOSED (round 17 — the q22 1000× wall showed a
+  // 43% cpu/run gap no other query had, and "waiting, not working" needs
+  // a name before it can be fixed): gc = jvmGCTime (counted in run, not
+  // cpu), fetchWait = blocked on shuffle-block arrival, shufWriteWait =
+  // blocked writing shuffle blocks. What remains after these three is
+  // I/O wait in the scan (parquet reads show up in neither).
+  val gcTimeMs = new AtomicLong
+  val fetchWaitMs = new AtomicLong
+  val shufWriteNs = new AtomicLong
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -100,16 +109,22 @@ private[graft] final class AuditMetrics extends SparkListener {
       diskSpill.addAndGet(m.diskBytesSpilled)
       runTimeMs.addAndGet(m.executorRunTime)
       cpuTimeNs.addAndGet(m.executorCpuTime)
+      gcTimeMs.addAndGet(m.jvmGCTime)
+      fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+      shufWriteNs.addAndGet(m.shuffleWriteMetrics.writeTime)
     }
   }
 
   def reset(): Unit = Seq(bytesRead, shuffleWrite, memSpill, diskSpill,
-    runTimeMs, cpuTimeNs).foreach(_.set(0L))
+    runTimeMs, cpuTimeNs, gcTimeMs, fetchWaitMs, shufWriteNs)
+    .foreach(_.set(0L))
 
   def report: String = {
     def gb(b: Long): String = f"${b / 1e9}%.1fGB"
     f"read=${gb(bytesRead.get)} shufW=${gb(shuffleWrite.get)} " +
       f"spillMem=${gb(memSpill.get)} spillDisk=${gb(diskSpill.get)} " +
-      f"cpu=${cpuTimeNs.get / 1e9}%.0fs run=${runTimeMs.get / 1e3}%.0fs"
+      f"cpu=${cpuTimeNs.get / 1e9}%.0fs run=${runTimeMs.get / 1e3}%.0fs " +
+      f"gc=${gcTimeMs.get / 1e3}%.0fs fetchWait=${fetchWaitMs.get / 1e3}%.0fs " +
+      f"shufWrite=${shufWriteNs.get / 1e9}%.0fs"
   }
 }
