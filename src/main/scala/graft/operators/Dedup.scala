@@ -153,6 +153,11 @@ object Dedup {
     * window formulation. */
   def wordShingleSets(d: DataFrame): DataFrame = {
     GraftFunctions.register(d.sparkSession)
+    // NOT widened (round 17): repartitioning the small-scan input to core
+    // count before the kernel was measured as a net REGRESSION here — the
+    // pipeline's many downstream stages each inherit the wider partitioning
+    // and the added task-launch overhead outweighs the kernel speedup
+    // (OPTIMIZATION_r17.md "widening"); at 100 TB the scan is already wide.
     d.select(col("doc_id"), expr("word_shingles(text, 3)").as("shingles"))
       .filter(size(col("shingles")) > 0)
   }
@@ -164,6 +169,7 @@ object Dedup {
     * is one pass over the UTF-8 bytes. */
   def charShingleSets(d: DataFrame): DataFrame = {
     GraftFunctions.register(d.sparkSession)
+    // not widened — see wordShingleSets
     d.select(col("doc_id"), expr("char_shingles(text, 5)").as("shingles"))
       .filter(size(col("shingles")) > 0)
   }
@@ -208,9 +214,21 @@ object Dedup {
     // d_minhash_delta plan audit (sig appeared once per join reference).
     val bands0 = sigBands(sh)
     val bands =
-      if (persistIntermediate)
-        bands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else bands0
+      if (persistIntermediate) {
+        val b =
+          bands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Materialize the cache EAGERLY (one cheap count over the cached
+        // plan) before the self-join references it twice: AQE submits the
+        // join's two exchange-materialization jobs CONCURRENTLY, and a
+        // lazily-persisted frame is then computed by BOTH jobs in parallel
+        // — each paying the full shingle+128-perm signing pass — with one
+        // winner filling the cache ("Block already exists" storms, round-17
+        // profile: two identical 0.25–0.47 s jobs per pipeline run). At
+        // 100 TB the duplicate is a full corpus pass; the count is one
+        // pass that fills the shingle cache AND the postings cache.
+        b.count()
+        b
+      } else bands0
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_hash") === col("y.band_hash") &&
@@ -743,10 +761,13 @@ object Dedup {
     * static call per row, zero allocation. */
   def xFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // orderBy below the kernel (round 17 — see TextAnalysis.langidOn): the
+    // trailing sort's range-sample pass re-ran the fingerprint chain over
+    // the corpus; sorting the raw rows first runs it once.
     withPlantedExact(docs(spark, dir))
+      .orderBy("doc_id")
       .select(col("doc_id"),
         expr("rolling_fingerprint(text)").as("fingerprint"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- d_contam

@@ -479,7 +479,12 @@ object Pipeline {
       .select(col("doc_id"),
         (length(col("text")).cast("double") /
           size(split(col("text"), " "))).as("difficulty"))
-      .repartitionByRange(32, asc("difficulty"), asc("doc_id"))
+      // partition count from spark.sql.shuffle.partitions (round 17): the
+      // explicit 32 was a local-mode constant — at 100 TB it meant 32 giant
+      // range slices regardless of cluster width. The exact-ntile math is
+      // invariant to the slicing (any contiguous slicing gives the same
+      // global rank), so only the parallelism changes.
+      .repartitionByRange(asc("difficulty"), asc("doc_id"))
       .withColumn("pid", spark_partition_id())
 
   /** The SQL ntile bucket of global rank `r` (1-based) among `n` rows in
@@ -511,7 +516,8 @@ object Pipeline {
       stages: Int = CurriculumStages): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parted = scored
-      .repartitionByRange(32, asc("difficulty"), asc("doc_id"))
+      // scale-adaptive slice count — see curriculumParted
+      .repartitionByRange(asc("difficulty"), asc("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(false)
     // summaryKey(pid): the frame is the 32-row partition summary, so a

@@ -350,18 +350,25 @@ object Similarity {
   }
 
   /** One Lloyd refinement: each cell's centroid becomes the per-dimension
-    * mean of its assigned vectors (classic IVF training). Tiny aggregate —
-    * cells × dims rows — after one corpus pass. On this corpus (pure random
-    * vectors, the no-structure worst case) refinement measures 0.84 recall
-    * @ 18.5% scanned vs 0.89 for raw sample centroids; on clustered
-    * embeddings recall rises with iterations (SimilaritySpec asserts). */
-  private def refine(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos").agg(avg("v").as("m"))
-      .groupBy("cell")
-      .agg(collect_list(struct(col("pos"), col("m"))).as("dims"))
-      .select(col("cell"),
-        transform(array_sort(col("dims")), d => d.getField("m").cast("float")).as("cv"))
+    * mean of its assigned vectors (classic IVF training). On this corpus
+    * (pure random vectors, the no-structure worst case) refinement measures
+    * 0.84 recall @ 18.5% scanned vs 0.89 for raw sample centroids; on
+    * clustered embeddings recall rises with iterations (SimilaritySpec
+    * asserts).
+    *
+    * Spelled as ONE hash aggregate with `dim` per-dimension avg buffers
+    * (round 17, guide §2.3/§2.4): the round-5…16 form posexploded the
+    * corpus to corpus × dims (cell, pos, v) rows and aggregated TWICE
+    * (groupBy(cell, pos) mean, then groupBy(cell) collect_list) — two
+    * exchanges and a corpus × dims row materialization per Lloyd
+    * iteration. The single groupBy(cell) with `avg(element_at(...))` per
+    * dimension emits the same per-cell means (same row visit order, same
+    * double math) through one exchange of ≤ cells × partitions rows and no
+    * Generate pass over the corpus. */
+  private def refine(assigned: DataFrame, dim: Int): DataFrame =
+    assigned.groupBy("cell")
+      .agg(array((0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1)).cast("float")): _*).as("cv"))
 
   /** Sample centroids → `iters` Lloyd refinements (see [[QuantIters]]), each
     * one corpus pass. The trained quantizer comes back as a LocalRelation
@@ -397,19 +404,42 @@ object Similarity {
     val trainEmb =
       if (trainSampleMod == 1) vecs
       else vecs.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
-    var c = localizeModel(centroidsOn(vecs, cells))
-    require(c.count() == cells,
+    val spark = vecs.sparkSession
+    val seed = centroidsOn(vecs, cells)
+    // ONE driver action per Lloyd step, model-sized rows only (round 17,
+    // guide §1.2/§5): the seed collect doubles as the size check (the old
+    // separate `c.count()` was a second full action), and the empty-cell
+    // coalesce runs on the DRIVER over the ≤cells-row model instead of a
+    // per-iteration (LocalRelation ⋈ refined) join inside the collected
+    // plan — each iteration's Spark work is exactly assign + one aggregate.
+    val seedRows = seed.collectAsList()
+    require(seedRows.size == cells,
       s"corpus has fewer than $cells vectors to seed the quantizer")
+    var model: Map[Int, Seq[Float]] = {
+      import scala.jdk.CollectionConverters._
+      seedRows.asScala.map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    }
+    val dim = model.valuesIterator.next().length
+    def localModel: DataFrame = spark.createDataFrame(
+      { import scala.jdk.CollectionConverters._
+        model.toSeq.sortBy(_._1)
+          .map { case (cell, cv) => org.apache.spark.sql.Row(cell, cv) }
+          .asJava },
+      seed.schema)
+    var c = localModel
     var i = 0
     while (i < iters) {
       // Lloyd under the serving metric: assignment uses `metric`, the
       // update step stays the per-dimension mean (exact for l2/ip;
       // spherical k-means' mean-then-use is the standard cosine form)
-      val refined = refine(assignTo(trainEmb, c, metric = metric))
-      c = localizeModel(
-        c.withColumnRenamed("cv", "prev")
-          .join(refined, Seq("cell"), "left")
-          .select(col("cell"), coalesce(col("cv"), col("prev")).as("cv")))
+      val refined = refine(assignTo(trainEmb, c, metric = metric), dim)
+        .collect()
+      // Lloyd empty-cell rule: a cell that captured no vectors keeps its
+      // previous centroid — the model always has exactly `cells` rows
+      val updated = refined.map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      model = model.map { case (cell, prev) =>
+        cell -> updated.getOrElse(cell, prev) }
+      c = localModel
       i += 1
     }
     c
@@ -426,18 +456,66 @@ object Similarity {
       c: DataFrame, nprobe: Int = IvfNprobe): DataFrame =
     ivfProbesOn(queriesDf(spark, dir), c, nprobe)
 
-  /** Frame-based probe selection: queries are any (qid, qv) frame. */
+  /** Frame-based probe selection: queries are any (qid, qv) frame.
+    *
+    * For models at or below [[AssignInlineMaxCells]] the nprobe nearest
+    * cells are picked by a NARROW per-row expression (round 17, guide
+    * §2.4): the centroids inline as literals (the same model
+    * [[assignTo]] already inlines), each query row builds its
+    * (−score, cell) struct array, `array_sort` + `slice` keep the top
+    * nprobe, and `explode` emits (qid, qv, cell) — zero shuffle, zero
+    * Window. The previous spelling crossJoined the broadcast model and
+    * ran row_number() over a qid-hash exchange: at 100 TB serve that
+    * exchanged queries × cells rows (with the full qv payload) just to
+    * rank a per-row list. Struct sort order = (−score asc, cell asc) =
+    * the window's (score desc, cell asc) — identical probe sets, ties
+    * included. Models PAST the inline threshold keep the crossJoin form
+    * (one cosine per (query, cell) row — a 10k-cell literal array would
+    * trip the same codegen limits as the inline assignment chain). */
   private[graft] def ivfProbesOn(queries: DataFrame,
       c: DataFrame, nprobe: Int = IvfNprobe,
       metric: String = "cosine"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
-    val w = Window.partitionBy("qid").orderBy(desc("qcos"), asc("cell"))
-    queries.crossJoin(broadcast(c))
-      .select(col("qid"), col("qv"), col("cell"),
-        scoreCol(metric, col("qv"), col("cv")).as("qcos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
+    val model = c.select(col("cell"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    if (model.length <= AssignInlineMaxCells) {
+      // top-nprobe by ITERATIVE SELECTION, not array_sort: the sort HOF is
+      // CodegenFallback (interpreted per query row — the bar PlanAuditSpec
+      // holds the serve path to). Each step is one `least` over the
+      // materialized struct array with already-picked cells masked to a
+      // +∞ sentinel; every step references prior picks as COLUMNS, so the
+      // expression tree stays linear in nprobe × cells.
+      val scored = array(model.map { case (cell, cv) =>
+        struct((-scoreCol(metric, col("qv"), typedLit(cv))).as("s"),
+          lit(cell).as("c"))
+      }: _*)
+      val np = math.min(nprobe, model.length) // window form caps implicitly
+      val sentinel = struct(lit(Double.MaxValue).as("s"), lit(-1).as("c"))
+      val withArr = queries.select(col("qid"), col("qv"),
+        scored.as("sarr"))
+      val picked = (0 until np).foldLeft(withArr) { (df, r) =>
+        val masked = model.indices.map { j =>
+          val e = element_at(col("sarr"), j + 1)
+          val hit = (0 until r).map(p =>
+            e.getField("c") === col(s"p$p").getField("c"))
+            .reduceOption(_ || _)
+          hit.map(h => when(h, sentinel).otherwise(e)).getOrElse(e)
+        }
+        df.withColumn(s"p$r", least(masked: _*))
+      }
+      picked
+        .select(col("qid"), col("qv"),
+          explode(array((0 until np).map(r => col(s"p$r")): _*)).as("p"))
+        .select(col("qid"), col("qv"), col("p.c").as("cell"))
+    } else {
+      val w = Window.partitionBy("qid").orderBy(desc("qcos"), asc("cell"))
+      queries.crossJoin(broadcast(c))
+        .select(col("qid"), col("qv"), col("cell"),
+          scoreCol(metric, col("qv"), col("cv")).as("qcos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .select(col("qid"), col("qv"), col("cell"))
+    }
   }
 
   private[graft] def ivfCandidates(spark: SparkSession, dir: String,
@@ -510,10 +588,17 @@ object Similarity {
     * form is `expr("l2_normalize(embedding)")` — one expression away. */
   def eNormalize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // presentation sort BELOW the kernel+explode (round 17 — see
+    // TextAnalysis.langidOn): the trailing orderBy's range-sample pass
+    // re-ran l2_normalize + posexplode over the corpus, and the exchange
+    // carried the 64×-exploded rows (~4× the input bytes). Sorting the raw
+    // (vec_id, embedding) rows first moves fewer bytes AND runs the kernel
+    // once; posexplode emits pos ascending per row, so (vec_id, pos) order
+    // is preserved exactly.
     Tables.t(spark, dir, "embeddings")
+      .orderBy("vec_id")
       .select(col("vec_id"),
         posexplode(expr("l2_normalize(embedding)")).as(Seq("pos", "val")))
-      .orderBy("vec_id", "pos")
   }
 
   val eNormalizeSql: String =
@@ -533,11 +618,12 @@ object Similarity {
     * reason as e_normalize. */
   def eQuantize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    // orderBy below the kernel+explode — see eNormalize
     Tables.t(spark, dir, "embeddings")
+      .orderBy("vec_id")
       .select(col("vec_id"), expr("quantize_int8(embedding)").as("q"))
       .select(col("vec_id"), round(col("q.scale"), 9).as("scale"),
         posexplode(col("q.codes")).as(Seq("pos", "code")))
-      .orderBy("vec_id", "pos")
   }
 
   val eQuantizeSql: String =
@@ -636,17 +722,28 @@ object Similarity {
     var i = 0
     while (i < iters) {
       val flat = typedLit(books.toVector)
+      // ONE Generate pass of corpus × segments (seg, code, subvector) rows
+      // into ONE d-buffer aggregate (round 17, guide §2.3): the previous
+      // spelling chained a second posexplode to corpus × dim rows and
+      // grouped on (seg, code, pos) — 8× the exploded volume and a wider
+      // aggregate key for the same per-(seg, code) means. Same double
+      // math, same row visit order.
       val means = trainEmb
         .select(col("embedding").cast("array<double>").as("v"))
         .withColumn("codes",
           call_function("pq_encode", col("v"), flat, lit(segments)))
         .select(posexplode(col("codes")).as(Seq("seg", "code")), col("v"))
         .select(col("seg"), col("code"),
-          posexplode(expr(s"slice(v, seg * $d + 1, $d)")).as(Seq("pos", "x")))
-        .groupBy("seg", "code", "pos").agg(avg("x").as("m"))
+          expr(s"slice(v, seg * $d + 1, $d)").as("sub"))
+        .groupBy("seg", "code")
+        .agg(array((0 until d).map(j =>
+          avg(element_at(col("sub"), j + 1))): _*).as("m"))
         .collect()
       means.foreach { r =>
-        books((r.getInt(0) * k + r.getInt(1)) * d + r.getInt(2)) = r.getDouble(3)
+        val base = (r.getInt(0) * k + r.getInt(1)) * d
+        val m = r.getSeq[Double](2)
+        var j = 0
+        while (j < d) { books(base + j) = m(j); j += 1 }
       }
       i += 1
     }
